@@ -1,0 +1,123 @@
+"""Text analysis: language ID, quality scoring, token counting, document
+fingerprinting — all pure Spark expressions (whole-stage codegen, no UDF).
+
+These mirror the shape of the reference's per-record enrichment processors
+(attributes_processor computed fields) applied to a documents table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Frequent-word lists per language for the n-gram/stopword heuristic.
+# Deliberately tiny: the operator's job is the plumbing (scoring columns,
+# argmax) — swap in real frequency tables for production.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour"],
+}
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: per-language stopword-hit ratio → argmax.
+
+    score(lang) = |tokens ∩ markers(lang)| / |tokens|; prediction is the
+    max-scoring language, NULL when no marker hits at all (unknown).
+    One pass, array intrinsics only.
+    """
+    toks = _tokens(F.col(text_col))
+    scores = [
+        (
+            lang,
+            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+            / F.greatest(F.size(toks), F.lit(1)),
+        )
+        for lang, words in _LANG_MARKERS.items()
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.lit(None).cast("string")
+    for lang, s in reversed(scores):
+        pred = F.when(s == best, F.lit(lang)).otherwise(pred)
+    out = df.withColumn(out_col, F.when(best > 0, pred))
+    return out
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens and a BPE-ish subword estimate.
+
+    ``n_tokens_ws``  — whitespace split count;
+    ``n_tokens_bpe`` — count of word/number/punctuation chunks by the
+    common GPT-style pre-tokenizer regex (contractions, letter runs,
+    digit runs, punctuation runs) — a deterministic stand-in for a real
+    BPE vocab, computed with regexp_count (JVM).
+    """
+    t = F.col(text_col)
+    bpe_re = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+    return df.withColumns(
+        {
+            "n_chars_obs": F.length(t),
+            "n_tokens_ws": F.when(
+                F.length(F.trim(t)) == 0, F.lit(0)
+            ).otherwise(F.size(F.split(F.trim(t), r"\s+"))),
+            "n_tokens_bpe": F.regexp_count(t, F.lit(bpe_re)),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality features + composite score ∈ [0,1].
+
+    Features: length band, alpha ratio, punctuation ratio, stopword ratio,
+    mean word length band — the standard pretraining-filter signals,
+    each a pure expression.
+    """
+    t = F.col(text_col)
+    n = F.greatest(F.length(t), F.lit(1))
+    toks = _tokens(t)
+    n_toks = F.greatest(F.size(toks), F.lit(1))
+    alpha_ratio = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")) / n
+    punct_ratio = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()-]", "")) / n
+    stop = F.array(*[F.lit(w) for w in _LANG_MARKERS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda w: F.array_contains(stop, w)))
+    stop_ratio = stop_hits / n_toks
+    mean_word_len = (F.length(F.regexp_replace(t, r"\s+", ""))) / n_toks
+    len_ok = (F.length(t) >= 20) & (F.length(t) <= 20000)
+    word_len_ok = (mean_word_len >= 2.0) & (mean_word_len <= 12.0)
+    score = (
+        len_ok.cast("double") * 0.25
+        + word_len_ok.cast("double") * 0.25
+        + F.least(alpha_ratio * 1.25, F.lit(1.0)) * 0.25
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.15
+        + (1 - F.least(punct_ratio * 5, F.lit(1.0))) * 0.10
+    )
+    return df.withColumns(
+        {
+            "alpha_ratio": alpha_ratio,
+            "punct_ratio": punct_ratio,
+            "stopword_ratio": stop_ratio,
+            "mean_word_len": mean_word_len,
+            "quality": score,
+        }
+    )
+
+
+def document_fingerprint(
+    df: DataFrame, text_col: str = "text", out_col: str = "fingerprint"
+) -> DataFrame:
+    """Canonical-form fingerprint: lowercase, strip non-alphanumerics,
+    collapse whitespace, md5. Two documents differing only in case/
+    punctuation/spacing share a fingerprint (the cheap canonicalization
+    used before exact dedup)."""
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", ""), r"\s+", " "
+        )
+    )
+    return df.withColumn(out_col, F.md5(canon))

@@ -1,0 +1,340 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design notes (the part that matters at 10^9 documents):
+
+* exact dedup is one hash-shuffle on a fingerprint column — never on the
+  raw text (shuffling full bodies at 100 TB is the classic mistake);
+* MinHash/LSH candidate generation self-joins on (band_idx, band_hash) —
+  a co-partitioned equi-join whose fan-out is bounded by bucket size, not
+  corpus size; verification (exact Jaccard) runs only on candidates;
+* everything is built from higher-order array functions (transform /
+  aggregate / array_min / array_intersect) — JVM-side, no Python in the
+  hot path. SimHash uses one explode + 64 conditional sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# --- exact ------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative of each exact-duplicate group.
+
+    The groupBy key is md5(text) (a fixed-width fingerprint), so the
+    shuffle moves 16-byte keys + ids, not document bodies; survivors are
+    recovered with a left-semi join (no body ever shuffles twice).
+    """
+    fp = F.md5(F.col(text_col))
+    keep = (
+        df.select(F.col(id_col), fp.alias("_fp"))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# --- shingling / MinHash ------------------------------------------------------
+
+
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """Distinct character k-shingles as an array column — pure expression:
+    transform(sequence(1, len-k+1), i -> substring(text, i, k))."""
+    n = F.greatest(F.length(text) - F.lit(k - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(text, i, F.lit(k)))
+    )
+
+
+def token_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined) as an array column."""
+    toks = F.split(F.trim(text), r"\s+")
+    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), cnt - 1, F.lit(1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 64) -> Column:
+    """MinHash signature: for seed i, min over shingles of murmur3(s, i).
+
+    array of n_hashes ints; F.hash is Murmur3-x86-32 with the seed column
+    appended — the same hash family the reference binds for murmur3
+    (functions/murmur3.rs:1). All JVM-side.
+    """
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, i=i: F.hash(s, F.lit(i))))
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """MinHash + banded LSH near-duplicate pairs, verified by exact Jaccard.
+
+    Pipeline: shingle → signature → explode into ``bands`` band keys →
+    self-join on (band, band_hash) → distinct candidate pairs → exact
+    Jaccard on shingle arrays → filter ≥ threshold.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b. The self-join is the
+    only shuffle that grows with corpus size, and it moves
+    (id, band_hash) pairs only.
+    """
+    rows_per_band = n_hashes // bands
+    base = df.select(
+        F.col(id_col),
+        char_shingles(F.col(text_col), shingle_k).alias("_sh"),
+    ).withColumn("_sig", minhash_signature(F.col("_sh"), n_hashes))
+
+    banded = base.select(
+        id_col,
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("_sig")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band"),
+    ).select(id_col, "_sh", F.col("_band.band").alias("band"), F.col("_band.bhash").alias("bhash"))
+
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"), "band", "bhash"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b"), "band", "bhash"
+    )
+    cands = (
+        left.join(right, on=["band", "bhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cands.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- n-gram Jaccard (exact, for small candidate sets / verification) ----------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs token-n-gram Jaccard ≥ threshold via an inverted index.
+
+    Instead of a cross join, explode n-grams and self-join on the n-gram
+    (the standard inverted-index trick): pairs sharing ≥1 n-gram are the
+    only candidates. Exact Jaccard then filters. Quadratic only within
+    posting lists, never across the corpus.
+    """
+    grams = df.select(F.col(id_col), token_ngrams(F.col(text_col), n).alias("_g"))
+    posting = grams.select(id_col, F.explode("_g").alias("gram"))
+    pairs = (
+        posting.alias("l")
+        .join(posting.alias("r"), on="gram")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .dropDuplicates()
+    )
+    ga = grams.select(F.col(id_col).alias("id_a"), F.col("_g").alias("g_a"))
+    gb = grams.select(F.col(id_col).alias("id_b"), F.col("_g").alias("g_b"))
+    jac = F.size(F.array_intersect("g_a", "g_b")) / F.size(F.array_union("g_a", "g_b"))
+    return (
+        pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- SimHash ------------------------------------------------------------------
+
+
+def simhash_col(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document: explode tokens → xxhash64 → per-bit
+    signed sums → reassemble. One shuffle (the groupBy on id)."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_t")
+    ).withColumn("_h", F.xxhash64("_t"))
+    bit_sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_b{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = None
+    for b in range(bits):
+        bit = F.when(F.col(f"_b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sim = term if sim is None else sim + term  # bits are disjoint → sum == OR
+    return bit_sums.select(F.col(id_col), sim.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit longs: bit_count(xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-dups: band the 64-bit hash into ``n_chunks`` 16-bit
+    chunks; by pigeonhole, any pair within ``max_hamming < n_chunks`` bits
+    shares at least one exact chunk → chunk-equality join finds all of
+    them. Verification = exact hamming ≤ max_hamming."""
+    sims = simhash_col(df, text_col, id_col)
+    chunk_bits = 64 // n_chunks
+    mask = (1 << chunk_bits) - 1
+    chunks = sims.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), c * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("ckey"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("_c"),
+    ).select(id_col, "simhash", F.col("_c.chunk").alias("chunk"), F.col("_c.ckey").alias("ckey"))
+    l = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "chunk", "ckey")
+    r = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "chunk", "ckey")
+    return (
+        l.join(r, on=["chunk", "ckey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming64(F.col("h_a"), F.col("h_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --- embedding cosine near-dup -------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate embedding pairs (cosine ≥ threshold) via
+    random-hyperplane LSH bucketing + exact cosine verification.
+
+    Hyperplanes are generated with a seeded numpy RNG on the driver and
+    embedded as literal arrays (dictionary-sized — the broadcast analog).
+    High thresholds → high bucket-collision probability; the sign
+    signature is split into two half-signatures (pigeonhole banding) so
+    one flipped bit cannot hide a pair.
+    """
+    import numpy as np
+
+    first = df.select(F.size(vec_col).alias("d")).first()
+    dim = first["d"]
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    def dot_plane(vec: Column, p) -> Column:
+        terms = [vec[i] * float(p[i]) for i in range(dim)]
+        s = terms[0]
+        for t in terms[1:]:
+            s = s + t
+        return s
+
+    sig_bits = [
+        F.when(dot_plane(F.col(vec_col), planes[i]) >= 0, F.lit(1)).otherwise(F.lit(0))
+        for i in range(n_planes)
+    ]
+    half = n_planes // 2
+    sig_lo = F.concat_ws("", *[b.cast("string") for b in sig_bits[:half]])
+    sig_hi = F.concat_ws("", *[b.cast("string") for b in sig_bits[half:]])
+    base = df.select(F.col(id_col), F.col(vec_col), sig_lo.alias("s0"), sig_hi.alias("s1"))
+
+    banded = base.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), F.col("s0").alias("bkey")),
+                F.struct(F.lit(1).alias("band"), F.col("s1").alias("bkey")),
+            )
+        ).alias("_b"),
+    ).select(id_col, vec_col, F.col("_b.band").alias("band"), F.col("_b.bkey").alias("bkey"))
+
+    l = banded.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "band", "bkey")
+    r = banded.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "band", "bkey")
+    cos = cosine_expr(F.col("v_a"), F.col("v_b"))
+    return (
+        l.join(r, on=["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float-array columns — zip_with dot product
+    + aggregate norms, all JVM-side."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)

@@ -1,0 +1,231 @@
+"""Tests for dedup / similarity / analysis / multimodal operators, with
+independent oracles (DuckDB list_cosine_similarity, python sets)."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from otel_arrow_spark.textops.analysis import (
+    document_fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
+from otel_arrow_spark.textops.dedup import (
+    dedup_exact,
+    embedding_near_dup_pairs,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from otel_arrow_spark.textops.similarity import (
+    brute_force_topk,
+    brute_force_topk_pandas,
+    lsh_bucketed_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    """Corpus with planted exact and near duplicates."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("today", "tomorrow")),  # near dup of 1
+        (4, "completely different content about spark query engines and shuffles"),
+        (5, "completely different content about spark query engines and shuffles"),
+        (6, "unrelated short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestDedup:
+    def test_exact(self, dup_docs):
+        out = dedup_exact(dup_docs)
+        ids = {r.doc_id for r in out.collect()}
+        assert ids == {1, 3, 4, 6}
+
+    def test_minhash_finds_planted_pairs(self, dup_docs):
+        pairs = minhash_near_dup_pairs(dup_docs, jaccard_threshold=0.5)
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        assert (1, 2) in got  # exact dup: jaccard 1.0
+        assert (4, 5) in got
+        assert (1, 3) in got  # near dup
+        assert not any(6 in p for p in got)
+
+    def test_minhash_jaccard_matches_python_oracle(self, dup_docs):
+        pairs = {(r.id_a, r.id_b): r.jaccard for r in
+                 minhash_near_dup_pairs(dup_docs, jaccard_threshold=0.3).collect()}
+        texts = {r.doc_id: r.text for r in dup_docs.collect()}
+
+        def sh(t, k=5):
+            return {t[i : i + k] for i in range(len(t) - k + 1)}
+
+        for (a, b), j in pairs.items():
+            expect = len(sh(texts[a]) & sh(texts[b])) / len(sh(texts[a]) | sh(texts[b]))
+            assert abs(j - expect) < 1e-9
+
+    def test_ngram_jaccard(self, dup_docs):
+        pairs = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(dup_docs, threshold=0.5).collect()}
+        assert (1, 2) in pairs and (4, 5) in pairs
+
+    def test_simhash(self, dup_docs):
+        pairs = {(r.id_a, r.id_b): r.hamming for r in
+                 simhash_near_dup_pairs(dup_docs, max_hamming=3).collect()}
+        assert pairs[(1, 2)] == 0
+        assert pairs[(4, 5)] == 0
+        assert (1, 6) not in pairs
+
+    def test_embedding_near_dup(self, spark):
+        v = [float(x) for x in np.random.RandomState(7).standard_normal(8)]
+        v2 = [x + 0.001 for x in v]  # near-identical
+        v3 = [-x for x in v]  # opposite
+        df = spark.createDataFrame(
+            [(1, v), (2, v2), (3, v3)], "vec_id long, embedding array<float>"
+        )
+        pairs = {(r.id_a, r.id_b) for r in
+                 embedding_near_dup_pairs(df, threshold=0.99, n_planes=8).collect()}
+        assert pairs == {(1, 2)}
+
+
+class TestSimilarity:
+    def test_brute_force_matches_duckdb(self, spark, embeddings):
+        queries = (
+            embeddings.orderBy("vec_id").limit(3)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        got = brute_force_topk(embeddings, queries, k=5)
+        rows = {(r.query_id, r.rank): r.vec_id for r in got.collect()}
+        oracle = duckdb.sql(
+            f"""
+            WITH e AS (SELECT * FROM read_parquet('{SF_DIR}/embeddings.parquet')),
+            q AS (SELECT vec_id AS query_id, embedding AS qv FROM e ORDER BY vec_id LIMIT 3),
+            s AS (SELECT q.query_id, e.vec_id,
+                         list_cosine_similarity(e.embedding, q.qv) AS cosine
+                  FROM e CROSS JOIN q),
+            r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, vec_id) AS rank FROM s)
+            SELECT query_id, rank, vec_id FROM r WHERE rank <= 5
+            """
+        ).fetchall()
+        assert rows == {(q, r): v for q, r, v in oracle}
+
+    def test_pandas_variant_matches_native(self, spark, embeddings):
+        queries = (
+            embeddings.orderBy("vec_id").limit(2)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        native = brute_force_topk(embeddings, queries, k=5)
+        pdf = queries.toPandas()
+        fast = brute_force_topk_pandas(embeddings, pdf, k=5)
+        a = {(r.query_id, r.rank): r.vec_id for r in native.collect()}
+        b = {(r.query_id, r.rank): r.vec_id for r in fast.collect()}
+        assert a == b
+
+    def test_lsh_recall_reasonable(self, spark, embeddings):
+        queries = (
+            embeddings.orderBy("vec_id").limit(5)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        exact = brute_force_topk(embeddings, queries, k=10)
+        approx = lsh_bucketed_topk(embeddings, queries, k=10, n_planes=6, n_tables=8)
+        ex = {(r.query_id, r.vec_id) for r in exact.collect()}
+        ap = {(r.query_id, r.vec_id) for r in approx.collect()}
+        recall = len(ex & ap) / len(ex)
+        assert recall >= 0.5, f"LSH recall too low: {recall}"
+        # the query vector itself must always be found (cosine 1 with itself)
+        for q in [r.query_id for r in queries.collect()]:
+            assert (q, q) in ap
+
+
+class TestAnalysis:
+    def test_token_stats_vs_python(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello world, it's 2026!"), (2, ""), (3, "   "), (4, "one")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: (r.n_tokens_ws, r.n_tokens_bpe) for r in
+               token_stats(df).collect()}
+        assert out[1][0] == 4
+        assert out[1][1] >= 6  # Hello| world|,| it|'s| 2026|!
+        assert out[2][0] == 0
+        assert out[4] == (1, 1)
+
+    def test_language_id(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the cat and the dog in a house it is"),
+                (2, "der hund und die katze das ist ein haus nicht"),
+                (3, "el perro y la casa de que en un es"),
+                (4, "zzz qqq www"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.lang_pred for r in language_id(df).collect()}
+        assert out[1] == "en" and out[2] == "de" and out[3] == "es"
+        assert out[4] is None
+
+    def test_quality_and_fingerprint(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "The quick brown fox jumps over the lazy dog and runs away."),
+                (2, "the quick brown fox jumps over the lazy dog, AND runs away"),
+                (3, "!!!???;;;;;"),
+            ],
+            "doc_id long, text string",
+        )
+        q = {r.doc_id: r.quality for r in quality_score(df).collect()}
+        assert q[1] > 0.7 > q[3]
+        fp = {r.doc_id: r.fingerprint for r in document_fingerprint(df).collect()}
+        assert fp[1] == fp[2] != fp[3]
+
+
+class TestMultimodal:
+    def test_metadata_and_features(self, spark):
+        from otel_arrow_spark.textops.multimodal import (
+            attach_media_metadata,
+            extract_features,
+        )
+
+        rows = [
+            (1, bytes([0xFF, 0xD8, 0xFF]) + b"jpegdata" * 10),
+            (2, b"\x89PNG" + b"pngdata" * 10),
+            (3, b"RIFF" + b"wavdata" * 10),
+            (4, b"plainbytes"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        meta = {r.doc_id: r.mime_sniffed for r in attach_media_metadata(df).collect()}
+        assert meta == {1: "image/jpeg", 2: "image/png", 3: "audio/wav",
+                        4: "application/octet-stream"}
+        feats = extract_features(df, dim=8)
+        got = {r.doc_id: r.feature for r in feats.collect()}
+        assert len(got) == 4 and all(len(v) == 8 for v in got.values())
+        assert abs(sum(got[1]) - 1.0) < 1e-6
+        # deterministic
+        got2 = {r.doc_id: r.feature for r in extract_features(df, dim=8).collect()}
+        assert got == got2
+
+    def test_frame_sample_plan(self, spark):
+        from otel_arrow_spark.textops.multimodal import frame_sample_plan
+
+        df = spark.createDataFrame([(1, 1000), (2, 250)], "doc_id long, duration_ms int")
+        out = frame_sample_plan(df, every_ms=250)
+        got = {}
+        for r in out.collect():
+            got.setdefault(r.doc_id, []).append(r.frame_ts_ms)
+        assert sorted(got[1]) == [0, 250, 500, 750]
+        assert sorted(got[2]) == [0]
