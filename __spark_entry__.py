@@ -1,38 +1,672 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``      — flagship transcripts pipeline at sf0.001 scale.
+``queries()``         — one entry per implemented operator (SURVEY.md §2 +
+                        training-data ops), each (spark, sf_dir) → DataFrame.
+``oracle_sql()``      — DuckDB-equivalent ANSI SQL per query (omitted for
+                        ops whose candidate generation depends on Spark's
+                        hash kernels or on generated transcript input —
+                        those get the driver's rows-only check and full
+                        oracles in tests/).
+
+Column-naming rule: every computed column is aliased identically in the
+Spark plan and the SQL so the driver's sorted-column value hash matches.
+Float-valued results are rounded on both sides (the engines may differ in
+summation order by one ulp).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+# transcript corpus size per sf tier (generated deterministically, cached)
+_SF_TURNS = {"0.001": 20_000, "0.01": 100_000, "0.1": 2_000_000}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.sources.transcripts import write_transcripts_parquet
+
+    sf = next((k for k in _SF_TURNS if f"sf{k}" in sf_dir), "0.01")
+    n = _SF_TURNS[sf]
+    path = write_transcripts_parquet(
+        os.path.join(_REPO, ".cache", "transcripts", f"n{n}"), n
+    )
+    return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full parse → enrich → route → aggregate over transcripts."""
+    from otel_arrow_spark.operators.aggregate import sink_aggregate
+    from otel_arrow_spark.operators.enrich import enrich
+    from otel_arrow_spark.operators.parse import parse_transcripts
+    from otel_arrow_spark.operators.route import with_signal_class
+
+    df = _transcripts(spark, "/root/testdata/sf0.001")
+    routed = with_signal_class(enrich(parse_transcripts(df), spark))
+    return sink_aggregate(routed, keys=("signal_class", "conv_id", "tool", "severity_text"))
+
+
+# ---------------------------------------------------------------------------
+# pipeline operators over the events table (full DuckDB oracles)
+
+
+def q_parse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse stage analog on events: regex-extract the k field from the
+    props JSON-ish blob, map event_type → severity (parse.py semantics)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.nullif(F.regexp_extract("props", r'"k": (\d+)', 1), F.lit("")).cast("int").alias("k"),
+        F.when(F.col("event_type") == "error", "ERROR")
+        .when(F.col("event_type") == "purchase", "INFO")
+        .otherwise("DEBUG")
+        .alias("severity_text"),
+        F.when(F.col("event_type") == "error", 17)
+        .when(F.col("event_type") == "purchase", 9)
+        .otherwise(5)
+        .alias("severity_number"),
+    )
+
+
+def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-router analog: exclusive first-match routing + per-route
+    counts (content_router/mod.rs:171-190 semantics)."""
+    e = _t(spark, sf_dir, "events")
+    route = (
+        F.when(F.col("event_type") == "error", "alerts")
+        .when((F.col("event_type") == "purchase") & (F.col("value") > 50), "big_spend")
+        .when(F.col("event_type").isin("view", "click"), "engagement")
+        .otherwise("default")
+    )
+    return (
+        e.withColumn("route", route)
+        .groupBy("route")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def q_enrich_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich stage: broadcast-dictionary joins (customer→nation→region),
+    the dictionary-encoding analog (SURVEY §2.4)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+def q_temporal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal reaggregation: tumbling 1-minute regroup of events
+    (temporal_reaggregation_processor analog, fixed period)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("minute", "ts").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def q_filter_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_processor strict include/exclude (include error+purchase,
+    exclude purchases below 10)."""
+    from otel_arrow_spark.operators.filter import MatchRules, filter_processor
+
+    e = _t(spark, sf_dir, "events")
+    out = filter_processor(e, "event_type", include=MatchRules("strict", ["error", "purchase"]))
+    return out.filter(~((F.col("event_type") == "purchase") & (F.col("value") < 10))).select(
+        "event_id", "event_type", "value"
+    )
+
+
+def q_filter_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_processor regexp match over part types."""
+    from otel_arrow_spark.operators.filter import MatchRules, filter_processor
+
+    p = _t(spark, sf_dir, "part")
+    return filter_processor(
+        p, "p_type", include=MatchRules("regexp", [r"^PROMO.*", r".*BRASS$"])
+    ).select("p_partkey", "p_type")
+
+
+def q_zip_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zip sampler: at most 3 events per (hour, event_type) window,
+    deterministic order (samplers/zip.rs analog)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy(F.date_trunc("hour", "ts"), "event_type").orderBy(
+        "ts", "event_id"
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_id", "event_type", "rn")
+    )
+
+
+def q_ratio_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ratio sampler: deterministic keep-1-in-20 (samplers/ratio.rs analog;
+    arithmetic key test so the oracle reproduces it exactly)."""
+    e = _t(spark, sf_dir, "events")
+    return e.filter(F.pmod("event_id", F.lit(20)) == 0).select("event_id", "event_type")
+
+
+def q_attrs_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """attributes-processor hash action: SHA-256(salt+value) scrubbing of
+    the props payload (attributes_processor Action::Hash analog)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.sha2(F.concat(F.lit("pepper!"), F.col("props")), 256).alias("props_hash")
+    )
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPL scalar-function surface on real columns: 0-indexed substring,
+    concat_ws/join, regexp_capture, md5, upper/lower, coalesce."""
+    from otel_arrow_spark.functions import (
+        md5 as opl_md5,
+        opl_join,
+        opl_substring,
+        regexp_capture,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        opl_substring("c_name", 0, 8).alias("name_prefix"),
+        opl_join("|", F.col("c_mktsegment"), F.col("c_name")).alias("seg_name"),
+        regexp_capture("c_name", r"#(\d+)", 1).alias("cust_num"),
+        opl_md5("c_mktsegment").alias("seg_md5"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("?")).alias("seg_or_default"),
+    )
+
+
+def q_conditional_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPL if/else-if branch pipelines → union (flow_control.md:6-114):
+    branch transforms differ, outputs unioned."""
+    from otel_arrow_spark.operators.flow import conditional_branches
+
+    o = _t(spark, sf_dir, "orders")
+    return conditional_branches(
+        o,
+        [
+            (
+                F.col("o_totalprice") > 200000,
+                lambda d: d.withColumn("tier", F.lit("high")),
+            ),
+            (
+                F.col("o_totalprice") > 100000,
+                lambda d: d.withColumn("tier", F.lit("mid")),
+            ),
+        ],
+        otherwise=lambda d: d.withColumn("tier", F.lit("low")),
+    ).groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins / aggregations (TPC-H-shaped coverage of §2.4/§2.5)
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation for one region — the multi-way broadcast-chain
+    join (local supplier volume, without the supplier-nation equality since
+    the synthetic data has independent keys)."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window: per-user event ordering + running value sum."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("seq"),
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: union / intersect / except over order-key subsets."""
+    o = _t(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 150000).select("o_orderkey")
+    pri = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    return (
+        hi.union(pri).distinct().withColumn("src", F.lit("union"))
+        .unionByName(hi.intersect(pri).withColumn("src", F.lit("intersect")))
+        .unionByName(hi.exceptAll(pri).distinct().withColumn("src", F.lit("except")))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data ops over documents / embeddings
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.textops import dedup_exact
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup_exact(d).select("doc_id", "n_chars")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.textops import document_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        document_fingerprint(d)
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.textops import token_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return token_stats(d).select("doc_id", "n_chars_obs", "n_tokens_ws")
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.textops import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    q = quality_score(d)
+    return q.select(
+        "doc_id",
+        F.round("alpha_ratio", 6).alias("alpha_ratio_r"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio_r"),
+    )
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the 3 lowest-id query vectors; cosine
+    rounded so the DuckDB list_cosine_similarity oracle hash-matches."""
+    from otel_arrow_spark.textops import brute_force_topk
+
+    # cast float32 vectors to double so the arithmetic matches the oracle's
+    # double-cast list_cosine_similarity bit-for-bit at 6dp
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = (
+        e.orderBy("vec_id").limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    out = brute_force_topk(e, queries, k=5)
+    return out.select("query_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine_r"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic scores (en marker-hit ratio, rounded)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    en = F.array(*[F.lit(w) for w in ["the", "and", "of", "to", "a", "in", "is", "it"]])
+    score = F.size(F.array_intersect(toks, en)) / F.greatest(F.size(toks), F.lit(1))
+    return d.select("doc_id", F.round(score, 6).alias("en_score"))
+
+
+# --- rows-only checks (hash-kernel / generated-input dependent) --------------
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.textops import minhash_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(d, jaccard_threshold=0.8).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r")
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.textops import simhash_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(d, max_hamming=3)
+
+
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.textops import lsh_bucketed_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = (
+        e.orderBy("vec_id").limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return lsh_bucketed_topk(e, queries, k=5, n_planes=6, n_tables=8).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
+def q_transcripts_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship parse→enrich→route over generated transcripts (rows-only:
+    input is the deterministic generated corpus, not a testdata view; full
+    oracles live in tests/test_pipeline.py)."""
+    from otel_arrow_spark.operators.enrich import enrich
+    from otel_arrow_spark.operators.parse import parse_transcripts
+    from otel_arrow_spark.operators.route import with_signal_class
+
+    df = _transcripts(spark, sf_dir)
+    return with_signal_class(enrich(parse_transcripts(df), spark)).select(
+        "conv_id", "turn_idx", "signal_class", "severity_text", "tool_called",
+        "role_class", "tool_family", "is_parsed",
+    )
+
+
+def q_transcripts_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.operators.aggregate import salted_aggregate
+    from otel_arrow_spark.operators.enrich import enrich
+    from otel_arrow_spark.operators.parse import parse_transcripts
+    from otel_arrow_spark.operators.route import with_signal_class
+
+    df = _transcripts(spark, sf_dir)
+    routed = with_signal_class(enrich(parse_transcripts(df), spark))
+    return salted_aggregate(routed, keys=("signal_class", "conv_id", "tool", "severity_text"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "parse_events": q_parse_events,
+        "route_counts": q_route_counts,
+        "enrich_broadcast": q_enrich_broadcast,
+        "temporal_agg": q_temporal_agg,
+        "filter_strict": q_filter_strict,
+        "filter_regexp": q_filter_regexp,
+        "zip_sample": q_zip_sample,
+        "ratio_sample": q_ratio_sample,
+        "attrs_hash": q_attrs_hash,
+        "scalar_functions": q_scalar_functions,
+        "conditional_union": q_conditional_union,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5ish": q_tpch_q5ish,
+        "window_rank": q_window_rank,
+        "set_ops": q_set_ops,
+        "dedup_exact": q_dedup_exact,
+        "fingerprint": q_fingerprint,
+        "token_stats": q_token_stats,
+        "quality": q_quality,
+        "similarity_topk": q_similarity_topk,
+        "lang_id": q_lang_id,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "similarity_lsh": q_similarity_lsh,
+        "transcripts_routed": q_transcripts_routed,
+        "transcripts_agg": q_transcripts_agg,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "parse_events": """
+            SELECT event_id, event_type,
+                   CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1), '') AS INT) AS k,
+                   CASE WHEN event_type = 'error' THEN 'ERROR'
+                        WHEN event_type = 'purchase' THEN 'INFO'
+                        ELSE 'DEBUG' END AS severity_text,
+                   CASE WHEN event_type = 'error' THEN 17
+                        WHEN event_type = 'purchase' THEN 9
+                        ELSE 5 END AS severity_number
+            FROM events
+        """,
+        "route_counts": """
+            SELECT CASE WHEN event_type = 'error' THEN 'alerts'
+                        WHEN event_type = 'purchase' AND value > 50 THEN 'big_spend'
+                        WHEN event_type IN ('view','click') THEN 'engagement'
+                        ELSE 'default' END AS route,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(CAST(sum(value) AS DOUBLE), 4) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "enrich_broadcast": """
+            SELECT r.r_name AS region, n.n_name AS nation,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   round(avg(c.c_acctbal), 4) AS avg_acctbal
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2
+        """,
+        "temporal_agg": """
+            SELECT date_trunc('minute', ts) AS window_start, event_type,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   round(CAST(sum(value) AS DOUBLE), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "filter_strict": """
+            SELECT event_id, event_type, value FROM events
+            WHERE event_type IN ('error','purchase')
+              AND NOT (event_type = 'purchase' AND value < 10)
+        """,
+        "filter_regexp": """
+            SELECT p_partkey, p_type FROM part
+            WHERE regexp_matches(p_type, '^PROMO.*') OR regexp_matches(p_type, '.*BRASS$')
+        """,
+        "zip_sample": """
+            SELECT event_id, event_type, CAST(rn AS INT) AS rn FROM (
+                SELECT event_id, event_type,
+                       row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ) WHERE rn <= 3
+        """,
+        "ratio_sample": """
+            SELECT event_id, event_type FROM events WHERE event_id % 20 = 0
+        """,
+        "attrs_hash": """
+            SELECT event_id, sha256('pepper!' || props) AS props_hash FROM events
+        """,
+        "scalar_functions": """
+            SELECT c_custkey,
+                   substring(c_name, 1, 8) AS name_prefix,
+                   concat_ws('|', c_mktsegment, c_name) AS seg_name,
+                   NULLIF(regexp_extract(c_name, '#(\\d+)', 1), '') AS cust_num,
+                   md5(c_mktsegment) AS seg_md5,
+                   lower(c_mktsegment) AS seg_lower,
+                   coalesce(c_mktsegment, '?') AS seg_or_default
+            FROM customer
+        """,
+        "conditional_union": """
+            SELECT CASE WHEN o_totalprice > 200000 THEN 'high'
+                        WHEN o_totalprice > 100000 THEN 'mid'
+                        ELSE 'low' END AS tier,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS sum_price
+            FROM orders GROUP BY 1
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+                   round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+                   round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3": """
+            SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+                   round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1995-03-15'
+              AND l.l_shipdate  > TIMESTAMP '1995-03-15'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "tpch_q5ish": """
+            SELECT n.n_name AS nation,
+                   round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+            GROUP BY 1
+        """,
+        "window_rank": """
+            SELECT user_id, event_id,
+                   CAST(row_number() OVER w AS INT) AS seq,
+                   round(CAST(sum(value) OVER w AS DOUBLE), 4) AS running_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "set_ops": """
+            WITH hi AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000),
+                 pri AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+            SELECT src, CAST(count(*) AS BIGINT) AS n FROM (
+                SELECT 'union' AS src, o_orderkey FROM (SELECT * FROM hi UNION SELECT * FROM pri)
+                UNION ALL
+                SELECT 'intersect', o_orderkey FROM (SELECT * FROM hi INTERSECT SELECT * FROM pri)
+                UNION ALL
+                SELECT 'except', o_orderkey FROM (SELECT * FROM hi EXCEPT SELECT * FROM pri)
+            ) GROUP BY src
+        """,
+        "dedup_exact": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE doc_id IN (
+                SELECT min(doc_id) FROM documents GROUP BY md5(text)
+            )
+        """,
+        "fingerprint": """
+            SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                           '\\s+', ' ', 'g'))) AS fingerprint,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   min(doc_id) AS first_doc
+            FROM documents GROUP BY 1
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_obs,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens_ws
+            FROM documents
+        """,
+        "quality": """
+            SELECT doc_id,
+                   round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                         / greatest(length(text), 1), 6) AS alpha_ratio_r,
+                   round(CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                              w -> list_contains(['the','and','of','to','a','in','is','it'], w))) AS DOUBLE)
+                         / greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1), 6)
+                         AS stopword_ratio_r
+            FROM documents
+        """,
+        "similarity_topk": """
+            WITH ed AS (SELECT vec_id,
+                               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+                        FROM embeddings),
+            q AS (SELECT vec_id AS query_id, embedding AS qv
+                  FROM ed ORDER BY vec_id LIMIT 3),
+            s AS (SELECT q.query_id, e.vec_id,
+                         list_cosine_similarity(e.embedding, q.qv) AS cosine
+                  FROM ed e CROSS JOIN q),
+            r AS (SELECT query_id, vec_id, cosine,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cosine DESC, vec_id) AS rank
+                  FROM s)
+            SELECT query_id, vec_id, CAST(rank AS INT) AS rank,
+                   round(cosine, 6) AS cosine_r
+            FROM r WHERE rank <= 5
+        """,
+        "lang_id": """
+            SELECT doc_id,
+                   round(CAST(len(list_intersect(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                              ['the','and','of','to','a','in','is','it'])) AS DOUBLE)
+                         / greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1), 6)
+                         AS en_score
+            FROM documents
+        """,
+        # dedup_minhash / dedup_simhash / similarity_lsh / transcripts_* :
+        # rows-only (Spark hash kernels / generated input); oracles in tests/
+    }
