@@ -1,0 +1,171 @@
+"""Benchmark harness.
+
+Default mode: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the end-to-end parse→enrich→route→aggregate wall time; the
+primary derived figure (turns/sec) plus per-query seconds ride in the same
+line. ``--scaling`` runs the same pipeline in fresh JVMs at local[N] and
+local[4N] (the sandbox stand-in for N vs 4N executors, BASELINE.md) and
+reports throughput at both plus scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# transcript turns per sf tier (matches __spark_entry__._SF_TURNS for 0.1)
+TURNS = {"0.001": 20_000, "0.01": 100_000, "0.1": 2_000_000}
+
+HEADLINE_QUERIES = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5ish",
+    "temporal_agg",
+    "route_counts",
+    "window_rank",
+    "dedup_exact",
+    "fingerprint",
+    "quality",
+    "similarity_topk",
+    "dedup_minhash",
+]
+
+
+def _sf_of(sf_dir: str) -> str:
+    return next((k for k in TURNS if f"sf{k}" in sf_dir), "0.1")
+
+
+# the scaling evidence corpus: large enough that compute dominates the
+# fixed per-job costs (at 2M turns even local[2] nearly saturates the
+# pipeline, hiding parallel speedup)
+SCALING_TURNS = 8_000_000
+
+
+def _transcripts_path(sf_dir: str, n: int | None = None) -> str:
+    from otel_arrow_spark.sources.transcripts import write_transcripts_parquet
+
+    n = n or TURNS[_sf_of(sf_dir)]
+    return write_transcripts_parquet(os.path.join(REPO, ".cache", "transcripts", f"n{n}"), n)
+
+
+def run_pipeline_once(
+    master: str, sf_dir: str, shuffle_partitions: int | None = None, n_turns: int | None = None
+) -> dict:
+    """One cold end-to-end pipeline run; returns rows_in + wall seconds."""
+    from otel_arrow_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from otel_arrow_spark.session import get_spark
+
+    inp = _transcripts_path(sf_dir, n_turns)
+    out = os.path.join(REPO, ".cache", f"bench_out_{master.replace('[', '_').rstrip(']')}")
+    shutil.rmtree(out, ignore_errors=True)
+    spark = get_spark(
+        app_name=f"bench-{master}", master=master, shuffle_partitions=shuffle_partitions
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.monotonic()
+    res = run_pipeline(spark, PipelineConfig(input_path=inp, output_dir=out))
+    wall = time.monotonic() - t0
+    rows = res.manifest["metrics"]["rows_in"]
+    return {"rows": rows, "sec": wall, "turns_per_sec": rows / wall}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(_sf_of(sf_dir))
+
+    if "--scaling" in sys.argv:
+        # Fresh JVM per parallelism level: same input, N vs 4N cores.
+        lo, hi = int(os.environ.get("SPARK_GRAFT_SCALE_LO", cpus // 16)), None
+        lo = max(lo, 1)
+        hi = lo * 4
+        _transcripts_path(sf_dir, SCALING_TURNS)  # pre-generate: no datagen in timings
+        results = {}
+        for n in (lo, hi):
+            best = None
+            for _ in range(2):  # fresh JVM each, best-of-2 (noisy VM host)
+                cmd = [
+                    sys.executable,
+                    "-c",
+                    "import json, bench; "
+                    f"print('RESULT ' + json.dumps(bench.run_pipeline_once("
+                    f"'local[{n}]', {sf_dir!r}, {n}, bench.SCALING_TURNS)))",
+                ]
+                out = subprocess.run(
+                    cmd, capture_output=True, text=True, cwd=REPO, check=True
+                ).stdout
+                line = [ln for ln in out.splitlines() if ln.startswith("RESULT ")][-1]
+                r = json.loads(line[len("RESULT "):])
+                best = r if best is None or r["sec"] < best["sec"] else best
+            results[n] = best
+        eff = (results[hi]["turns_per_sec"] / results[lo]["turns_per_sec"]) / (hi / lo)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling efficiency local[{}]->local[{}]".format(lo, hi),
+                    "value": round(eff, 3),
+                    "unit": "efficiency",
+                    "sf": sf,
+                    "throughput": {
+                        f"local[{n}]": round(r["turns_per_sec"], 1) for n, r in results.items()
+                    },
+                    "seconds": {f"local[{n}]": round(r["sec"], 2) for n, r in results.items()},
+                }
+            )
+        )
+        return
+
+    from otel_arrow_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qdefs = entrymod.queries()
+    per_query: dict[str, float] = {}
+
+    # headline pipeline: best of 2 (the sandbox VM shows heavy run-to-run
+    # host-contention variance; min is the least-noisy estimator of the
+    # machine's actual capability)
+    runs = [run_pipeline_once(f"local[{cpus}]", sf_dir, cpus) for _ in range(2)]
+    pipe = min(runs, key=lambda r: r["sec"])
+    per_query["pipeline_e2e"] = round(pipe["sec"], 3)
+
+    for name in HEADLINE_QUERIES:
+        fn = qdefs[name]
+        best = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            fn(spark, sf_dir).count()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        per_query[name] = round(best, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "parse→enrich→route→aggregate end-to-end wall time",
+                "value": round(pipe["sec"], 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+                "turns": pipe["rows"],
+                "turns_per_sec": round(pipe["turns_per_sec"], 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

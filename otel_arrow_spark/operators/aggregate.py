@@ -80,8 +80,15 @@ def salted_aggregate(
     recordset engine applies to avg (summaries.rs:12-135).
 
     Produces results identical to :func:`sink_aggregate` (asserted by the
-    skew fixture test); use when one group key dominates (FIXTURES.md §6:
-    conv-00000000 carries ~10% of all rows).
+    skew fixture test).
+
+    When to use: ONLY for aggregates Spark cannot partially combine
+    map-side (collect_list/set, exact distinct counts, exact percentiles).
+    For algebraic aggregates (count/sum/min/max/avg) Spark's hash aggregate
+    already runs a partial phase before the shuffle — a hot key leaves each
+    map task as a single partial row — so explicit salting just adds a
+    second shuffle (measured ~2x agg cost at 2M rows). The pipeline
+    default is therefore salted=False.
     """
     salt = F.pmod(F.coalesce(F.col("turn_idx"), F.lit(0)), F.lit(n_salts)).alias("_salt")
     partial = df.groupBy(*keys, salt).agg(

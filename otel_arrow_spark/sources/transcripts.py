@@ -122,10 +122,18 @@ def _hex_array(rng: np.random.RandomState, n: int, nchars: int) -> np.ndarray:
     return np.array(["".join(row) for row in digits[idx]], dtype=object)
 
 
-def generate_transcripts_pandas(n_turns: int, seed: int = 42) -> pd.DataFrame:
-    """Generate the transcript table as a pandas DataFrame (vectorized)."""
+def generate_transcripts_pandas(
+    n_turns: int, seed: int = 42, conv_base: int = 0
+) -> pd.DataFrame:
+    """Generate the transcript table as a pandas DataFrame (vectorized).
+
+    ``conv_base`` offsets conversation ordinals so independently generated
+    chunks (parallel datagen) use disjoint conversation id ranges, keeping
+    ``(conv_id, turn_idx)`` dense within every conversation.
+    """
     rng = np.random.RandomState(seed)
     conv, turn_idx = _conv_assignment(n_turns, rng)
+    conv = conv + conv_base
     conv_id = pd.Series(conv).map(lambda c: f"conv-{c:08d}").to_numpy(dtype=object)
 
     role = rng.choice(ROLES, size=n_turns, p=ROLE_WEIGHTS)
@@ -214,29 +222,48 @@ def generate_transcripts_pandas(n_turns: int, seed: int = 42) -> pd.DataFrame:
     )
 
 
+def _write_chunk(args: tuple) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_dir, i, n, seed, conv_base = args
+    pdf = generate_transcripts_pandas(n, seed=seed + i, conv_base=conv_base)
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    path = os.path.join(out_dir, f"part-{i:05d}.parquet")
+    # small row groups so Spark's scan can split each file into many
+    # input partitions (1 row group == 1 indivisible split unit)
+    pq.write_table(table, path, row_group_size=62_500)
+    return path
+
+
 def write_transcripts_parquet(
     out_dir: str, n_turns: int, seed: int = 42, chunk: int = 500_000
 ) -> str:
     """Write the generated table as parquet files under ``out_dir``.
 
-    Generated in chunks so bench-scale tables (2M+ turns) do not hold the
-    whole corpus in one pandas frame. Returns the path. Idempotent: if the
-    directory already has a _SUCCESS marker for the same (n_turns, seed),
-    it is reused.
+    ``n_turns <= chunk`` → one deterministic frame (the corpus used by all
+    golden tests). Larger corpora are generated as independent deterministic
+    chunks (seed+i, disjoint conversation ranges) in a process pool — the
+    10^12-turn analog would be this exact generator run as a Spark job.
+    Idempotent via a (n_turns, seed) marker file.
     """
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     marker = os.path.join(out_dir, f"_SUCCESS.{n_turns}.{seed}")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
-    # One deterministic generation, sliced into row-group-sized files.
-    pdf = generate_transcripts_pandas(n_turns, seed=seed)
-    for i, lo in enumerate(range(0, len(pdf), chunk)):
-        part = pdf.iloc[lo : lo + chunk]
-        table = pa.Table.from_pandas(part, preserve_index=False)
-        pq.write_table(table, os.path.join(out_dir, f"part-{i:05d}.parquet"))
+    if n_turns <= chunk:
+        _write_chunk((out_dir, 0, n_turns, seed, 0))
+    else:
+        from multiprocessing import Pool
+
+        sizes = [chunk] * (n_turns // chunk) + (
+            [n_turns % chunk] if n_turns % chunk else []
+        )
+        jobs = [
+            (out_dir, i, n, seed, i * (chunk // 20 + 1)) for i, n in enumerate(sizes)
+        ]
+        with Pool(min(len(jobs), os.cpu_count() or 8)) as pool:
+            pool.map(_write_chunk, jobs)
     with open(marker, "w") as f:
         f.write("ok")
     return out_dir

@@ -19,6 +19,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition ONLY when the input has fewer partitions than cores.
+
+    Compute-heavy per-row operators (shingling, 64-hash signatures) are
+    CPU-bound: a corpus arriving as one small file / one row group would
+    otherwise run on a single task. At real scale inputs already have
+    thousands of splits and this is a no-op; the condition (not a blind
+    repartition) is what keeps it from adding a full-corpus shuffle there.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # --- exact ------------------------------------------------------------------
 
 
@@ -69,12 +85,15 @@ def minhash_signature(shingles: Column, n_hashes: int = 64) -> Column:
     array of n_hashes ints; F.hash is Murmur3-x86-32 with the seed column
     appended — the same hash family the reference binds for murmur3
     (functions/murmur3.rs:1). All JVM-side.
+
+    Built as ONE nested transform over sequence(0, n-1) rather than n
+    separate array_min expressions: the unrolled form generates >64KB of
+    Java per method and kicks the whole stage out of codegen (janino
+    "Code grows beyond 64 KB"), silently falling back to interpreted mode.
     """
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s, i=i: F.hash(s, F.lit(i))))
-            for i in range(n_hashes)
-        ]
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(F.transform(shingles, lambda s: F.hash(s, i))),
     )
 
 
@@ -98,34 +117,22 @@ def minhash_near_dup_pairs(
     (id, band_hash) pairs only.
     """
     rows_per_band = n_hashes // bands
+    df = ensure_parallelism(df)
     base = df.select(
         F.col(id_col),
         char_shingles(F.col(text_col), shingle_k).alias("_sh"),
     ).withColumn("_sig", minhash_signature(F.col("_sh"), n_hashes))
 
+    # band keys as one nested expression (posexplode keeps the band index);
+    # the band hash is murmur3 of the signature slice — array hashing is
+    # native, no string concat needed
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.hash(F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)),
+    )
     banded = base.select(
-        id_col,
-        "_sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.hash(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("_sig")[b * rows_per_band + r].cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bhash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_band"),
-    ).select(id_col, "_sh", F.col("_band.band").alias("band"), F.col("_band.bhash").alias("bhash"))
+        id_col, "_sh", F.posexplode(band_arr).alias("band", "bhash")
+    )
 
     left = banded.select(
         F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"), "band", "bhash"
@@ -164,7 +171,9 @@ def ngram_jaccard_pairs(
     only candidates. Exact Jaccard then filters. Quadratic only within
     posting lists, never across the corpus.
     """
-    grams = df.select(F.col(id_col), token_ngrams(F.col(text_col), n).alias("_g"))
+    grams = ensure_parallelism(df).select(
+        F.col(id_col), token_ngrams(F.col(text_col), n).alias("_g")
+    )
     posting = grams.select(id_col, F.explode("_g").alias("gram"))
     pairs = (
         posting.alias("l")
@@ -193,7 +202,7 @@ def ngram_jaccard_pairs(
 def simhash_col(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
     """64-bit SimHash per document: explode tokens → xxhash64 → per-bit
     signed sums → reassemble. One shuffle (the groupBy on id)."""
-    toks = df.select(
+    toks = ensure_parallelism(df).select(
         F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_t")
     ).withColumn("_h", F.xxhash64("_t"))
     bit_sums = toks.groupBy(id_col).agg(
@@ -286,6 +295,7 @@ def embedding_near_dup_pairs(
     dim = first["d"]
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((n_planes, dim))
+    df = ensure_parallelism(df)
 
     def dot_plane(vec: Column, p) -> Column:
         terms = [vec[i] * float(p[i]) for i in range(dim)]

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from otel_arrow_spark.textops.dedup import cosine_expr
+from otel_arrow_spark.textops.dedup import cosine_expr, ensure_parallelism
 
 cosine_similarity_col = cosine_expr  # public alias
 
@@ -38,7 +38,10 @@ def brute_force_topk(
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qvec")
     )
-    scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(q))
+    scored = (
+        ensure_parallelism(corpus.select(F.col(id_col), F.col(vec_col)))
+        .crossJoin(F.broadcast(q))
+    )
     scored = scored.withColumn("cosine", cosine_expr(F.col(vec_col), F.col("_qvec")))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return (

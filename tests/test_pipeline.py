@@ -96,10 +96,10 @@ def test_text_round_trip(spark, tiny_transcripts, result):
 
 def test_resume_skips_committed_steps(spark, tiny_transcripts, workdir):
     out = f"{workdir}/out_resume"
-    run_pipeline(spark, PipelineConfig(input_path=tiny_transcripts, output_dir=out))
-    # Simulate a failure after the routed write but before agg_span commit.
-    os.remove(os.path.join(out, "agg_span", "_COMMITTED"))
-    before = spark.read.parquet(os.path.join(out, "agg_error")).count()
+    r0 = run_pipeline(spark, PipelineConfig(input_path=tiny_transcripts, output_dir=out))
+    before = spark.read.parquet(r0.agg_path("error")).count()
+    # Simulate a failure after the routed write but before the agg commit.
+    os.remove(os.path.join(out, "agg", "_COMMITTED"))
     r = run_pipeline(
         spark, PipelineConfig(input_path=tiny_transcripts, output_dir=out), resume=True
     )
