@@ -61,7 +61,10 @@ def transcripts_schema():
             T.StructField("role", T.StringType()),
             T.StructField("text", T.StringType()),
             T.StructField("tool", T.StringType()),
-            T.StructField("ts", T.TimestampType()),
+            # NTZ: pyarrow writes tz-naive timestamps, which Spark's parquet
+            # reader surfaces as TIMESTAMP_NTZ — the stream schema must
+            # match or stream/batch parity breaks on the ts column.
+            T.StructField("ts", T.TimestampNTZType()),
         ]
     )
 

@@ -1,0 +1,130 @@
+"""Streaming jobs: the pipeline as a Structured Streaming DAG.
+
+Reference analogs:
+
+* micro-batching with size/age flush triggers (processors/batch_processor/
+  mod.rs:145-157; pdata/src/otap/batching.rs:12-33) → trigger intervals /
+  ``availableNow`` + ``maxFilesPerTrigger``;
+* temporal reaggregation (processors/temporal_reaggregation_processor/
+  mod.rs:1; period default 60s, stream-identity group keys, timer flush)
+  → ``window(ts, period)`` groupBy + watermark (late-data handling the
+  reference lacks — it flushes on wall-clock);
+* durable buffer / WAL resume (durable_buffer_processor/README.md:12-70;
+  crates/quiver) → ``checkpointLocation``: offsets + state survive
+  restarts, exactly-once file sinks;
+* multi-sink fan-out (fanout_processor) → ``foreachBatch`` writing each
+  signal class per micro-batch (one pass per batch, like the batch job).
+
+The same parse/enrich/route operators run unmodified on streaming frames —
+one definition of the transform, two execution modes (the property the
+reference gets from sharing PipelineStage between batch and stream paths).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from otel_arrow_spark.operators.enrich import enrich
+from otel_arrow_spark.operators.parse import parse_transcripts
+from otel_arrow_spark.operators.route import with_signal_class
+from otel_arrow_spark.sources.transcripts import transcripts_schema
+
+
+def stream_transcripts_source(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a transcript directory (new files = new
+    micro-batches; maxFilesPerTrigger is the batch_processor max_size
+    analog)."""
+    reader = spark.readStream.schema(transcripts_schema())
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def build_stream_routed(spark: SparkSession, stream: DataFrame, parse_engine: str = "pandas") -> DataFrame:
+    """parse → enrich → route on a streaming frame (operators unchanged)."""
+    return with_signal_class(enrich(parse_transcripts(stream, engine=parse_engine), spark))
+
+
+def stream_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    parse_engine: str = "pandas",
+) -> StreamingQuery:
+    """Streaming fan-out: routed rows appended per micro-batch to
+    ``{output_dir}/routed`` partitioned by signal_class.
+
+    ``available_now=True`` drains everything currently in the source then
+    stops — the mode used by tests and by catch-up/backfill runs; pass
+    False for a continuous micro-batch query. The checkpoint directory is
+    the WAL: killing and restarting the query never re-writes a committed
+    micro-batch (exactly-once file sink).
+    """
+    routed = build_stream_routed(spark, stream_transcripts_source(spark, input_dir),
+                                 parse_engine=parse_engine)
+    writer = (
+        routed.writeStream.format("parquet")
+        .option("path", f"{output_dir}/routed")
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("signal_class")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_temporal_reaggregation(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    period: str = "60 seconds",
+    watermark: str = "10 minutes",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stateful tumbling-window reaggregation over the stream.
+
+    Group key = (window(ts, period), signal_class, severity_text) — the
+    stream-identity analog of temporal_reaggregation's resource×scope×
+    metric×attrs key (identity.rs:28-60). The watermark bounds state (the
+    role the reference's max_stream_cardinality cap plays: its in-memory
+    stream map flushes early at 16384 streams; Spark's state store evicts
+    by event-time instead — unbounded cardinality spills to disk rather
+    than flushing partial results).
+    """
+    stream = stream_transcripts_source(spark, input_dir)
+    routed = build_stream_routed(spark, stream)
+    # watermarks require TIMESTAMP (with zone); session tz is UTC so the
+    # NTZ→TZ cast is value-preserving
+    routed = routed.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        routed.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", period).alias("w"), "signal_class", "severity_text")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("duration_ms").alias("sum_duration_ms"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "signal_class",
+            "severity_text",
+            "n_rows",
+            "sum_duration_ms",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", f"{output_dir}/temporal")
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

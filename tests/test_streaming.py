@@ -1,0 +1,155 @@
+"""Streaming tests: stream-batch parity and checkpoint-resume exactly-once.
+
+The stream-batch parity assertion is the strongest correctness statement
+available: the same operators, executed incrementally over micro-batches,
+must produce byte-identical routed rows to the one-shot batch plan — the
+reference's batching-invariance property (batching_tests.rs:256-300) taken
+to its streaming limit.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from otel_arrow_spark.plans.pipeline import PipelineConfig, run_pipeline
+from otel_arrow_spark.streaming.jobs import (
+    stream_pipeline,
+    stream_temporal_reaggregation,
+)
+from tests.conftest import assert_df_equal
+
+
+@pytest.fixture(scope="module")
+def stream_workdir(workdir, tiny_transcripts):
+    return workdir
+
+
+def test_stream_matches_batch(spark, tiny_transcripts, workdir):
+    out = f"{workdir}/stream_out"
+    q = stream_pipeline(
+        spark, tiny_transcripts, out, f"{workdir}/stream_ckpt", available_now=True
+    )
+    q.awaitTermination(300)
+    stream_routed = spark.read.parquet(f"{out}/routed")
+
+    batch = run_pipeline(
+        spark,
+        PipelineConfig(input_path=tiny_transcripts, output_dir=f"{workdir}/batch_for_stream"),
+    )
+    batch_routed = spark.read.parquet(batch.routed_path)
+    cols = sorted(set(stream_routed.columns) & set(batch_routed.columns))
+    assert_df_equal(
+        stream_routed.select(*cols).orderBy("conv_id", "turn_idx"),
+        batch_routed.select(*cols).orderBy("conv_id", "turn_idx"),
+        "stream vs batch routed rows",
+    )
+
+
+def test_stream_restart_is_exactly_once(spark, tiny_transcripts, workdir):
+    """Restarting a finished availableNow query with the same checkpoint
+    must not duplicate output (WAL/durable-buffer resume analog)."""
+    out = f"{workdir}/stream_once"
+    ckpt = f"{workdir}/stream_once_ckpt"
+    q = stream_pipeline(spark, tiny_transcripts, out, ckpt, available_now=True)
+    q.awaitTermination(300)
+    n1 = spark.read.parquet(f"{out}/routed").count()
+    q2 = stream_pipeline(spark, tiny_transcripts, out, ckpt, available_now=True)
+    q2.awaitTermination(300)
+    n2 = spark.read.parquet(f"{out}/routed").count()
+    assert n1 == n2 > 0
+
+
+def test_stream_temporal_reaggregation(spark, tiny_transcripts, workdir):
+    out = f"{workdir}/stream_temporal"
+    q = stream_temporal_reaggregation(
+        spark,
+        tiny_transcripts,
+        out,
+        f"{workdir}/stream_temporal_ckpt",
+        period="1 hour",
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(f"{out}/temporal")
+    # oracle: batch re-derivation of the same windows over the same rows
+    from otel_arrow_spark.plans.pipeline import build_routed
+
+    routed = build_routed(
+        spark, PipelineConfig(input_path=tiny_transcripts, output_dir="/unused")
+    )
+    want = (
+        routed.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"), "signal_class", "severity_text"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("duration_ms").alias("sum_duration_ms"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "signal_class",
+            "severity_text",
+            "n_rows",
+            "sum_duration_ms",
+        )
+    )
+    # append mode emits a window only once the watermark passes its end:
+    # final watermark = max(event time) - 10min, so the trailing open
+    # windows are (correctly) unemitted in a finite run. The oracle models
+    # exactly that closure rule.
+    max_ts = routed.agg(F.max(F.col("ts").cast("timestamp"))).first()[0]
+    want_closed = want.filter(
+        F.col("window_start") + F.expr("INTERVAL 1 HOUR")
+        <= F.lit(max_ts) - F.expr("INTERVAL 10 MINUTES")
+    )
+    assert_df_equal(
+        got.orderBy("window_start", "signal_class", "severity_text"),
+        want_closed.orderBy("window_start", "signal_class", "severity_text"),
+        "stream temporal vs batch oracle (closed windows)",
+    )
+    assert got.count() > 0
+
+
+def test_sessionize_conversations(spark, tiny_transcripts, workdir):
+    """Stateful sessionizer: sessions whose idle gap passed the final
+    watermark must emit, with counts matching a batch oracle."""
+    from otel_arrow_spark.streaming.jobs import build_stream_routed, stream_transcripts_source
+    from otel_arrow_spark.streaming.stateful import sessionize_conversations
+
+    stream = build_stream_routed(
+        spark, stream_transcripts_source(spark, tiny_transcripts)
+    )
+    sessions = sessionize_conversations(stream, gap="30 minutes", watermark="1 minute")
+    out = f"{workdir}/sessions"
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{workdir}/sessions_ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    # batch oracle for the sessions that did emit: per-conv totals.
+    # (conversations in the tiny corpus never pause >30min mid-conv, so a
+    # session == a whole conversation)
+    from otel_arrow_spark.plans.pipeline import PipelineConfig, build_routed
+
+    routed = build_routed(
+        spark, PipelineConfig(input_path=tiny_transcripts, output_dir="/unused")
+    )
+    want = routed.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum((F.col("signal_class") == "error").cast("long")).alias("n_errors"),
+        F.sum((F.col("signal_class") == "tool_call").cast("long")).alias("n_tool_calls"),
+    )
+    g = {r.conv_id: (r.n_turns, r.n_errors, r.n_tool_calls) for r in got.collect()}
+    w = {r.conv_id: (r.n_turns, r.n_errors, r.n_tool_calls) for r in want.collect()}
+    for conv, vals in g.items():
+        assert w[conv] == vals, f"session mismatch for {conv}: {vals} vs {w[conv]}"
+    # the vast majority of conversations close before the final watermark
+    assert len(g) >= 0.8 * len(w)
