@@ -1,0 +1,489 @@
+"""OPL front-end: a pipe-delimited query language compiled to DataFrame ops.
+
+Reference: the transform processor's query path — pest-parsed OPL/KQL into
+a language-neutral PipelineExpression IR, planned into pipeline stages
+(query-engine-languages/src/opl/parser.rs:78; pipeline/planner.rs:81-93;
+stages filter.rs/assign.rs/routing.rs; flow_control.md; functions.md).
+
+This is a from-scratch Python implementation of the *language surface*,
+not a port: a hand-written tokenizer + recursive-descent parser producing
+small AST dataclasses, compiled directly to pyspark Column expressions —
+Catalyst plays the role of both the IR optimizer (constant folding,
+set-coalescing → CollapseProject) and the physical planner.
+
+Supported subset (the operators the reference ships today):
+
+    source
+    | where <predicate>
+    | set <field> = <expr> [, <field> = <expr> ...]
+    | drop                       -- discard all rows reaching this stage
+    | route_to "port"            -- divert stream to a named output port
+    | summarize a = count(), b = sum(x) by k1, k2
+
+Expressions: literals ('s', "s", 1, 1.5, true, false, null), columns,
+``attributes['key']`` map access, arithmetic + - * / %, comparisons
+== != > >= < <= =~ (case-insensitive eq), and/or/not, parentheses, and the
+OPL function library (functions.md) bound to otel_arrow_spark.functions.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from otel_arrow_spark.functions import scalar as fns
+
+# ---------------------------------------------------------------------------
+# tokenizer
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<num>\d+\.\d+|\d+)
+  | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+  | (?P<op>=~|==|!=|>=|<=|[><+\-*/%(),\[\]=|])
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_.]*)
+""",
+    re.VERBOSE,
+)
+
+KEYWORDS = {"and", "or", "not", "true", "false", "null", "where", "set", "drop",
+            "route_to", "summarize", "by"}
+
+
+@dataclass
+class Tok:
+    kind: str  # num | str | op | ident
+    text: str
+
+
+def tokenize(src: str) -> list[Tok]:
+    out, i = [], 0
+    while i < len(src):
+        m = _TOKEN_RE.match(src, i)
+        if not m:
+            raise OplSyntaxError(f"unexpected character {src[i]!r} at {i}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        out.append(Tok(kind, m.group()))
+    return out
+
+
+class OplSyntaxError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# AST
+
+@dataclass
+class Lit:
+    value: object
+
+
+@dataclass
+class Col:
+    name: str
+
+
+@dataclass
+class AttrAccess:
+    map_col: str
+    key: str
+
+
+@dataclass
+class Bin:
+    op: str
+    left: object
+    right: object
+
+
+@dataclass
+class Not:
+    expr: object
+
+
+@dataclass
+class Call:
+    name: str
+    args: list
+
+
+@dataclass
+class WhereStage:
+    predicate: object
+
+
+@dataclass
+class SetStage:
+    assignments: list  # [(target, expr)] — target is Col or AttrAccess
+
+
+@dataclass
+class DropStage:
+    pass
+
+
+@dataclass
+class RouteToStage:
+    port: str
+
+
+@dataclass
+class SummarizeStage:
+    aggs: list  # [(alias, fn_name, arg_expr|None)]
+    keys: list[str]
+
+
+@dataclass
+class Query:
+    source: str
+    stages: list
+
+
+# ---------------------------------------------------------------------------
+# parser (recursive descent; precedence: or < and < not < cmp < add < mul)
+
+class _Parser:
+    def __init__(self, toks: list[Tok]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> Tok | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> Tok:
+        t = self.peek()
+        if t is None:
+            raise OplSyntaxError("unexpected end of query")
+        self.i += 1
+        return t
+
+    def expect(self, text: str) -> Tok:
+        t = self.next()
+        if t.text != text:
+            raise OplSyntaxError(f"expected {text!r}, got {t.text!r}")
+        return t
+
+    def at(self, text: str) -> bool:
+        t = self.peek()
+        return t is not None and t.text == text
+
+    # --- expressions ---
+
+    def expr(self):
+        return self.or_expr()
+
+    def or_expr(self):
+        e = self.and_expr()
+        while self.at("or"):
+            self.next()
+            e = Bin("or", e, self.and_expr())
+        return e
+
+    def and_expr(self):
+        e = self.not_expr()
+        while self.at("and"):
+            self.next()
+            e = Bin("and", e, self.not_expr())
+        return e
+
+    def not_expr(self):
+        if self.at("not"):
+            self.next()
+            return Not(self.not_expr())
+        return self.cmp_expr()
+
+    def cmp_expr(self):
+        e = self.add_expr()
+        t = self.peek()
+        if t and t.text in ("==", "!=", ">", ">=", "<", "<=", "=~"):
+            self.next()
+            return Bin(t.text, e, self.add_expr())
+        return e
+
+    def add_expr(self):
+        e = self.mul_expr()
+        while self.peek() and self.peek().text in ("+", "-"):
+            op = self.next().text
+            e = Bin(op, e, self.mul_expr())
+        return e
+
+    def mul_expr(self):
+        e = self.atom()
+        while self.peek() and self.peek().text in ("*", "/", "%"):
+            op = self.next().text
+            e = Bin(op, e, self.atom())
+        return e
+
+    def atom(self):
+        t = self.next()
+        if t.kind == "num":
+            return Lit(float(t.text) if "." in t.text else int(t.text))
+        if t.kind == "str":
+            return Lit(_unquote(t.text))
+        if t.text == "(":
+            e = self.expr()
+            self.expect(")")
+            return e
+        if t.kind == "ident":
+            if t.text == "true":
+                return Lit(True)
+            if t.text == "false":
+                return Lit(False)
+            if t.text == "null":
+                return Lit(None)
+            if self.at("("):
+                self.next()
+                args = []
+                if not self.at(")"):
+                    args.append(self.expr())
+                    while self.at(","):
+                        self.next()
+                        args.append(self.expr())
+                self.expect(")")
+                return Call(t.text, args)
+            if self.at("["):
+                self.next()
+                key = self.next()
+                if key.kind != "str":
+                    raise OplSyntaxError("map access key must be a string literal")
+                self.expect("]")
+                return AttrAccess(t.text, _unquote(key.text))
+            return Col(t.text)
+        raise OplSyntaxError(f"unexpected token {t.text!r}")
+
+    # --- stages ---
+
+    def parse_query(self) -> Query:
+        src = self.next()
+        if src.kind != "ident":
+            raise OplSyntaxError("query must start with a source name")
+        stages = []
+        while self.at("|"):
+            self.next()
+            stages.append(self.stage())
+        if self.peek() is not None:
+            raise OplSyntaxError(f"trailing input at {self.peek().text!r}")
+        return Query(src.text, stages)
+
+    def stage(self):
+        t = self.next()
+        if t.text == "where":
+            return WhereStage(self.expr())
+        if t.text == "drop":
+            return DropStage()
+        if t.text == "route_to":
+            port = self.next()
+            if port.kind != "str":
+                raise OplSyntaxError("route_to expects a string port name")
+            return RouteToStage(_unquote(port.text))
+        if t.text == "set":
+            assignments = [self._assignment()]
+            while self.at(","):
+                self.next()
+                assignments.append(self._assignment())
+            return SetStage(assignments)
+        if t.text == "summarize":
+            aggs = [self._agg()]
+            while self.at(","):
+                self.next()
+                aggs.append(self._agg())
+            keys = []
+            if self.at("by"):
+                self.next()
+                keys.append(self.next().text)
+                while self.at(","):
+                    self.next()
+                    keys.append(self.next().text)
+            return SummarizeStage(aggs, keys)
+        raise OplSyntaxError(f"unknown stage {t.text!r}")
+
+    def _assignment(self):
+        target = self.atom()
+        if not isinstance(target, (Col, AttrAccess)):
+            raise OplSyntaxError("set target must be a field or attributes['k']")
+        self.expect("=")
+        return (target, self.expr())
+
+    def _agg(self):
+        alias = self.next().text
+        self.expect("=")
+        call = self.atom()
+        if not isinstance(call, Call):
+            raise OplSyntaxError("summarize expects alias = fn(...)")
+        return (alias, call.name, call.args[0] if call.args else None)
+
+
+def _unquote(s: str) -> str:
+    return re.sub(r"\\(.)", r"\1", s[1:-1])
+
+
+def parse(src: str) -> Query:
+    return _Parser(tokenize(src)).parse_query()
+
+
+# ---------------------------------------------------------------------------
+# compiler: AST → Column / DataFrame
+
+_FUNCTIONS = {
+    # OPL name → callable(Column args…) → Column (functions.md binding table,
+    # expr/planner.rs:1844-1877)
+    "contains": lambda a, b: fns.contains(a, b),
+    "matches": lambda a, b: a.rlike(_lit_str(b)),
+    "starts_with": lambda a, b: F.startswith(a, b),
+    "ends_with": lambda a, b: F.endswith(a, b),
+    "lower_case": F.lower,
+    "upper_case": F.upper,
+    "concat": lambda *a: F.concat(*a),
+    "join": lambda sep, *a: F.concat_ws(_lit_str(sep), *a),
+    "substring": lambda s, st, ln=None: F.substr(s, st + F.lit(1)) if ln is None
+    else F.substr(s, st + F.lit(1), ln),
+    "replace": F.replace,
+    "ltrim": F.ltrim,
+    "rtrim": F.rtrim,
+    "regexp_capture": lambda s, p, g: F.nullif(
+        F.regexp_extract(s, _lit_str(p), _lit_int(g)), F.lit("")
+    ),
+    "regexp_substr": lambda s, p, occ=None: F.try_element_at(
+        F.regexp_extract_all(s, F.lit(_lit_str(p)), 0),
+        occ if occ is not None else F.lit(1),
+    ),
+    "sha256": lambda c: F.sha2(c.cast("string"), 256),
+    "sha512": lambda c: F.sha2(c.cast("string"), 512),
+    "md5": lambda c: F.md5(c.cast("string")),
+    "fnv": fns.fnv64,
+    "murmur3": F.hash,
+    "xxh3": F.xxhash64,
+    "encode": lambda c, enc: fns.opl_encode(c, _lit_str(enc)),
+    "log10": F.log10,
+    "format_datetime": lambda ts, fmt: F.date_format(ts, _lit_str(fmt)),
+    "coalesce": lambda *a: F.coalesce(*a),
+    "count": None,  # aggregate, handled in summarize
+    "is_null": F.isnull,
+}
+
+_AGG_FUNCTIONS = {
+    # KQL summarize surface (aggregate_expressions.rs:58-80)
+    "count": lambda _: F.count(F.lit(1)),
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+}
+
+# literal back-extraction for functions whose Spark binding needs a python
+# value (regex patterns, formats)
+_LIT_STACK: list = []
+
+
+def _lit_str(c) -> str:
+    if _LIT_STACK and isinstance(_LIT_STACK[-1].get(id(c)), str):
+        return _LIT_STACK[-1][id(c)]
+    raise OplSyntaxError("expected a string literal argument")
+
+
+def _lit_int(c) -> int:
+    if _LIT_STACK and isinstance(_LIT_STACK[-1].get(id(c)), int):
+        return _LIT_STACK[-1][id(c)]
+    raise OplSyntaxError("expected an integer literal argument")
+
+
+def compile_expr(node) -> Column:
+    lits = _LIT_STACK[-1]
+    if isinstance(node, Lit):
+        c = F.lit(node.value)
+        lits[id(c)] = node.value
+        return c
+    if isinstance(node, Col):
+        return F.col(node.name)
+    if isinstance(node, AttrAccess):
+        return F.col(node.map_col).getItem(node.key)
+    if isinstance(node, Not):
+        return ~compile_expr(node.expr)
+    if isinstance(node, Bin):
+        l, r = compile_expr(node.left), compile_expr(node.right)
+        return {
+            "and": lambda: l & r,
+            "or": lambda: l | r,
+            "==": lambda: l == r,
+            "!=": lambda: l != r,
+            ">": lambda: l > r,
+            ">=": lambda: l >= r,
+            "<": lambda: l < r,
+            "<=": lambda: l <= r,
+            "=~": lambda: F.lower(l) == F.lower(r),
+            "+": lambda: l + r,
+            "-": lambda: l - r,
+            "*": lambda: l * r,
+            "/": lambda: l / r,
+            "%": lambda: l % r,
+        }[node.op]()
+    if isinstance(node, Call):
+        fn = _FUNCTIONS.get(node.name)
+        if fn is None:
+            raise OplSyntaxError(f"unknown function {node.name!r}")
+        return fn(*[compile_expr(a) for a in node.args])
+    raise OplSyntaxError(f"cannot compile {node!r}")
+
+
+@dataclass
+class OplResult:
+    """Execution result: the default output plus named route_to ports
+    (RouterImpl analog, transform_processor/routing.rs:14-39 — routed
+    ports receive the stream; the default output continues empty)."""
+
+    default: DataFrame
+    ports: dict[str, DataFrame]
+
+
+def run_opl(query: str, sources: dict[str, DataFrame]) -> OplResult:
+    """Parse and execute an OPL query against named source DataFrames."""
+    q = parse(query)
+    if q.source not in sources:
+        raise OplSyntaxError(f"unknown source {q.source!r}")
+    df = sources[q.source]
+    ports: dict[str, DataFrame] = {}
+    _LIT_STACK.append({})
+    try:
+        for stage in q.stages:
+            if isinstance(stage, WhereStage):
+                df = df.filter(compile_expr(stage.predicate))
+            elif isinstance(stage, DropStage):
+                # planned as a folded constant filter (planner.rs:186-200)
+                df = df.filter(F.lit(False))
+            elif isinstance(stage, SetStage):
+                # consecutive sets coalesce via CollapseProject — the
+                # reference coalesces them explicitly (planner.rs:106-158)
+                for target, expr in stage.assignments:
+                    val = compile_expr(expr)
+                    if isinstance(target, Col):
+                        df = df.withColumn(target.name, val)
+                    else:  # attribute upsert (upsert_attributes.rs analog)
+                        from otel_arrow_spark.operators.attributes import attrs_upsert
+
+                        df = attrs_upsert(df, target.map_col, target.key, val)
+            elif isinstance(stage, RouteToStage):
+                # divert the stream; default output becomes empty
+                # (flow_control.md:159-212)
+                ports[stage.port] = df
+                df = df.filter(F.lit(False))
+            elif isinstance(stage, SummarizeStage):
+                aggs = []
+                for alias, name, arg in stage.aggs:
+                    fn = _AGG_FUNCTIONS.get(name)
+                    if fn is None:
+                        raise OplSyntaxError(f"unknown aggregate {name!r}")
+                    aggs.append(fn(compile_expr(arg) if arg else None).alias(alias))
+                df = df.groupBy(*stage.keys).agg(*aggs)
+            else:  # pragma: no cover
+                raise OplSyntaxError(f"unknown stage {stage!r}")
+        return OplResult(default=df, ports=ports)
+    finally:
+        _LIT_STACK.pop()

@@ -1,0 +1,122 @@
+"""Sinks: table-format-aware writers, console/debug sink, retry policy.
+
+Reference analogs:
+
+* parquet exporter (exporters/parquet_exporter/mod.rs:1) — partitioned
+  object-store writes with flush-by-size (writer.rs:112 WriterManager,
+  partition.rs:34): here ``write_table`` with partition columns, stable
+  write ordering (sort-for-compression, optimizer.go:109), and a target
+  file size expressed as a row-count hint per partition;
+* console exporter (exporters/console_exporter/mod.rs:1) → ``console_sink``;
+* retry processor (processors/retry_processor/README.md:13-46) —
+  exponential backoff with initial/max interval, multiplier, max elapsed →
+  ``retry_with_backoff`` for driver-side actions (task-level retries are
+  Spark's own ``spark.task.maxFailures``).
+
+Iceberg: when the session has an Iceberg catalog configured (the
+``spark.sql.catalog.<name>`` conf, requires the iceberg-spark-runtime jar),
+``write_table`` uses ``writeTo(...).append()`` against it — partition spec
+and write ordering belong on the table DDL there. In this sandbox no
+Iceberg jar is baked in, so the default path is hive-style partitioned
+parquet, which preserves the same layout semantics (partition pruning,
+dictionary+RLE encodings — docs/otap-spec.md encodings come free from the
+parquet writer).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def iceberg_catalog(df: DataFrame) -> str | None:
+    """Name of a configured Iceberg catalog, or None."""
+    conf = df.sparkSession.conf
+    for key in ("spark.sql.catalog.local", "spark.sql.catalog.spark_catalog"):
+        try:
+            val = conf.get(key)
+        except Exception:  # noqa: BLE001 — unset conf raises
+            continue
+        if val and "iceberg" in val.lower():
+            return key.rsplit(".", 1)[-1]
+    return None
+
+
+def write_table(
+    df: DataFrame,
+    target: str,
+    partition_by: tuple[str, ...] = (),
+    sort_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    mode: str = "overwrite",
+) -> str:
+    """Write a table with stable ordering and partition layout.
+
+    ``target`` is an Iceberg table name when a catalog is configured, else
+    a filesystem path for partitioned parquet. Rows are sorted within
+    partitions by (partition_by..., sort_cols...) so (a) the file writer
+    keeps a single open writer per task (no per-partition writer fanout)
+    and (b) parquet gets sorted runs to dictionary/RLE-encode — the
+    sort-for-compression invariant.
+    """
+    order = [c for c in (*partition_by, *sort_cols) if c in df.columns]
+    out = df.sortWithinPartitions(*order) if order else df
+    if iceberg_catalog(df):
+        writer = out.writeTo(target)
+        if mode == "overwrite":
+            writer.createOrReplace()
+        else:
+            writer.append()
+        return target
+    w = out.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(target)
+    return target
+
+
+def console_sink(df: DataFrame, n: int = 20, truncate: bool = True) -> None:
+    """Debug sink (console exporter analog)."""
+    df.show(n, truncate=truncate)
+
+
+def noop_sink(df: DataFrame) -> None:
+    """Always-succeed terminal (noop_exporter analog): materializes the
+    plan without writing — the perf-measurement sink."""
+    df.write.mode("overwrite").format("noop").save()
+
+
+def retry_with_backoff(
+    fn: Callable[[], object],
+    max_attempts: int = 5,
+    initial_interval: float = 0.5,
+    max_interval: float = 30.0,
+    multiplier: float = 2.0,
+    max_elapsed: float = 300.0,
+    retryable: type[BaseException] | tuple = Exception,
+    sleep: Callable[[float], None] = time.sleep,
+) -> object:
+    """Exponential-backoff retry for driver-side actions (writes, commits).
+
+    Parameter names mirror the retry processor config
+    (retry_processor/README.md:13-46: initial_interval, max_interval,
+    multiplier, max_elapsed_time). Re-raises the last error when attempts
+    or the elapsed budget run out — the NACK path.
+    """
+    start = time.monotonic()
+    interval = initial_interval
+    last: BaseException | None = None
+    for attempt in range(max_attempts):
+        try:
+            return fn()
+        except retryable as ex:  # noqa: PERF203
+            last = ex
+            if time.monotonic() - start + interval > max_elapsed:
+                break
+            if attempt < max_attempts - 1:
+                sleep(interval)
+                interval = min(interval * multiplier, max_interval)
+    assert last is not None
+    raise last

