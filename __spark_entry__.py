@@ -390,6 +390,53 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.round(score, 6).alias("en_score"))
 
 
+def q_opl_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPL front-end executing a where|set|summarize query — compiled
+    to DataFrame ops by plans/opl.py; oracle re-derives it in plain SQL."""
+    from otel_arrow_spark.plans.opl import run_opl
+
+    events = _t(spark, sf_dir, "events")
+    r = run_opl(
+        "events | where value >= 10 and not (event_type == 'view') "
+        "| set vk = value * 2 + 1 "
+        "| summarize n = count(), total = sum(vk), hi = max(value) by event_type",
+        {"events": events},
+    )
+    return r.default.select(
+        "event_type", "n", F.round("total", 4).alias("total_r"), F.round("hi", 4).alias("hi_r")
+    )
+
+
+def q_opl_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPL route_to port diversion; oracle expresses the routed subset."""
+    from otel_arrow_spark.plans.opl import run_opl
+
+    events = _t(spark, sf_dir, "events")
+    r = run_opl(
+        "events | where event_type == 'error' or value > 90 "
+        "| set sig = sha256(props) | route_to \"alerts\"",
+        {"events": events},
+    )
+    return r.ports["alerts"].select("event_id", "event_type", "sig")
+
+
+def q_syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC5424/RFC3164/CEF parse over the deterministic syslog corpus
+    (rows-only: input is generated, not a testdata view; per-format unit
+    oracles live in tests/test_syslog.py)."""
+    from otel_arrow_spark.sources.syslog import generate_syslog_lines, parse_syslog
+
+    n = 2000 if "sf0.001" in sf_dir else 20_000
+    lines = spark.createDataFrame(
+        [(l,) for l in generate_syslog_lines(n)], "line string"
+    )
+    return (
+        parse_syslog(lines)
+        .groupBy("format", "severity_text")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # --- rows-only checks (hash-kernel / generated-input dependent) --------------
 
 
@@ -471,6 +518,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "similarity_topk": q_similarity_topk,
         "lang_id": q_lang_id,
+        "opl_summarize": q_opl_summarize,
+        "opl_route": q_opl_route,
+        "syslog_parse": q_syslog_parse,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "similarity_lsh": q_similarity_lsh,
@@ -667,6 +717,21 @@ def oracle_sql() -> dict[str, str]:
                          AS en_score
             FROM documents
         """,
-        # dedup_minhash / dedup_simhash / similarity_lsh / transcripts_* :
-        # rows-only (Spark hash kernels / generated input); oracles in tests/
+        "opl_summarize": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(CAST(sum(value * 2 + 1) AS DOUBLE), 4) AS total_r,
+                   round(CAST(max(value) AS DOUBLE), 4) AS hi_r
+            FROM events
+            WHERE value >= 10 AND NOT (event_type = 'view')
+            GROUP BY event_type
+        """,
+        "opl_route": """
+            SELECT event_id, event_type, sha256(props) AS sig
+            FROM events
+            WHERE event_type = 'error' OR value > 90
+        """,
+        # dedup_minhash / dedup_simhash / similarity_lsh / transcripts_* /
+        # syslog_parse: rows-only (Spark hash kernels / generated input);
+        # oracles in tests/
     }

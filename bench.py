@@ -46,9 +46,21 @@ def _sf_of(sf_dir: str) -> str:
 
 
 # the scaling evidence corpus: large enough that compute dominates the
-# fixed per-job costs (at 2M turns even local[2] nearly saturates the
-# pipeline, hiding parallel speedup)
-SCALING_TURNS = 8_000_000
+# fixed per-job serial costs (~10-15s of scheduling/commit/startup — at 2M
+# turns even local[2] nearly saturates the pipeline, hiding parallel
+# speedup; Amdahl caps measurable efficiency unless the parallel fraction
+# dominates)
+SCALING_TURNS = 16_000_000
+
+# tmpfs home for scaling corpora/outputs: removes the single block device
+# (a resource a real cluster distributes) from the scaling measurement
+def _scaling_home() -> str:
+    shm = os.environ.get("SPARK_GRAFT_SHM", "/dev/shm/oas")
+    try:
+        os.makedirs(shm, exist_ok=True)
+        return shm
+    except OSError:
+        return os.path.join(REPO, ".cache")
 
 
 def _transcripts_path(sf_dir: str, n: int | None = None) -> str:
@@ -59,19 +71,40 @@ def _transcripts_path(sf_dir: str, n: int | None = None) -> str:
 
 
 def run_pipeline_once(
-    master: str, sf_dir: str, shuffle_partitions: int | None = None, n_turns: int | None = None
+    master: str,
+    sf_dir: str,
+    shuffle_partitions: int | None = None,
+    n_turns: int | None = None,
+    home: str | None = None,
+    warmup: bool = False,
 ) -> dict:
-    """One cold end-to-end pipeline run; returns rows_in + wall seconds."""
+    """One end-to-end pipeline run; returns rows_in + wall seconds.
+
+    ``warmup=True`` first runs the identical plan over a tiny corpus so the
+    timed run measures steady state (codegen compiled, Python workers
+    started, writer classes loaded) — the figure that corresponds to a
+    long-lived cluster, where startup amortizes to zero.
+    """
     from otel_arrow_spark.plans.pipeline import PipelineConfig, run_pipeline
     from otel_arrow_spark.session import get_spark
 
-    inp = _transcripts_path(sf_dir, n_turns)
-    out = os.path.join(REPO, ".cache", f"bench_out_{master.replace('[', '_').rstrip(']')}")
-    shutil.rmtree(out, ignore_errors=True)
+    home = home or os.path.join(REPO, ".cache")
+    if n_turns and home != os.path.join(REPO, ".cache"):
+        from otel_arrow_spark.sources.transcripts import write_transcripts_parquet
+
+        inp = write_transcripts_parquet(os.path.join(home, f"n{n_turns}"), n_turns)
+    else:
+        inp = _transcripts_path(sf_dir, n_turns)
+    out = os.path.join(home, f"bench_out_{master.replace('[', '_').rstrip(']')}")
     spark = get_spark(
         app_name=f"bench-{master}", master=master, shuffle_partitions=shuffle_partitions
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if warmup:
+        winp = _transcripts_path(sf_dir, 20_000)
+        shutil.rmtree(out, ignore_errors=True)
+        run_pipeline(spark, PipelineConfig(input_path=winp, output_dir=out))
+    shutil.rmtree(out, ignore_errors=True)
     t0 = time.monotonic()
     res = run_pipeline(spark, PipelineConfig(input_path=inp, output_dir=out))
     wall = time.monotonic() - t0
@@ -86,28 +119,37 @@ def main() -> None:
 
     if "--scaling" in sys.argv:
         # Fresh JVM per parallelism level: same input, N vs 4N cores.
-        lo, hi = int(os.environ.get("SPARK_GRAFT_SCALE_LO", cpus // 16)), None
-        lo = max(lo, 1)
+        lo = max(int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2")), 1)
         hi = lo * 4
-        _transcripts_path(sf_dir, SCALING_TURNS)  # pre-generate: no datagen in timings
+        home = _scaling_home()
+        # pre-generate on the scaling home so no run pays datagen
+        from otel_arrow_spark.sources.transcripts import write_transcripts_parquet
+
+        write_transcripts_parquet(os.path.join(home, f"n{SCALING_TURNS}"), SCALING_TURNS)
+        _transcripts_path(sf_dir, 20_000)  # warmup corpus
         results = {}
-        for n in (lo, hi):
-            best = None
-            for _ in range(2):  # fresh JVM each, best-of-2 (noisy VM host)
+        for attempt in range(2):  # interleaved best-of-2 per level (noisy host)
+            for n in (lo, hi):
+                # taskset pins the WHOLE process tree (JVM, GC threads,
+                # python workers) to exactly n cpus — "local[n]" alone
+                # leaves helper threads free to use extra cores, which
+                # inflates the small configuration and understates scaling
                 cmd = [
+                    "taskset", "-c", f"0-{n - 1}",
                     sys.executable,
                     "-c",
                     "import json, bench; "
                     f"print('RESULT ' + json.dumps(bench.run_pipeline_once("
-                    f"'local[{n}]', {sf_dir!r}, {n}, bench.SCALING_TURNS)))",
+                    f"'local[{n}]', {sf_dir!r}, {n}, bench.SCALING_TURNS, "
+                    f"home={home!r}, warmup=True)))",
                 ]
                 out = subprocess.run(
                     cmd, capture_output=True, text=True, cwd=REPO, check=True
                 ).stdout
                 line = [ln for ln in out.splitlines() if ln.startswith("RESULT ")][-1]
                 r = json.loads(line[len("RESULT "):])
-                best = r if best is None or r["sec"] < best["sec"] else best
-            results[n] = best
+                if n not in results or r["sec"] < results[n]["sec"]:
+                    results[n] = r
         eff = (results[hi]["turns_per_sec"] / results[lo]["turns_per_sec"]) / (hi / lo)
         print(
             json.dumps(
