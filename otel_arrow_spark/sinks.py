@@ -120,3 +120,42 @@ def retry_with_backoff(
                 interval = min(interval * multiplier, max_interval)
     assert last is not None
     raise last
+
+
+def error_sink(df: DataFrame) -> None:
+    """Always-fail terminal (error_exporter analog, exporters/
+    error_exporter/mod.rs:1): for exercising retry/failover paths."""
+    raise IOError("error_sink: configured to always fail")
+
+
+def debug_sink(
+    df: DataFrame,
+    fraction: float = 0.01,
+    n: int = 20,
+    predicate=None,
+    seed: int = 42,
+) -> int:
+    """Sampled, filtered pretty-print of passing rows (debug processor
+    analog, processors/debug_processor/{mod,predicate,sampling}.rs):
+    returns the number of rows that passed the predicate (pre-sampling)."""
+    base = df.filter(predicate) if predicate is not None else df
+    base.sample(fraction=fraction, seed=seed).show(n, truncate=False)
+    return base.count()
+
+
+def kafka_stream_source(spark, bootstrap_servers: str, topic: str):
+    """Kafka ingest (contrib kafka receiver analog) — requires the
+    spark-sql-kafka package on the cluster; gated so environments without
+    it get a clear error instead of an opaque classpath failure."""
+    try:
+        return (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .load()
+        )
+    except Exception as ex:  # noqa: BLE001
+        raise RuntimeError(
+            "kafka source requires the spark-sql-kafka-0-10 package "
+            "(--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>)"
+        ) from ex
