@@ -8,15 +8,17 @@ Scale design notes (the part that matters at 10^9 documents):
 * MinHash/LSH candidate generation self-joins on (band_idx, band_hash) —
   a co-partitioned equi-join whose fan-out is bounded by bucket size, not
   corpus size; verification (exact Jaccard) runs only on candidates;
-* everything is built from higher-order array functions (transform /
-  aggregate / array_min / array_intersect) — JVM-side, no Python in the
-  hot path. SimHash uses one explode + 64 conditional sums.
+* candidate generation and verification are higher-order array functions
+  (transform / array_min / array_intersect); the 64-hash MinHash signature
+  is an Arrow-batched numpy UDF (HOF expressions evaluate interpreted —
+  measured 3x slower). SimHash uses one explode + 64 conditional sums.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -97,6 +99,43 @@ def minhash_signature(shingles: Column, n_hashes: int = 64) -> Column:
     )
 
 
+def minhash_signature_fast(shingle_hashes: Column, n_hashes: int = 64, seed: int = 42) -> Column:
+    """Vectorized MinHash: numpy universal hashing over pre-hashed shingles.
+
+    Each shingle is hashed ONCE JVM-side (xxhash64); the n_hashes minima
+    come from the multiply-shift family h_i(x) = a_i·x + b_i over Z/2^64
+    (odd a_i; uint64 wraparound is the modulus), one numpy broadcast per
+    row inside an Arrow-batched pandas UDF. Higher-order Spark expressions
+    don't participate in whole-stage codegen (interpreted eval), so the
+    pure-expression form (minhash_signature) costs ~3-10x this at 64
+    hashes — the same barrier/vectorization trade as the parse engines.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    rng = np.random.RandomState(seed)
+    # odd multipliers + additive constants over Z/2^64 (multiply-shift
+    # family): uint64 wraparound is the modulus, fully numpy-vectorized
+    a = (rng.randint(0, 1 << 62, size=n_hashes).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.randint(0, 1 << 62, size=n_hashes).astype(np.uint64)
+
+    def _sig(hashes):
+        def one(hs):
+            if hs is None or len(hs) == 0:
+                return [0] * n_hashes
+            x = np.asarray(hs, dtype=np.int64).view(np.uint64)[:, None]
+            with np.errstate(over="ignore"):
+                m = (a[None, :] * x + b[None, :]).min(axis=0)
+            return [int(v) for v in m.view(np.int64)]
+
+        return hashes.map(one)
+
+    _sig.__annotations__ = {"hashes": pd.Series, "return": pd.Series}
+    udf = pandas_udf(T.ArrayType(T.LongType()))(_sig)
+    return udf(shingle_hashes)
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -118,10 +157,17 @@ def minhash_near_dup_pairs(
     """
     rows_per_band = n_hashes // bands
     df = ensure_parallelism(df)
-    base = df.select(
-        F.col(id_col),
-        char_shingles(F.col(text_col), shingle_k).alias("_sh"),
-    ).withColumn("_sig", minhash_signature(F.col("_sh"), n_hashes))
+    base = (
+        df.select(
+            F.col(id_col),
+            char_shingles(F.col(text_col), shingle_k).alias("_sh"),
+        )
+        # each shingle hashed once JVM-side; 64 minhashes via the numpy
+        # universal-hash UDF (see minhash_signature_fast docstring)
+        .withColumn("_shh", F.transform(F.col("_sh"), lambda s: F.xxhash64(s)))
+        .withColumn("_sig", minhash_signature_fast(F.col("_shh"), n_hashes))
+        .drop("_shh")
+    )
 
     # band keys as one nested expression (posexplode keeps the band index);
     # the band hash is murmur3 of the signature slice — array hashing is
