@@ -196,6 +196,21 @@ def run_pipeline(
     for cls in SIGNAL_CLASSES:
         manifest["sinks"][f"agg_{cls}"] = os.path.join(agg_root, f"signal_class={cls}")
 
+    # Per-partition lineage detail: file count + bytes per sink partition
+    # (the durable-buffer progress-tracking analog — enough to audit a
+    # resume or a partial failure per sink without scanning data).
+    detail: dict = {}
+    for cls in SIGNAL_CLASSES:
+        part_dir = os.path.join(routed_path, f"signal_class={cls}")
+        if os.path.isdir(part_dir):
+            files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+            detail[cls] = {
+                "n_files": len(files),
+                "bytes": sum(os.path.getsize(os.path.join(part_dir, f)) for f in files),
+                "rows": manifest["metrics"].get(f"routed_{cls}"),
+            }
+    manifest["sinks_detail"] = detail
+
     with open(manifest_path, "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     manifest["manifest_path"] = manifest_path
