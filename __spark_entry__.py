@@ -390,6 +390,39 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.round(score, 6).alias("en_score"))
 
 
+def q_embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-duplicate pairs (cosine ≥ 0.5) — the
+    verification tier under the LSH candidate generator, on the full
+    cross product at this scale; double-cast so the DuckDB oracle matches."""
+    from otel_arrow_spark.textops.dedup import cosine_expr
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cosine") >= 0.5)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
+    )
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantized ANN (rows-only: k-means assignment is
+    hash/sample dependent; recall vs brute force asserted in tests)."""
+    from otel_arrow_spark.textops.ivf import ivf_topk, train_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = train_centroids(e, n_clusters=8)
+    queries = (
+        e.orderBy("vec_id").limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return ivf_topk(e, queries, cents, k=5, nprobe=3).select("query_id", "vec_id", "rank")
+
+
 def q_opl_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The OPL front-end executing a where|set|summarize query — compiled
     to DataFrame ops by plans/opl.py; oracle re-derives it in plain SQL."""
@@ -521,6 +554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "opl_summarize": q_opl_summarize,
         "opl_route": q_opl_route,
         "syslog_parse": q_syslog_parse,
+        "embedding_pairs_exact": q_embedding_pairs_exact,
+        "ivf_topk": q_ivf_topk,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "similarity_lsh": q_similarity_lsh,
@@ -731,7 +766,17 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type = 'error' OR value > 90
         """,
+        "embedding_pairs_exact": """
+            WITH ed AS (SELECT vec_id,
+                               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+                        FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine_r
+            FROM ed a CROSS JOIN ed b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+        """,
         # dedup_minhash / dedup_simhash / similarity_lsh / transcripts_* /
-        # syslog_parse: rows-only (Spark hash kernels / generated input);
-        # oracles in tests/
+        # syslog_parse / ivf_topk: rows-only (Spark hash kernels / sampled
+        # k-means / generated input); oracles in tests/
     }

@@ -26,3 +26,8 @@ from otel_arrow_spark.textops.analysis import (  # noqa: F401
     quality_score,
     token_stats,
 )
+from otel_arrow_spark.textops.ivf import (  # noqa: F401
+    ivf_topk,
+    train_centroids,
+    write_ivf_index,
+)

@@ -63,3 +63,47 @@ def test_parse_chaos_never_raises_and_engines_agree(spark, texts):
     a = parse_transcripts(df, engine="native").orderBy("text").collect()
     b = parse_transcripts(df, engine="pandas").orderBy("text").collect()
     assert a == b
+
+
+class TestReaders:
+    def test_json_csv_parquet_agree(self, spark, tiny_transcripts, workdir):
+        from otel_arrow_spark.sources.readers import (
+            conform_transcripts,
+            read_transcripts,
+            validation_report,
+        )
+
+        base = read_transcripts(spark, tiny_transcripts, "parquet")
+        # round-trip the same corpus through json and csv encodings
+        base.write.mode("overwrite").json(f"{workdir}/tj")
+        jdf = read_transcripts(spark, f"{workdir}/tj", "json")
+        assert jdf.count() == base.count()
+        a = base.select("conv_id", "turn_idx", "text").exceptAll(
+            jdf.select("conv_id", "turn_idx", "text")
+        )
+        assert a.count() == 0
+
+        rep = validation_report(base)
+        assert rep["rows"] == base.count() and rep["null_conv_id"] == 0
+        assert rep["n_conversations"] > 0
+
+    def test_conform_rejects_missing_required(self, spark):
+        from otel_arrow_spark.sources.readers import conform_transcripts
+
+        df = spark.createDataFrame([(1,)], "x int")
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="missing required"):
+            conform_transcripts(df)
+
+    def test_conform_nulls_bad_casts_and_adds_tool(self, spark):
+        from otel_arrow_spark.sources.readers import conform_transcripts
+
+        df = spark.createDataFrame(
+            [("c1", "not_an_int", "user", "hi", "2026-01-01 00:00:00")],
+            "conv_id string, turn_idx string, role string, text string, ts string",
+        )
+        row = conform_transcripts(df).collect()[0]
+        assert row.turn_idx is None  # failed cast → null, never raises
+        assert row.tool is None  # optional column synthesized
+        assert row.ts is not None

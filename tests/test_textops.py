@@ -229,3 +229,43 @@ class TestMultimodal:
             got.setdefault(r.doc_id, []).append(r.frame_ts_ms)
         assert sorted(got[1]) == [0, 250, 500, 750]
         assert sorted(got[2]) == [0]
+
+
+class TestIVF:
+    def test_ivf_recall_and_partition_pruned_index(self, spark, embeddings, workdir):
+        from otel_arrow_spark.textops.ivf import (
+            ivf_topk,
+            train_centroids,
+            write_ivf_index,
+        )
+        from otel_arrow_spark.textops.similarity import brute_force_topk
+
+        cents = train_centroids(embeddings, n_clusters=8)
+        assert cents.shape == (8, 64)
+        # deterministic
+        cents2 = train_centroids(embeddings, n_clusters=8)
+        assert (cents == cents2).all()
+
+        queries = (
+            embeddings.orderBy("vec_id").limit(5)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        exact = brute_force_topk(embeddings, queries, k=10)
+        approx = ivf_topk(embeddings, queries, cents, k=10, nprobe=4)
+        ex = {(r.query_id, r.vec_id) for r in exact.collect()}
+        ap = {(r.query_id, r.vec_id) for r in approx.collect()}
+        recall = len(ex & ap) / len(ex)
+        assert recall >= 0.6, f"IVF recall too low: {recall}"
+        for q in [r.query_id for r in queries.collect()]:
+            assert (q, q) in ap  # self always found
+
+        # materialized index prunes partitions on probe
+        path = write_ivf_index(embeddings, f"{workdir}/ivf", cents)
+        idx = spark.read.parquet(path)
+        assert idx.count() == embeddings.count()
+        pruned = idx.filter(F.col("cluster_id") == 3)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters:" in plan and "cluster_id" in plan.split("PartitionFilters:")[1].splitlines()[0]
+        approx2 = ivf_topk(idx, queries, cents, k=10, nprobe=4, pre_assigned=True)
+        ap2 = {(r.query_id, r.vec_id) for r in approx2.collect()}
+        assert ap2 == ap
