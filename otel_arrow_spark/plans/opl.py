@@ -44,7 +44,7 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+)
   | (?P<num>\d+\.\d+|\d+)
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
-  | (?P<op>=~|==|!=|>=|<=|[><+\-*/%(),\[\]=|])
+  | (?P<op>=~|==|!=|>=|<=|[><+\-*/%(),\[\]={}|])
   | (?P<ident>[A-Za-z_][A-Za-z0-9_.]*)
 """,
     re.VERBOSE,
@@ -139,6 +139,22 @@ class RouteToStage:
 class SummarizeStage:
     aggs: list  # [(alias, fn_name, arg_expr|None)]
     keys: list[str]
+
+
+@dataclass
+class IfStage:
+    branches: list  # [(predicate_ast, [stages])]
+    otherwise: list | None  # [stages] | None
+
+
+@dataclass
+class ProjectStage:
+    columns: list[str]
+
+
+@dataclass
+class TakeStage:
+    n: int
 
 
 @dataclass
@@ -273,10 +289,60 @@ class _Parser:
             raise OplSyntaxError(f"trailing input at {self.peek().text!r}")
         return Query(src.text, stages)
 
+    def _block(self) -> list:
+        """``{ stage | stage | ... }`` — a nested branch pipeline
+        (flow_control.md: branch bodies are full pipelines)."""
+        self.expect("{")
+        stages = []
+        if not self.at("}"):
+            stages.append(self.stage())
+            while self.at("|"):
+                self.next()
+                stages.append(self.stage())
+        self.expect("}")
+        return stages
+
     def stage(self):
         t = self.next()
         if t.text == "where":
             return WhereStage(self.expr())
+        if t.text == "if":
+            # if (pred) { … } else if (pred) { … } else { … }
+            self.expect("(")
+            pred = self.expr()
+            self.expect(")")
+            branches = [(pred, self._block())]
+            otherwise = None
+            while self.at("else"):
+                self.next()
+                if self.at("if"):
+                    self.next()
+                    self.expect("(")
+                    p2 = self.expr()
+                    self.expect(")")
+                    branches.append((p2, self._block()))
+                else:
+                    otherwise = self._block()
+                    break
+            return IfStage(branches, otherwise)
+        if t.text == "project":
+            cols = [self.next().text]
+            while self.at(","):
+                self.next()
+                cols.append(self.next().text)
+            return ProjectStage(cols)
+        if t.text == "take" or t.text == "limit":
+            n = self.next()
+            if n.kind != "num":
+                raise OplSyntaxError("take expects a number")
+            return TakeStage(int(n.text))
+        if t.text == "extend":
+            # KQL extend == OPL set (same IR in the reference)
+            assignments = [self._assignment()]
+            while self.at(","):
+                self.next()
+                assignments.append(self._assignment())
+            return SetStage(assignments)
         if t.text == "drop":
             return DropStage()
         if t.text == "route_to":
@@ -443,47 +509,80 @@ class OplResult:
     ports: dict[str, DataFrame]
 
 
+def _apply_stages(df: DataFrame, stages: list, ports: dict[str, DataFrame]) -> DataFrame:
+    for stage in stages:
+        if isinstance(stage, WhereStage):
+            df = df.filter(compile_expr(stage.predicate))
+        elif isinstance(stage, DropStage):
+            # planned as a folded constant filter (planner.rs:186-200)
+            df = df.filter(F.lit(False))
+        elif isinstance(stage, SetStage):
+            # consecutive sets coalesce via CollapseProject — the
+            # reference coalesces them explicitly (planner.rs:106-158)
+            for target, expr in stage.assignments:
+                val = compile_expr(expr)
+                if isinstance(target, Col):
+                    df = df.withColumn(target.name, val)
+                else:  # attribute upsert (upsert_attributes.rs analog)
+                    from otel_arrow_spark.operators.attributes import attrs_upsert
+
+                    df = attrs_upsert(df, target.map_col, target.key, val)
+        elif isinstance(stage, RouteToStage):
+            # divert the stream; default output becomes empty
+            # (flow_control.md:159-212)
+            ports[stage.port] = df
+            df = df.filter(F.lit(False))
+        elif isinstance(stage, IfStage):
+            # first-match exclusive branch pipelines, outputs unioned
+            # (flow_control.md:6-114; conditional.rs:39) — reuses the
+            # operator-level implementation
+            from otel_arrow_spark.operators.flow import conditional_branches
+
+            branches = [
+                (compile_expr(pred), (lambda d, ss=ss: _apply_stages(d, ss, ports)))
+                for pred, ss in stage.branches
+            ]
+            otherwise = (
+                (lambda d, ss=stage.otherwise: _apply_stages(d, ss, ports))
+                if stage.otherwise is not None
+                else (lambda d: d)
+            )
+            df = conditional_branches(df, branches, otherwise=otherwise)
+        elif isinstance(stage, ProjectStage):
+            df = df.select(*stage.columns)
+        elif isinstance(stage, TakeStage):
+            df = df.limit(stage.n)
+        elif isinstance(stage, SummarizeStage):
+            aggs = []
+            for alias, name, arg in stage.aggs:
+                fn = _AGG_FUNCTIONS.get(name)
+                if fn is None:
+                    raise OplSyntaxError(f"unknown aggregate {name!r}")
+                aggs.append(fn(compile_expr(arg) if arg else None).alias(alias))
+            df = df.groupBy(*stage.keys).agg(*aggs)
+        else:  # pragma: no cover
+            raise OplSyntaxError(f"unknown stage {stage!r}")
+    return df
+
+
 def run_opl(query: str, sources: dict[str, DataFrame]) -> OplResult:
-    """Parse and execute an OPL query against named source DataFrames."""
+    """Parse and execute an OPL query against named source DataFrames.
+
+    The same entry point serves the KQL-flavored spellings the reference's
+    KQL front-end shares with OPL via the common IR
+    (kql-parser/src/tabular_expressions.rs): ``extend`` (== set),
+    ``project``, ``take``/``limit``, ``summarize ... by ...``.
+    """
     q = parse(query)
     if q.source not in sources:
         raise OplSyntaxError(f"unknown source {q.source!r}")
-    df = sources[q.source]
     ports: dict[str, DataFrame] = {}
     _LIT_STACK.append({})
     try:
-        for stage in q.stages:
-            if isinstance(stage, WhereStage):
-                df = df.filter(compile_expr(stage.predicate))
-            elif isinstance(stage, DropStage):
-                # planned as a folded constant filter (planner.rs:186-200)
-                df = df.filter(F.lit(False))
-            elif isinstance(stage, SetStage):
-                # consecutive sets coalesce via CollapseProject — the
-                # reference coalesces them explicitly (planner.rs:106-158)
-                for target, expr in stage.assignments:
-                    val = compile_expr(expr)
-                    if isinstance(target, Col):
-                        df = df.withColumn(target.name, val)
-                    else:  # attribute upsert (upsert_attributes.rs analog)
-                        from otel_arrow_spark.operators.attributes import attrs_upsert
-
-                        df = attrs_upsert(df, target.map_col, target.key, val)
-            elif isinstance(stage, RouteToStage):
-                # divert the stream; default output becomes empty
-                # (flow_control.md:159-212)
-                ports[stage.port] = df
-                df = df.filter(F.lit(False))
-            elif isinstance(stage, SummarizeStage):
-                aggs = []
-                for alias, name, arg in stage.aggs:
-                    fn = _AGG_FUNCTIONS.get(name)
-                    if fn is None:
-                        raise OplSyntaxError(f"unknown aggregate {name!r}")
-                    aggs.append(fn(compile_expr(arg) if arg else None).alias(alias))
-                df = df.groupBy(*stage.keys).agg(*aggs)
-            else:  # pragma: no cover
-                raise OplSyntaxError(f"unknown stage {stage!r}")
+        df = _apply_stages(sources[q.source], q.stages, ports)
         return OplResult(default=df, ports=ports)
     finally:
         _LIT_STACK.pop()
+
+
+run_kql = run_opl  # the dialects share the IR; aliases kept for clarity

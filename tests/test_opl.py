@@ -118,3 +118,50 @@ class TestExecute:
         import hashlib
 
         assert row.fingerprint == hashlib.sha256(row.text.encode()).hexdigest()
+
+
+class TestFlowAndKql:
+    def test_if_else_branch_pipelines(self, spark, logs):
+        r = run_opl(
+            "logs | if (severity_number >= 17) { set tier = 'crit' } "
+            "else if (severity_number >= 13) { set tier = 'warn' } "
+            "else { set tier = 'info' }",
+            {"logs": logs},
+        )
+        got = {x.id: x.tier for x in r.default.collect()}
+        assert got == {1: "crit", 4: "crit", 3: "warn", 2: "info", 5: "info"}
+        assert r.default.count() == 5  # exclusive: no row duplicated/lost
+
+    def test_if_branch_can_route(self, spark, logs):
+        r = run_opl(
+            "logs | if (severity_text == 'ERROR') { route_to 'err' } "
+            "else { set ok = true }",
+            {"logs": logs},
+        )
+        assert {x.id for x in r.ports["err"].collect()} == {1, 4}
+        assert {x.id for x in r.default.collect()} == {2, 3, 5}
+
+    def test_nested_if(self, spark, logs):
+        r = run_opl(
+            "logs | if (severity_number >= 13) { "
+            "if (contains(body, 'disk')) { set kind = 'disk' } "
+            "else { set kind = 'other' } } "
+            "else { set kind = 'low' }",
+            {"logs": logs},
+        )
+        got = {x.id: x.kind for x in r.default.collect()}
+        assert got[1] == "disk" and got[4] == "other" and got[3] == "other"
+        assert got[2] == "low" and got[5] == "low"
+
+    def test_kql_extend_project_take_summarize(self, spark, logs):
+        from otel_arrow_spark.plans.opl import run_kql
+
+        r = run_kql(
+            "logs | extend dbl = severity_number * 2 | project severity_text, dbl "
+            "| summarize n = count(), mx = max(dbl) by severity_text",
+            {"logs": logs},
+        )
+        got = {x.severity_text: (x.n, x.mx) for x in r.default.collect()}
+        assert got["ERROR"] == (2, 34)
+        r2 = run_kql("logs | take 2", {"logs": logs})
+        assert r2.default.count() == 2

@@ -1,0 +1,98 @@
+"""Regenerate PLANS.md: annotated physical plans of the headline queries.
+
+Run: python tools/dump_plans.py  (writes PLANS.md at the repo root)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+HEADER = """# PLANS — physical plans of the headline queries (generated)
+
+`python tools/dump_plans.py` regenerates this file. Each section shows
+`.explain("formatted")` output with the property the plan is expected to
+exhibit (enforced by tests/test_plan_shape.py).
+"""
+
+
+def main() -> None:
+    from otel_arrow_spark.plans.pipeline import PipelineConfig, build_routed
+    from otel_arrow_spark.session import get_spark
+    from otel_arrow_spark.sources.transcripts import write_transcripts_parquet
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    inp = write_transcripts_parquet(os.path.join(repo, ".cache", "transcripts", "n20000"), 20_000)
+
+    sections: list[tuple[str, str, object]] = []
+
+    routed = build_routed(spark, PipelineConfig(input_path=inp, output_dir="/unused"))
+    sections.append(
+        (
+            "Flagship hot path: scan → parse (ArrowEvalPython) → enrich "
+            "(2× BroadcastHashJoin) → route",
+            "Expected: no `Exchange hash/range` anywhere (narrow end-to-end); "
+            "`ArrowEvalPython` for the vectorized parse; `PushedFilters`/"
+            "`ReadSchema` on the scan.",
+            routed,
+        )
+    )
+
+    from otel_arrow_spark.operators.aggregate import sink_aggregate
+
+    sections.append(
+        (
+            "Per-sink aggregate",
+            "Expected: `HashAggregate` twice (partial then final) around one "
+            "`Exchange hashpartitioning` — the two-phase decomposition that "
+            "makes explicit salting unnecessary for algebraic aggregates.",
+            sink_aggregate(routed),
+        )
+    )
+
+    pruned = routed.filter(F.col("conv_id") == "conv-00000000").select(
+        "conv_id", "turn_idx", "severity_text"
+    )
+    sections.append(
+        (
+            "Filter + projection pushdown",
+            "Expected: `PushedFilters: [IsNotNull(conv_id), EqualTo(conv_id,…)]` "
+            "and a `ReadSchema` without the fat text column in the scan that "
+            "feeds only the filter (the parse UDF needs text, so this shows "
+            "the scan for the pruned subquery).",
+            pruned,
+        )
+    )
+
+    from otel_arrow_spark.textops.similarity import brute_force_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    sections.append(
+        (
+            "ANN brute-force top-k",
+            "Expected: `BroadcastNestedLoopJoin` (queries broadcast, corpus "
+            "scans once) feeding a single window rank.",
+            brute_force_topk(emb, q, k=3),
+        )
+    )
+
+    out = [HEADER]
+    for title, expect, df in sections:
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        out.append(f"\n## {title}\n\n{expect}\n\n```\n{plan}\n```\n")
+    with open(os.path.join(repo, "PLANS.md"), "w") as f:
+        f.write("".join(out))
+    print("wrote PLANS.md")
+
+
+if __name__ == "__main__":
+    main()
