@@ -148,6 +148,12 @@ class IfStage:
 
 
 @dataclass
+class ApplyAttrsStage:
+    map_col: str
+    stages: list  # WhereStage / SetStage over the key/value stream
+
+
+@dataclass
 class ProjectStage:
     columns: list[str]
 
@@ -325,6 +331,14 @@ class _Parser:
                     otherwise = self._block()
                     break
             return IfStage(branches, otherwise)
+        if t.text == "apply":
+            # apply <map_col> { where <pred(key,value)> | set value = <expr> }
+            # (attr_operators.md:107-253: a nested pipeline over the
+            # attribute key/value stream)
+            col = self.next()
+            if col.kind != "ident":
+                raise OplSyntaxError("apply expects a map column name")
+            return ApplyAttrsStage(col.text, self._block())
         if t.text == "project":
             cols = [self.next().text]
             while self.at(","):
@@ -461,20 +475,22 @@ def _lit_int(c) -> int:
     raise OplSyntaxError("expected an integer literal argument")
 
 
-def compile_expr(node) -> Column:
+def compile_expr(node, env: dict[str, Column] | None = None) -> Column:
     lits = _LIT_STACK[-1]
     if isinstance(node, Lit):
         c = F.lit(node.value)
         lits[id(c)] = node.value
         return c
     if isinstance(node, Col):
+        if env and node.name in env:
+            return env[node.name]
         return F.col(node.name)
     if isinstance(node, AttrAccess):
         return F.col(node.map_col).getItem(node.key)
     if isinstance(node, Not):
-        return ~compile_expr(node.expr)
+        return ~compile_expr(node.expr, env)
     if isinstance(node, Bin):
-        l, r = compile_expr(node.left), compile_expr(node.right)
+        l, r = compile_expr(node.left, env), compile_expr(node.right, env)
         return {
             "and": lambda: l & r,
             "or": lambda: l | r,
@@ -495,8 +511,14 @@ def compile_expr(node) -> Column:
         fn = _FUNCTIONS.get(node.name)
         if fn is None:
             raise OplSyntaxError(f"unknown function {node.name!r}")
-        return fn(*[compile_expr(a) for a in node.args])
+        return fn(*[compile_expr(a, env) for a in node.args])
     raise OplSyntaxError(f"cannot compile {node!r}")
+
+
+def _compile_kv(node, k: Column, v: Column) -> Column:
+    """Compile an expression over the attribute key/value stream: the bare
+    identifiers ``key`` and ``value`` bind to the map lambda variables."""
+    return compile_expr(node, env={"key": k, "value": v})
 
 
 @dataclass
@@ -548,6 +570,37 @@ def _apply_stages(df: DataFrame, stages: list, ports: dict[str, DataFrame]) -> D
                 else (lambda d: d)
             )
             df = conditional_branches(df, branches, otherwise=otherwise)
+        elif isinstance(stage, ApplyAttrsStage):
+            # nested pipeline over the attribute stream: `key`/`value`
+            # resolve to the lambda variables (execute_on_attributes
+            # contract, pipeline.rs:73-99); where → map_filter,
+            # set value = … → transform_values
+            # NOTE: pyspark derives higher-order-lambda arity from the
+            # python signature INCLUDING defaults — closures must be built
+            # by a factory, never via default args
+            def _kv(ast):
+                return lambda k, v: _compile_kv(ast, k, v)
+
+            for sub in stage.stages:
+                if isinstance(sub, WhereStage):
+                    df = df.withColumn(
+                        stage.map_col,
+                        F.map_filter(F.col(stage.map_col), _kv(sub.predicate)),
+                    )
+                elif isinstance(sub, SetStage):
+                    for target, expr in sub.assignments:
+                        if not (isinstance(target, Col) and target.name == "value"):
+                            raise OplSyntaxError(
+                                "apply attributes set target must be `value`"
+                            )
+                        df = df.withColumn(
+                            stage.map_col,
+                            F.transform_values(F.col(stage.map_col), _kv(expr)),
+                        )
+                else:
+                    raise OplSyntaxError(
+                        "apply attributes supports where/set stages only"
+                    )
         elif isinstance(stage, ProjectStage):
             df = df.select(*stage.columns)
         elif isinstance(stage, TakeStage):

@@ -165,3 +165,14 @@ class TestFlowAndKql:
         assert got["ERROR"] == (2, 34)
         r2 = run_kql("logs | take 2", {"logs": logs})
         assert r2.default.count() == 2
+
+    def test_apply_attributes_where_and_set(self, spark, logs):
+        r = run_opl(
+            "logs | apply attributes { where key != 'svc' "
+            "| set value = upper_case(value) }",
+            {"logs": logs},
+        )
+        rows = {x.id: x.attributes for x in r.default.collect()}
+        assert rows[4] == {"env": "PROD"}   # svc deleted, value uppercased
+        assert rows[1] == {"env": "PROD"}
+        assert rows[3] is None              # null map untouched
