@@ -83,14 +83,28 @@ def regexp_capture(s, pattern: str, group: int) -> Column:
     return F.nullif(F.regexp_extract(_c(s), pattern, group), F.lit(""))
 
 
-def regexp_substr(s, pattern: str, occurrence: int = 1) -> Column:
-    """OPL regexp_substr (custom UDF functions/regexp_substr.rs:1, 2265 LoC
-    in the reference): nth match of pattern. Spark-first: regexp_extract_all
-    + element_at — stays JVM-side."""
-    # group 0 = whole match (regexp_substr default); try_element_at gives
-    # NULL (not an ANSI error) when occurrence > match count.
+def regexp_substr(
+    s,
+    pattern: str,
+    start: int = 1,
+    occurrence: int = 1,
+    flags: str | None = None,
+    group: int = 0,
+) -> Column:
+    """OPL regexp_substr (functions/regexp_substr.rs:33) — full SQL Server
+    signature ``regexp_substr(str, pattern [, start [, occurrence [, flags
+    [, group]]]])``: 1-based ``start`` position, nth ``occurrence``,
+    ``i``/``m``/``s`` regex flags, capture ``group`` (0 = whole match).
+    Spark-first: substr + regexp_extract_all + try_element_at — stays
+    JVM-side; NULL (not an ANSI error) when occurrence > match count."""
+    if flags:
+        inline = "".join(ch for ch in flags if ch in "ims")
+        if inline:
+            pattern = f"(?{inline})" + pattern
+    subject = _c(s) if start == 1 else F.substr(_c(s), F.lit(int(start)))
     return F.try_element_at(
-        F.regexp_extract_all(_c(s), F.lit(pattern), 0), F.lit(occurrence)
+        F.regexp_extract_all(subject, F.lit(pattern), int(group)),
+        F.lit(int(occurrence)),
     )
 
 

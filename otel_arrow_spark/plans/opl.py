@@ -43,7 +43,7 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
   | (?P<num>\d+\.\d+|\d+)
-  | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+  | (?P<str>[rR]?'(?:[^'\\]|\\.)*'|[rR]?"(?:[^"\\]|\\.)*")
   | (?P<op>=~|==|!=|>=|<=|[><+\-*/%(),\[\]={}|])
   | (?P<ident>[A-Za-z_][A-Za-z0-9_.]*)
 """,
@@ -148,6 +148,11 @@ class IfStage:
 
 
 @dataclass
+class ForkStage:
+    branches: list  # [[stages]] — each branch processes a copy of the input
+
+
+@dataclass
 class ApplyAttrsStage:
     map_col: str
     stages: list  # WhereStage / SetStage over the key/value stream
@@ -246,6 +251,12 @@ class _Parser:
 
     def atom(self):
         t = self.next()
+        if t.text == "-":
+            # unary minus: fold into numeric literals, else 0 - expr
+            inner = self.atom()
+            if isinstance(inner, Lit) and isinstance(inner.value, (int, float)):
+                return Lit(-inner.value)
+            return Bin("-", Lit(0), inner)
         if t.kind == "num":
             return Lit(float(t.text) if "." in t.text else int(t.text))
         if t.kind == "str":
@@ -331,6 +342,13 @@ class _Parser:
                     otherwise = self._block()
                     break
             return IfStage(branches, otherwise)
+        if t.text == "fork":
+            # fork { … } { … } — each branch gets a copy of the batch,
+            # branch outputs unioned (opl.pest:211-217, fork.rs:25-31)
+            branches = [self._block()]
+            while self.at("{"):
+                branches.append(self._block())
+            return ForkStage(branches)
         if t.text == "apply":
             # apply <map_col> { where <pred(key,value)> | set value = <expr> }
             # (attr_operators.md:107-253: a nested pipeline over the
@@ -401,8 +419,19 @@ class _Parser:
         return (alias, call.name, call.args[0] if call.args else None)
 
 
+_ESCAPES = {"'": "'", '"': '"', "\\": "\\", "n": "\n", "t": "\t", "r": "\r"}
+
+
 def _unquote(s: str) -> str:
-    return re.sub(r"\\(.)", r"\1", s[1:-1])
+    """String-literal decode. ``r'...'``/``r"..."`` are raw (no escape
+    processing — the OPL user guide's regex-literal form); in plain strings
+    only \\' \\" \\\\ \\n \\t \\r are escapes, any other backslash is
+    preserved so ``'\\d+'`` still means the regex ``\\d+``."""
+    if s[0] in "rR":
+        return s[2:-1]
+    return re.sub(
+        r"\\(.)", lambda m: _ESCAPES.get(m.group(1), "\\" + m.group(1)), s[1:-1]
+    )
 
 
 def parse(src: str) -> Query:
@@ -431,9 +460,15 @@ _FUNCTIONS = {
     "regexp_capture": lambda s, p, g: F.nullif(
         F.regexp_extract(s, _lit_str(p), _lit_int(g)), F.lit("")
     ),
-    "regexp_substr": lambda s, p, occ=None: F.try_element_at(
-        F.regexp_extract_all(s, F.lit(_lit_str(p)), 0),
-        occ if occ is not None else F.lit(1),
+    # reference arg order (functions/regexp_substr.rs:33):
+    # (str, pattern [, start [, occurrence [, flags [, group]]]])
+    "regexp_substr": lambda s, p, st=None, occ=None, fl=None, grp=None: fns.regexp_substr(
+        s,
+        _lit_str(p),
+        _lit_int(st) if st is not None else 1,
+        _lit_int(occ) if occ is not None else 1,
+        _lit_str(fl) if fl is not None else None,
+        _lit_int(grp) if grp is not None else 0,
     ),
     "sha256": lambda c: F.sha2(c.cast("string"), 256),
     "sha512": lambda c: F.sha2(c.cast("string"), 512),
@@ -447,6 +482,15 @@ _FUNCTIONS = {
     "coalesce": lambda *a: F.coalesce(*a),
     "count": None,  # aggregate, handled in summarize
     "is_null": F.isnull,
+    # zero-arg uuid forms (expr/planner.rs:1871-1872): uuid() is random v4
+    # (Spark's built-in, same semantics); uuidv7() is time-ordered — bound to
+    # the deterministic-capable uuid7 with wall-clock + random entropy, or
+    # uuidv7(ts, entropy) for a reproducible batch form.
+    "uuid": lambda: F.expr("uuid()"),
+    "uuidv7": lambda ts=None, entropy=None: fns.uuid7(
+        ts if ts is not None else F.current_timestamp(),
+        entropy if entropy is not None else F.rand(),
+    ),
 }
 
 _AGG_FUNCTIONS = {
@@ -551,8 +595,15 @@ def _apply_stages(df: DataFrame, stages: list, ports: dict[str, DataFrame]) -> D
                     df = attrs_upsert(df, target.map_col, target.key, val)
         elif isinstance(stage, RouteToStage):
             # divert the stream; default output becomes empty
-            # (flow_control.md:159-212)
-            ports[stage.port] = df
+            # (flow_control.md:159-212). Two branches routing to the SAME
+            # port union (the documented combining-with-if pattern) —
+            # overwriting would silently drop all but the last branch.
+            p = stage.port
+            ports[p] = (
+                ports[p].unionByName(df, allowMissingColumns=True)
+                if p in ports
+                else df
+            )
             df = df.filter(F.lit(False))
         elif isinstance(stage, IfStage):
             # first-match exclusive branch pipelines, outputs unioned
@@ -570,6 +621,14 @@ def _apply_stages(df: DataFrame, stages: list, ports: dict[str, DataFrame]) -> D
                 else (lambda d: d)
             )
             df = conditional_branches(df, branches, otherwise=otherwise)
+        elif isinstance(stage, ForkStage):
+            # duplicate the stream into each branch pipeline, union the
+            # results (fork.rs:25-31: "results are then unioned back") —
+            # route_to inside a branch still diverts to its port
+            outs = [_apply_stages(df, ss, ports) for ss in stage.branches]
+            df = outs[0]
+            for o in outs[1:]:
+                df = df.unionByName(o, allowMissingColumns=True)
         elif isinstance(stage, ApplyAttrsStage):
             # nested pipeline over the attribute stream: `key`/`value`
             # resolve to the lambda variables (execute_on_attributes

@@ -42,9 +42,9 @@ CEF_RE = (
 )
 
 # syslog severity (0-7) → OTel severity number (parsed_message.rs:426-436)
-SYSLOG_TO_OTEL = [21, 19, 18, 17, 13, 9, 9, 5]
+SYSLOG_TO_OTEL = [21, 19, 18, 17, 13, 10, 9, 5]
 SYSLOG_SEVERITY_TEXT = [
-    "FATAL4", "ERROR3", "ERROR2", "ERROR", "WARN", "INFO2", "INFO", "DEBUG",
+    "FATAL", "ERROR3", "ERROR2", "ERROR", "WARN", "INFO2", "INFO", "DEBUG",
 ]
 
 SYSLOG_SCHEMA = T.StructType(

@@ -69,8 +69,17 @@ def test_regexp_capture_null_on_no_match(sdf):
 
 
 def test_regexp_substr_nth_occurrence(sdf):
-    assert _one(sdf, regexp_substr("a", r"\d+", 1))[1].v == "123"
-    assert _one(sdf, regexp_substr("a", r"\d+", 2))[1].v == "456"
+    # reference order: (str, pattern, start, occurrence, flags, group)
+    assert _one(sdf, regexp_substr("a", r"\d+"))[1].v == "123"
+    assert _one(sdf, regexp_substr("a", r"\d+", 1, 2))[1].v == "456"
+    # start: 1-based position; searching "abc123def456" from pos 5 skips "1"
+    assert _one(sdf, regexp_substr("a", r"\d+", 5))[1].v == "23"
+    # flags: case-insensitive
+    assert _one(sdf, regexp_substr("a", r"HELLO", 1, 1, "i"))[0].v == "Hello"
+    # group: capture group extraction
+    assert _one(sdf, regexp_substr("a", r"(\d+)def", 1, 1, None, 1))[1].v == "123"
+    # occurrence beyond match count → NULL, not an error
+    assert _one(sdf, regexp_substr("a", r"\d+", 1, 9))[1].v is None
 
 
 def test_hashes_vs_python(sdf):

@@ -176,3 +176,78 @@ class TestFlowAndKql:
         assert rows[4] == {"env": "PROD"}   # svc deleted, value uppercased
         assert rows[1] == {"env": "PROD"}
         assert rows[3] is None              # null map untouched
+
+    def test_fork_string_form(self, spark, logs):
+        """fork { … } { … } duplicates the batch per branch, outputs
+        unioned (opl.pest:211-217, fork.rs:25-31)."""
+        r = run_opl(
+            "logs | fork { where severity_text == 'ERROR' | set via = 'a' } "
+            "{ where severity_number >= 13 | set via = 'b' }",
+            {"logs": logs},
+        )
+        got = {(x.id, x.via) for x in r.default.collect()}
+        assert got == {(1, "a"), (4, "a"), (1, "b"), (3, "b"), (4, "b")}
+
+    def test_fork_branches_can_route(self, spark, logs):
+        r = run_opl(
+            "logs | fork { where severity_text == 'ERROR' | route_to 'err' } "
+            "{ summarize n = count() | route_to 'stats' }",
+            {"logs": logs},
+        )
+        assert r.default.count() == 0
+        assert {x.id for x in r.ports["err"].collect()} == {1, 4}
+        assert r.ports["stats"].collect()[0].n == 5
+
+
+class TestAdviceRegressions:
+    """Round-1 ADVICE fixes pinned: raw strings, escape preservation,
+    same-port route_to union, unary minus, regexp_substr arg order."""
+
+    def test_raw_string_regex(self, spark, logs):
+        r = run_opl(r"logs | where matches(body, r'\d+')", {"logs": logs})
+        assert {x.id for x in r.default.collect()} == set()  # no digits in bodies
+        r2 = run_opl(r"logs | where matches(body, r'/dev/\w+')", {"logs": logs})
+        assert {x.id for x in r2.default.collect()} == {1}
+
+    def test_plain_string_preserves_backslash(self, spark, logs):
+        # '\w' is not a recognized escape → backslash preserved → regex works
+        r = run_opl("logs | where matches(body, '/dev/\\w+')", {"logs": logs})
+        assert {x.id for x in r.default.collect()} == {1}
+        # recognized escapes still decode
+        r2 = run_opl(r"logs | set nl = 'a\nb' | take 1", {"logs": logs})
+        assert r2.default.collect()[0].nl == "a\nb"
+
+    def test_route_to_same_port_unions(self, spark, logs):
+        r = run_opl(
+            "logs | if (severity_text == 'ERROR') { route_to 'sink' } "
+            "else if (severity_number >= 13) { set esc = true | route_to 'sink' }",
+            {"logs": logs},
+        )
+        assert {x.id for x in r.ports["sink"].collect()} == {1, 3, 4}
+
+    def test_unary_minus(self, spark, logs):
+        r = run_opl("logs | where severity_number > -5", {"logs": logs})
+        assert r.default.count() == 5
+        r2 = run_opl("logs | set neg = -severity_number | take 1", {"logs": logs})
+        assert r2.default.collect()[0].neg == -17
+
+    def test_regexp_substr_reference_arg_order(self, spark, logs):
+        # (str, pattern, start, occurrence, flags, group)
+        r = run_opl(
+            "logs | where id == 1 | set m = regexp_substr(body, r'\\w+', 1, 2), "
+            "g = regexp_substr(body, r'(d\\w+) (f\\w+)', 1, 1, 'i', 2)",
+            {"logs": logs},
+        )
+        row = r.default.collect()[0]
+        assert row.m == "failure"
+        assert row.g == "failure"
+
+    def test_uuid_functions(self, spark, logs):
+        import uuid as _uuid
+
+        r = run_opl("logs | set u4 = uuid(), u7 = uuidv7() | take 3", {"logs": logs})
+        rows = r.default.collect()
+        for x in rows:
+            assert _uuid.UUID(x.u4).version == 4
+            assert _uuid.UUID(x.u7).version == 7
+        assert len({x.u4 for x in rows}) == 3  # random → distinct

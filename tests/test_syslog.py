@@ -25,9 +25,9 @@ def parsed_cases(spark):
 def test_rfc5424(parsed_cases):
     r = parsed_cases["r54"]
     assert r.format == "rfc5424"
-    # pri 165 → facility 20, severity 5 (Notice→INFO2, severity_number 9)
+    # pri 165 → facility 20, severity 5 (Notice→INFO2, severity_number 10)
     assert (r.facility, r.severity) == (20, 5)
-    assert r.severity_text == "INFO2" and r.severity_number == 9
+    assert r.severity_text == "INFO2" and r.severity_number == 10
     assert (r.hostname, r.app_name, r.proc_id, r.msg_id) == ("web01", "nginx", "812", "ID7")
     assert r.message == "GET /index"
     assert r.structured_data is None
@@ -92,7 +92,7 @@ def test_severity_mapping_full_table(spark):
         "line string",
     )
     rows = parse_syslog(df).orderBy("severity").collect()
-    assert [r.severity_number for r in rows] == [21, 19, 18, 17, 13, 9, 9, 5]
+    assert [r.severity_number for r in rows] == [21, 19, 18, 17, 13, 10, 9, 5]
     assert [r.severity_text for r in rows] == [
-        "FATAL4", "ERROR3", "ERROR2", "ERROR", "WARN", "INFO2", "INFO", "DEBUG",
+        "FATAL", "ERROR3", "ERROR2", "ERROR", "WARN", "INFO2", "INFO", "DEBUG",
     ]
