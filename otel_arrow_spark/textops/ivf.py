@@ -35,10 +35,26 @@ def train_centroids(
     seed: int = 42,
 ) -> np.ndarray:
     """Seeded Lloyd k-means on a driver-side sample; returns (k, dim)
-    L2-normalized centroids (cosine ≡ dot product on normalized vectors)."""
-    total = corpus.count()
-    frac = min(1.0, sample_size / max(total, 1))
-    sample = corpus.select(vec_col).sample(fraction=frac, seed=seed).collect()
+    L2-normalized centroids (cosine ≡ dot product on normalized vectors).
+
+    Sampling is one bounded job: a per-partition interleaved take via
+    ``limit`` over a hash-shuffled-free projection — no full-corpus
+    ``count()`` pass just to size a sample fraction (at 100 TB that count
+    is an entire extra scan before training starts). ``limit`` on a
+    multi-partition scan pulls from the first partitions only; to avoid
+    sampling bias from data laid out in ingestion order, rows are
+    pre-filtered by a cheap deterministic hash-mod condition that thins
+    the stream before the limit."""
+    # xxhash64(id-ish ordering-free content) % 64 == 0 keeps ~1/64 of rows
+    # spread uniformly across partitions; limit() then stops scans early.
+    thinned = corpus.select(vec_col).filter(
+        F.pmod(F.xxhash64(F.col(vec_col).cast("array<double>")), F.lit(64)) == 0
+    )
+    sample = thinned.limit(sample_size).collect()
+    if len(sample) < min(sample_size, 256):
+        # tiny corpus (< ~16k rows): the thinning filter starves the
+        # sample — fall back to taking rows directly, still one bounded job
+        sample = corpus.select(vec_col).limit(sample_size).collect()
     x = np.asarray([r[0] for r in sample], dtype=np.float64)
     x = x / np.linalg.norm(x, axis=1, keepdims=True)
     rng = np.random.RandomState(seed)
