@@ -470,6 +470,27 @@ def _syslog_corpus_path(n: int) -> str:
     return path
 
 
+def q_ottl_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTTL statement list (the transform processor's third language,
+    transform_processor/mod.rs:177) over events: guarded set editors +
+    all-occurrence replace_pattern, oracle re-derived as CASE/regexp SQL."""
+    from otel_arrow_spark.plans.ottl import run_ottl
+
+    e = _t(spark, sf_dir, "events")
+    out = run_ottl(
+        e,
+        [
+            'set(tier, "high") where value > 50',
+            'set(tier, "low") where value <= 50',
+            r'replace_pattern(props, "\d+", "#")',
+            'set(flagged, true) where event_type == "error" and tier == "high"',
+        ],
+    )
+    return out.select(
+        "event_id", "tier", "flagged", F.col("props").alias("props_redacted")
+    )
+
+
 def q_syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC5424/RFC3164/CEF parse over the deterministic syslog corpus,
     persisted to parquet so the oracle re-derives format detection + PRI
@@ -571,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "opl_summarize": q_opl_summarize,
         "opl_route": q_opl_route,
+        "ottl_transform": q_ottl_transform,
         "syslog_parse": q_syslog_parse,
         "embedding_pairs_exact": q_embedding_pairs_exact,
         "ivf_topk": q_ivf_topk,
@@ -793,6 +815,19 @@ def oracle_sql() -> dict[str, str]:
             FROM ed a CROSS JOIN ed b
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+        """,
+        "ottl_transform": """
+            WITH t AS (
+                SELECT event_id, event_type, value,
+                       regexp_replace(props, '\\d+', '#', 'g') AS props_redacted,
+                       CASE WHEN value > 50 THEN 'high'
+                            WHEN value <= 50 THEN 'low' END AS tier
+                FROM events)
+            SELECT event_id, tier,
+                   CASE WHEN event_type = 'error' AND tier = 'high'
+                        THEN true END AS flagged,
+                   props_redacted
+            FROM t
         """,
         # --- generated-input oracles: the query fns persist their corpus to
         # parquet under .cache/ first (the driver runs the Spark side before

@@ -98,6 +98,11 @@ class AttrAccess:
 
 
 @dataclass
+class ListLit:
+    items: list
+
+
+@dataclass
 class Bin:
     op: str
     left: object
@@ -265,6 +270,16 @@ class _Parser:
             e = self.expr()
             self.expect(")")
             return e
+        if t.text == "[":
+            # list literal (["a", "b"] — OTTL keep_keys-style arguments)
+            items = []
+            if not self.at("]"):
+                items.append(self.expr())
+                while self.at(","):
+                    self.next()
+                    items.append(self.expr())
+            self.expect("]")
+            return ListLit(items)
         if t.kind == "ident":
             if t.text == "true":
                 return Lit(True)
@@ -531,6 +546,8 @@ def compile_expr(node, env: dict[str, Column] | None = None) -> Column:
         return F.col(node.name)
     if isinstance(node, AttrAccess):
         return F.col(node.map_col).getItem(node.key)
+    if isinstance(node, ListLit):
+        return F.array(*[compile_expr(i, env) for i in node.items])
     if isinstance(node, Not):
         return ~compile_expr(node.expr, env)
     if isinstance(node, Bin):
