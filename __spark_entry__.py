@@ -130,6 +130,31 @@ def q_temporal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temporal_agg_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram temporal reaggregation (builder.rs:79-128 analog, delta
+    form): events become single-observation histogram points, merged per
+    (minute, event_type) with element-wise bucket sums; the oracle
+    re-derives the bucket counts as conditional sums in plain SQL."""
+    from otel_arrow_spark.operators.metrics import (
+        histogram_delta_merge,
+        points_to_histogram,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    pts = points_to_histogram(e.select("event_type", "ts", "value"), "value",
+                              bounds=[10.0, 50.0, 100.0])
+    out = histogram_delta_merge(pts, "60 seconds", keys=("event_type",))
+    return out.select(
+        F.col("window_start"),
+        "event_type",
+        "h_count",
+        F.round("h_sum", 4).alias("h_sum_r"),
+        F.round("h_min", 4).alias("h_min_r"),
+        F.round("h_max", 4).alias("h_max_r"),
+        "bucket_counts",
+    )
+
+
 def q_filter_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """filter_processor strict include/exclude (include error+purchase,
     exclude purchases below 10)."""
@@ -572,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_counts": q_route_counts,
         "enrich_broadcast": q_enrich_broadcast,
         "temporal_agg": q_temporal_agg,
+        "temporal_agg_hist": q_temporal_agg_hist,
         "filter_strict": q_filter_strict,
         "filter_regexp": q_filter_regexp,
         "zip_sample": q_zip_sample,
@@ -639,6 +665,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('minute', ts) AS window_start, event_type,
                    CAST(count(*) AS BIGINT) AS n_rows,
                    round(CAST(sum(value) AS DOUBLE), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "temporal_agg_hist": """
+            SELECT date_trunc('minute', ts) AS window_start, event_type,
+                   CAST(count(*) AS BIGINT) AS h_count,
+                   round(CAST(sum(value) AS DOUBLE), 4) AS h_sum_r,
+                   round(CAST(min(value) AS DOUBLE), 4) AS h_min_r,
+                   round(CAST(max(value) AS DOUBLE), 4) AS h_max_r,
+                   [CAST(sum(CASE WHEN value <= 10 THEN 1 ELSE 0 END) AS BIGINT),
+                    CAST(sum(CASE WHEN value > 10 AND value <= 50 THEN 1 ELSE 0 END) AS BIGINT),
+                    CAST(sum(CASE WHEN value > 50 AND value <= 100 THEN 1 ELSE 0 END) AS BIGINT),
+                    CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT)] AS bucket_counts
             FROM events GROUP BY 1, 2
         """,
         "filter_strict": """

@@ -1,0 +1,233 @@
+"""Metric data-point operators: histogram / exp-histogram temporal
+reaggregation.
+
+Reference: the temporal reaggregation processor aggregates cumulative
+monotonic sums, cumulative histograms, cumulative exponential histograms,
+gauges and summaries per stream identity (README.md "Supported metrics";
+identity.rs:28-60), with **latest-timestamp-wins** semantics — an existing
+stream's data point is *replaced* when a newer point arrives
+(mod.rs:1167-1205 process_histogram_dp: ``if time > s.time_unix_nano →
+replace_histogram_dp``; pinned by test_cumulative_histogram_correlation
+"the later timestamp wins"). That is correct for cumulative temporality:
+each point already contains the running total.
+
+For DELTA temporality the Metrics Data Model's reaggregation is additive:
+counts/sums add, bucket counts merge element-wise, exp-histogram buckets
+align scales first. The reference passes non-cumulative types through
+unchanged; this module provides the delta merge as well because a
+reaggregating engine over delta streams needs it.
+
+Spark realization:
+* cumulative → ``max_by(point-struct, ts)`` per (window, stream) — one
+  hash aggregate, partial+final, no UDF;
+* delta histogram → count/sum/min/max algebraic aggregates + an
+  element-wise fold of bucket-count arrays (``aggregate ∘ collect_list``
+  with ``zip_with`` addition) — one shuffle, JVM-side;
+* delta exp-histogram → ``applyInPandas`` per (window, stream) group:
+  scale alignment is index arithmetic (bucket i at scale s covers buckets
+  ``(offset+i) >> (s - target)`` at the coarser target scale), vectorized
+  in numpy — the sanctioned custom-operator route for semantics Spark
+  expressions can't express cleanly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# histogram data point (docs/data_model.md HISTOGRAM_DP analog, denormalized)
+HISTOGRAM_FIELDS = (
+    "h_count", "h_sum", "h_min", "h_max", "bounds", "bucket_counts",
+)
+
+EXP_HISTOGRAM_SCHEMA = T.StructType(
+    [
+        T.StructField("e_count", T.LongType()),
+        T.StructField("e_sum", T.DoubleType()),
+        T.StructField("scale", T.IntegerType()),
+        T.StructField("zero_count", T.LongType()),
+        T.StructField("pos_offset", T.IntegerType()),
+        T.StructField("pos_counts", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def temporal_latest(
+    df: DataFrame,
+    period: str = "60 seconds",
+    keys: tuple[str, ...] = ("metric_name",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cumulative-temporality reaggregation: keep the LATEST data point per
+    (stream identity, window) — the reference's replace-if-newer semantics
+    (mod.rs:1167-1205) expressed as one ``max_by`` hash aggregate.
+
+    Applies to cumulative sums/histograms/exp-histograms, gauges and
+    summaries alike: whatever non-key columns exist ride along inside the
+    point struct. Partial+final decomposition is native (max_by is an
+    algebraic aggregate), so a hot stream leaves each map task as one row.
+    """
+    w = F.window(F.col(ts_col), period)
+    payload = [c for c in df.columns if c not in keys and c != ts_col]
+    point = F.struct(F.col(ts_col).alias(ts_col), *[F.col(c) for c in payload])
+    latest = df.groupBy(w.alias("w"), *keys).agg(
+        F.max_by(point, F.col(ts_col)).alias("_pt")
+    )
+    return latest.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *keys,
+        F.col(f"_pt.{ts_col}").alias(ts_col),
+        *[F.col(f"_pt.{c}").alias(c) for c in payload],
+    )
+
+
+def histogram_delta_merge(
+    df: DataFrame,
+    period: str = "60 seconds",
+    keys: tuple[str, ...] = ("metric_name",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Delta-temporality histogram reaggregation: per (stream, window) the
+    counts/sums add, min/max combine, and bucket_counts merge element-wise
+    (Metrics Data Model delta reaggregation).
+
+    Bucket bounds must be constant per stream (the OTel requirement for a
+    single stream); the element-wise sum is a JVM-side fold:
+    ``aggregate(collect_list(bucket_counts), zeros, zip_with(+))``. One
+    shuffle; the scalar aggregates are partial+final.
+    """
+    w = F.window(F.col(ts_col), period)
+    g = df.groupBy(w.alias("w"), *keys).agg(
+        F.sum("h_count").alias("h_count"),
+        F.sum("h_sum").alias("h_sum"),
+        F.min("h_min").alias("h_min"),
+        F.max("h_max").alias("h_max"),
+        F.first("bounds").alias("bounds"),
+        F.collect_list("bucket_counts").alias("_bcs"),
+    )
+    zeros = F.transform(
+        F.element_at("_bcs", 1), lambda _: F.lit(0).cast("long")
+    )
+    merged = F.aggregate(
+        "_bcs", zeros, lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b)
+    )
+    return g.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *keys,
+        "h_count",
+        "h_sum",
+        "h_min",
+        "h_max",
+        "bounds",
+        merged.alias("bucket_counts"),
+    )
+
+
+def points_to_histogram(
+    df: DataFrame,
+    value_col: str,
+    bounds: list[float],
+) -> DataFrame:
+    """Turn raw measurements into single-observation delta histogram points
+    (the ingest side of a histogram stream): one-hot bucket_counts with the
+    OTel bucket rule — bucket i counts values ≤ bounds[i], the final
+    overflow bucket counts values > bounds[-1]."""
+    v = F.col(value_col).cast("double")
+    conds = []
+    lo = None
+    for b in bounds:
+        c = v <= F.lit(float(b)) if lo is None else (v > F.lit(float(lo))) & (v <= F.lit(float(b)))
+        conds.append(c)
+        lo = b
+    conds.append(v > F.lit(float(bounds[-1])))
+    one_hot = F.array(*[F.when(c, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) for c in conds])
+    return (
+        df.withColumn("h_count", F.lit(1).cast("long"))
+        .withColumn("h_sum", v)
+        .withColumn("h_min", v)
+        .withColumn("h_max", v)
+        .withColumn("bounds", F.array(*[F.lit(float(b)) for b in bounds]))
+        .withColumn("bucket_counts", one_hot)
+    )
+
+
+def exp_histogram_delta_merge(
+    df: DataFrame,
+    period: str = "60 seconds",
+    keys: tuple[str, ...] = ("metric_name",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Delta exponential-histogram reaggregation with scale alignment.
+
+    Merging exp-histograms of different scales requires downscaling every
+    point to the group's minimum scale first: halving the scale merges
+    adjacent bucket pairs, so bucket index i (with base offset o) at scale
+    s maps to index ``(o + i) >> (s - target)`` at the coarser target
+    scale (OTel data model, exponential histograms). Per (stream, window)
+    group this is numpy index arithmetic inside ``applyInPandas`` — counts
+    scatter-add into the target index range.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_fields = ", ".join(
+        [
+            "window_start timestamp_ntz",
+            "window_end timestamp_ntz",
+            *[f"{k} string" for k in keys],
+            "e_count bigint",
+            "e_sum double",
+            "scale int",
+            "zero_count bigint",
+            "pos_offset int",
+            "pos_counts array<bigint>",
+        ]
+    )
+
+    w = F.window(F.col(ts_col), period)
+    keyed = df.withColumn("_w", w).withColumn("window_start", F.col("_w.start")).withColumn(
+        "window_end", F.col("_w.end")
+    ).drop("_w")
+
+    group_cols = ["window_start", "window_end", *keys]
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        target = int(pdf["scale"].min())
+        lo, hi = None, None
+        for _, r in pdf.iterrows():
+            if len(r["pos_counts"]) == 0:
+                continue
+            shift = int(r["scale"]) - target
+            first = (int(r["pos_offset"])) >> shift
+            last = (int(r["pos_offset"]) + len(r["pos_counts"]) - 1) >> shift
+            lo = first if lo is None else min(lo, first)
+            hi = last if hi is None else max(hi, last)
+        if lo is None:
+            counts = np.zeros(0, dtype=np.int64)
+            lo = 0
+        else:
+            counts = np.zeros(hi - lo + 1, dtype=np.int64)
+            for _, r in pdf.iterrows():
+                cs = np.asarray(r["pos_counts"], dtype=np.int64)
+                if len(cs) == 0:
+                    continue
+                shift = int(r["scale"]) - target
+                idx = ((int(r["pos_offset"]) + np.arange(len(cs))) >> shift) - lo
+                np.add.at(counts, idx, cs)
+        row = {
+            "window_start": pdf["window_start"].iloc[0],
+            "window_end": pdf["window_end"].iloc[0],
+            **{k: pdf[k].iloc[0] for k in keys},
+            "e_count": pdf["e_count"].sum(),
+            "e_sum": pdf["e_sum"].sum(),
+            "scale": target,
+            "zero_count": pdf["zero_count"].sum(),
+            "pos_offset": lo,
+            "pos_counts": [int(c) for c in counts],
+        }
+        return pd.DataFrame([row])
+
+    return keyed.groupBy(*group_cols).applyInPandas(merge, schema=out_fields)

@@ -1,0 +1,207 @@
+"""Temporal reaggregation of metric data points: cumulative latest-wins
+(the reference's replace-if-newer, mod.rs:1167-1205 +
+test_cumulative_histogram_correlation), delta histogram bucket merge, and
+exp-histogram scale alignment — each against independent Python oracles."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from otel_arrow_spark.operators.metrics import (
+    exp_histogram_delta_merge,
+    histogram_delta_merge,
+    points_to_histogram,
+    temporal_latest,
+)
+
+T0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+
+def ts(sec):
+    return T0 + dt.timedelta(seconds=sec)
+
+
+@pytest.fixture(scope="module")
+def hist_points(spark):
+    # cumulative histogram stream "m1": totals grow; later point supersedes
+    rows = [
+        ("m1", ts(5), 10, 100.0, [1.0, 5.0], [2, 3, 5]),
+        ("m1", ts(20), 25, 260.0, [1.0, 5.0], [5, 8, 12]),   # later → wins
+        ("m1", ts(10), 15, 150.0, [1.0, 5.0], [3, 5, 7]),    # out of order
+        ("m1", ts(70), 30, 300.0, [1.0, 5.0], [6, 10, 14]),  # next window
+        ("m2", ts(8), 4, 40.0, [1.0, 5.0], [1, 1, 2]),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "metric_name string, ts timestamp, h_count long, h_sum double, "
+        "bounds array<double>, bucket_counts array<long>",
+    )
+
+
+class TestCumulativeLatest:
+    def test_later_timestamp_wins(self, spark, hist_points):
+        """Mirror of test_cumulative_histogram_correlation: within a window
+        the highest-ts point replaces earlier ones, regardless of arrival
+        order."""
+        out = temporal_latest(hist_points, "60 seconds", keys=("metric_name",))
+        got = {
+            (r.metric_name, r.window_start.minute): (r.h_count, r.bucket_counts)
+            for r in out.collect()
+        }
+        assert got[("m1", 0)] == (25, [5, 8, 12])   # ts=20 wins over 5 and 10
+        assert got[("m1", 1)] == (30, [6, 10, 14])
+        assert got[("m2", 0)] == (4, [1, 1, 2])
+        assert out.count() == 3
+
+    def test_gauge_shaped_payload(self, spark):
+        """temporal_latest is payload-agnostic: works for gauges/summaries
+        (any column set rides in the point struct)."""
+        g = spark.createDataFrame(
+            [("g1", ts(1), 5.0), ("g1", ts(50), 9.0), ("g1", ts(30), 7.0)],
+            "metric_name string, ts timestamp, value double",
+        )
+        out = temporal_latest(g, "60 seconds", keys=("metric_name",))
+        assert out.collect()[0].value == 9.0
+
+
+class TestDeltaHistogram:
+    def test_merge_vs_python_oracle(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        rows = []
+        for i in range(200):
+            sec = int(rng.randint(0, 180))
+            counts = [int(c) for c in rng.randint(0, 5, size=4)]
+            vals = float(rng.uniform(0, 20))
+            rows.append(
+                ("m", ts(sec), sum(counts), vals, [1.0, 5.0, 10.0],
+                 counts, vals, vals)
+            )
+        df = spark.createDataFrame(
+            rows,
+            "metric_name string, ts timestamp, h_count long, h_sum double, "
+            "bounds array<double>, bucket_counts array<long>, h_min double, "
+            "h_max double",
+        )
+        out = histogram_delta_merge(df, "60 seconds", keys=("metric_name",))
+        got = {r.window_start.minute: r for r in out.collect()}
+        # independent oracle
+        import collections
+
+        exp = collections.defaultdict(lambda: [0, 0.0, [0, 0, 0, 0]])
+        mins, maxs = {}, {}
+        for name, t, c, s, b, bc, mn, mx in rows:
+            m = (t - T0).seconds // 60
+            exp[m][0] += c
+            exp[m][1] += s
+            exp[m][2] = [a + x for a, x in zip(exp[m][2], bc)]
+            mins[m] = min(mins.get(m, mn), mn)
+            maxs[m] = max(maxs.get(m, mx), mx)
+        for m, (c, s, bc) in exp.items():
+            assert got[m].h_count == c
+            assert got[m].bucket_counts == bc
+            assert abs(got[m].h_sum - s) < 1e-9
+            assert got[m].h_min == mins[m] and got[m].h_max == maxs[m]
+
+    def test_points_to_histogram_bucket_rule(self, spark):
+        df = spark.createDataFrame(
+            [(0.5,), (1.0,), (3.0,), (5.0,), (7.0,)], "v double"
+        )
+        out = points_to_histogram(df, "v", bounds=[1.0, 5.0])
+        got = [tuple(r.bucket_counts) for r in out.orderBy("v").collect()]
+        # OTel rule: bucket i counts v <= bounds[i]; overflow counts v > last
+        assert got == [(1, 0, 0), (1, 0, 0), (0, 1, 0), (0, 1, 0), (0, 0, 1)]
+
+
+class TestExpHistogram:
+    def test_same_scale_merge(self, spark):
+        rows = [
+            ("e", ts(1), 6, 10.0, 2, 1, 3, [1, 2, 3]),
+            ("e", ts(2), 9, 15.0, 2, 2, 5, [4, 5]),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "metric_name string, ts timestamp, e_count long, e_sum double, "
+            "scale int, zero_count long, pos_offset int, pos_counts array<long>",
+        )
+        out = exp_histogram_delta_merge(df, "60 seconds", keys=("metric_name",)).collect()[0]
+        assert out.e_count == 15 and out.zero_count == 3 and out.scale == 2
+        # offsets 3..5 and 5..6 → merged span 3..6 = [1,2,3+4,5]
+        assert out.pos_offset == 3
+        assert out.pos_counts == [1, 2, 7, 5]
+
+    def test_scale_alignment(self, spark):
+        """scale 2 point downscaled to scale 0: indices collapse 4→1
+        (idx >> 2); verified against an independent brute-force oracle."""
+        rows = [
+            ("e", ts(1), 10, 10.0, 2, 0, 4, [1, 1, 1, 1, 1, 1]),  # idx 4..9
+            ("e", ts(2), 5, 5.0, 0, 0, 1, [2, 2]),                # idx 1..2
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "metric_name string, ts timestamp, e_count long, e_sum double, "
+            "scale int, zero_count long, pos_offset int, pos_counts array<long>",
+        )
+        out = exp_histogram_delta_merge(df, "60 seconds", keys=("metric_name",)).collect()[0]
+        # oracle
+        import collections
+
+        acc = collections.Counter()
+        for _, _, _, _, scale, _, off, cs in rows:
+            for i, c in enumerate(cs):
+                acc[(off + i) >> (scale - 0)] += c
+        lo = min(acc)
+        want = [acc.get(i, 0) for i in range(lo, max(acc) + 1)]
+        assert out.scale == 0
+        assert out.pos_offset == lo
+        assert out.pos_counts == want
+        assert out.e_count == 15
+
+
+class TestStreamingHistogram:
+    def test_stream_merge_matches_batch(self, spark, workdir):
+        """Streaming tumbling-window histogram merge == batch merge on the
+        same points (the stream-batch parity bar, applied to the new
+        operator)."""
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        rows = [
+            ("m", ts(int(rng.randint(0, 7200))), float(rng.uniform(0, 20)))
+            for _ in range(500)
+        ]
+        src = f"{workdir}/hist_src"
+        base = spark.createDataFrame(rows, "metric_name string, ts timestamp, v double")
+        pts = points_to_histogram(base, "v", bounds=[1.0, 5.0, 10.0])
+        pts.write.mode("overwrite").parquet(src)
+
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .parquet(src)
+            .withWatermark("ts", "10 minutes")
+        )
+        merged = histogram_delta_merge(stream, "60 seconds", keys=("metric_name",))
+        out = f"{workdir}/hist_stream_out"
+        q = (
+            merged.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", f"{workdir}/hist_stream_ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = spark.read.parquet(out)
+        batch = histogram_delta_merge(
+            spark.read.parquet(src), "60 seconds", keys=("metric_name",)
+        )
+        # append mode emits only watermark-closed windows
+        max_ts = base.agg(F.max("ts")).first()[0]
+        closed = batch.filter(
+            F.col("window_end") <= F.lit(max_ts) - F.expr("INTERVAL 10 MINUTES")
+        )
+        g = {r.window_start: (r.h_count, tuple(r.bucket_counts)) for r in got.collect()}
+        w = {r.window_start: (r.h_count, tuple(r.bucket_counts)) for r in closed.collect()}
+        assert g == w and len(g) > 0
