@@ -495,6 +495,116 @@ def _syslog_corpus_path(n: int) -> str:
     return path
 
 
+def q_attrs_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-driven ORDERED attributes action list
+    (attributes_processor/mod.rs:77): rename → hash → insert → upsert →
+    delete applied in declaration order; the hash sees the renamed key."""
+    from otel_arrow_spark.operators.attributes import apply_actions
+
+    e = _t(spark, sf_dir, "events")
+    df = e.select(
+        "event_id",
+        "event_type",
+        F.create_map(
+            F.lit("etype"), F.col("event_type"),
+            F.lit("user"), F.col("user_id").cast("string"),
+        ).alias("attributes"),
+    )
+    out = apply_actions(
+        df,
+        "attributes",
+        [
+            ("rename", "user", "user.id"),
+            ("hash", "user.id", "salt!"),
+            ("insert", "source", "events"),
+            ("upsert", "etype", F.upper(F.col("event_type"))),
+            ("delete", "etype_missing"),
+        ],
+    )
+    m = F.col("attributes")
+    return out.select(
+        "event_id",
+        m["user.id"].alias("user_hash"),
+        m["etype"].alias("etype_u"),
+        m["source"].alias("source"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+def _spans_dir(sf_dir: str) -> str:
+    from otel_arrow_spark.sources.spans import write_spans_parquet
+
+    n = 2000 if "sf0.001" in sf_dir else 20_000
+    return write_spans_parquet(os.path.join(_REPO, ".cache", "spans", f"n{n}"), n)
+
+
+def q_span_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRACES star schema (docs/data_model.md:309-420): filter error spans
+    and cascade the surviving id set across THREE levels — spans →
+    span_attrs / span_events (parent_id = span id) → span_event_attrs
+    (parent_id = event id) — the id-bitmap cascade
+    (pdata/src/otap/filter.rs) as left-semi joins, then aggregate each
+    level per span name."""
+    from otel_arrow_spark.operators.filter import cascade_filter
+
+    p = _spans_dir(sf_dir)
+    spans = spark.read.parquet(f"{p}/spans.parquet")
+    attrs = spark.read.parquet(f"{p}/span_attrs.parquet")
+    events = spark.read.parquet(f"{p}/span_events.parquet")
+    eattrs = spark.read.parquet(f"{p}/span_event_attrs.parquet")
+
+    pred = (F.col("status_code") == 2) & (F.col("duration_ms") > 20)
+    kept, kept_attrs = cascade_filter(spans, attrs, pred)
+    _, kept_events = cascade_filter(spans, events, pred)
+    kept_eattrs = eattrs.join(
+        kept_events.select(F.col("id").alias("parent_id")).distinct(),
+        on="parent_id",
+        how="left_semi",
+    )
+
+    names = kept.select(F.col("id").alias("sid"), F.col("name").alias("sname"))
+    n_spans = kept.groupBy("name").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.round(F.avg("duration_ms"), 4).alias("avg_dur_r"),
+    )
+    n_attrs = (
+        kept_attrs.join(names, kept_attrs.parent_id == names.sid)
+        .groupBy("sname").agg(F.count(F.lit(1)).alias("n_attrs"))
+        .withColumnRenamed("sname", "name")
+    )
+    ev_named = (
+        kept_events.join(names, kept_events.parent_id == names.sid)
+        .select("sname", F.col("name").alias("ename"), F.col("id").alias("eid"))
+    )
+    n_events = (
+        ev_named.groupBy("sname").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("ename") == "exception").cast("long")).alias("n_exceptions"),
+        )
+        .withColumnRenamed("sname", "name")
+    )
+    # level-3: event attrs rolled up to the owning span's name
+    n_eattrs = (
+        kept_eattrs.join(ev_named, kept_eattrs.parent_id == ev_named.eid)
+        .groupBy("sname").agg(F.count(F.lit(1)).alias("n_event_attrs"))
+        .withColumnRenamed("sname", "name")
+    )
+    out = (
+        n_spans.join(n_attrs, "name", "left")
+        .join(n_events, "name", "left")
+        .join(n_eattrs, "name", "left")
+    )
+    return out.select(
+        "name",
+        "n_spans",
+        "avg_dur_r",
+        F.coalesce("n_attrs", F.lit(0)).cast("long").alias("n_attrs"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("n_exceptions", F.lit(0)).cast("long").alias("n_exceptions"),
+        F.coalesce("n_event_attrs", F.lit(0)).cast("long").alias("n_event_attrs"),
+    )
+
+
 def q_ottl_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OTTL statement list (the transform processor's third language,
     transform_processor/mod.rs:177) over events: guarded set editors +
@@ -603,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zip_sample": q_zip_sample,
         "ratio_sample": q_ratio_sample,
         "attrs_hash": q_attrs_hash,
+        "attrs_actions": q_attrs_actions,
         "scalar_functions": q_scalar_functions,
         "conditional_union": q_conditional_union,
         "tpch_q1": q_tpch_q1,
@@ -618,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "opl_summarize": q_opl_summarize,
         "opl_route": q_opl_route,
+        "span_cascade": q_span_cascade,
         "ottl_transform": q_ottl_transform,
         "syslog_parse": q_syslog_parse,
         "embedding_pairs_exact": q_embedding_pairs_exact,
@@ -701,6 +813,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "attrs_hash": """
             SELECT event_id, sha256('pepper!' || props) AS props_hash FROM events
+        """,
+        "attrs_actions": """
+            SELECT event_id,
+                   sha256('salt!' || CAST(user_id AS VARCHAR)) AS user_hash,
+                   upper(event_type) AS etype_u,
+                   'events' AS source,
+                   3 AS n_keys
+            FROM events
         """,
         "scalar_functions": """
             SELECT c_custkey,
@@ -853,6 +973,39 @@ def oracle_sql() -> dict[str, str]:
             FROM ed a CROSS JOIN ed b
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+        """,
+        "span_cascade": f"""
+            WITH k AS (
+                SELECT id, name, duration_ms
+                FROM read_parquet('{_REPO}/.cache/spans/n20000/spans.parquet')
+                WHERE status_code = 2 AND duration_ms > 20),
+            ka AS (
+                SELECT k.name FROM read_parquet('{_REPO}/.cache/spans/n20000/span_attrs.parquet') a
+                JOIN k ON a.parent_id = k.id),
+            ke AS (
+                SELECT e.id, e.name AS ename, k.name AS sname
+                FROM read_parquet('{_REPO}/.cache/spans/n20000/span_events.parquet') e
+                JOIN k ON e.parent_id = k.id),
+            kea AS (
+                SELECT ke.sname
+                FROM read_parquet('{_REPO}/.cache/spans/n20000/span_event_attrs.parquet') ea
+                JOIN ke ON ea.parent_id = ke.id),
+            s AS (SELECT name, CAST(count(*) AS BIGINT) AS n_spans,
+                         round(avg(duration_ms), 4) AS avg_dur_r
+                  FROM k GROUP BY 1),
+            a AS (SELECT name, CAST(count(*) AS BIGINT) AS n_attrs FROM ka GROUP BY 1),
+            e AS (SELECT sname, CAST(count(*) AS BIGINT) AS n_events,
+                         CAST(sum(CASE WHEN ename = 'exception' THEN 1 ELSE 0 END) AS BIGINT) AS n_exceptions
+                  FROM ke GROUP BY 1),
+            x AS (SELECT sname, CAST(count(*) AS BIGINT) AS n_event_attrs FROM kea GROUP BY 1)
+            SELECT s.name, s.n_spans, s.avg_dur_r,
+                   coalesce(a.n_attrs, 0) AS n_attrs,
+                   coalesce(e.n_events, 0) AS n_events,
+                   coalesce(e.n_exceptions, 0) AS n_exceptions,
+                   coalesce(x.n_event_attrs, 0) AS n_event_attrs
+            FROM s LEFT JOIN a ON s.name = a.name
+                   LEFT JOIN e ON s.name = e.sname
+                   LEFT JOIN x ON s.name = x.sname
         """,
         "ottl_transform": """
             WITH t AS (

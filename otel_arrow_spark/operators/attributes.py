@@ -98,6 +98,41 @@ def attrs_hash(df: DataFrame, attrs_col: str, key: str, salt: str = "") -> DataF
     )
 
 
+def apply_actions(
+    df: DataFrame, attrs_col: str, actions: list[tuple]
+) -> DataFrame:
+    """Config-driven ORDERED action list (attributes_processor/mod.rs:77:
+    the processor applies its ``Action`` vec in declaration order, so
+    rename-then-hash hashes under the NEW key while hash-then-rename hashes
+    under the old one — order is semantics, not style).
+
+    ``actions``: tuples of (kind, *args) where kind ∈ insert / update /
+    upsert / delete / rename / hash with the same args as the per-action
+    functions; scalar values are lifted to literal Columns.
+    """
+    dispatch = {
+        "insert": attrs_insert,
+        "update": attrs_update,
+        "upsert": attrs_upsert,
+        "delete": attrs_delete,
+        "rename": attrs_rename,
+        "hash": attrs_hash,
+    }
+    for action in actions:
+        kind, *args = action
+        fn = dispatch.get(kind)
+        if fn is None:
+            raise ValueError(f"unknown attributes action: {kind!r}")
+        if kind in ("insert", "update", "upsert"):
+            key, value = args
+            if not isinstance(value, Column):
+                value = F.lit(value)
+            df = fn(df, attrs_col, key, value)
+        else:
+            df = fn(df, attrs_col, *args)
+    return df
+
+
 def apply_attributes_filter(df: DataFrame, attrs_col: str, predicate) -> DataFrame:
     """OPL ``apply attributes { where <predicate(key, value)> }``:
     keep only entries passing the predicate (apply_attrs.rs:27 over the

@@ -1,0 +1,144 @@
+"""Deterministic synthetic TRACES star-schema generator.
+
+Reference: the traces Arrow schema (docs/data_model.md:309-420) — SPANS
+with child tables keyed by ``parent_id``: SPAN_ATTRS (parent_id → span id),
+SPAN_EVENTS (own id, parent_id → span id), SPAN_EVENT_ATTRS (parent_id →
+span-event id). This generator materializes that multi-table layout so the
+id-bitmap cascade (pdata/src/otap/filter.rs filter_otap_batch) can be
+exercised across all three levels with left-semi joins.
+
+Columns follow the reference's field names where they carry analytics
+semantics (trace_id/span_id hex, name, kind, status_code,
+start_time_unix_nano → ``start_ts``, duration); attrs use the exploded
+(parent_id, key, type, str, int) layout of data_model.md's *_ATTRS tables.
+
+Everything is vectorized numpy and fully deterministic (fixed seed/epoch).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+EPOCH = np.datetime64("2026-01-01T00:00:00", "us")
+
+SPAN_NAMES = ["GET /api", "POST /api", "db.query", "cache.get", "render", "auth.check"]
+EVENT_NAMES = ["exception", "retry", "gc", "log"]
+ATTR_KEYS = ["http.method", "http.status_code", "db.system", "peer.service", "enduser.id"]
+EVENT_ATTR_KEYS = ["exception.type", "exception.message", "retry.count", "log.severity"]
+
+
+def _hex(rng: np.random.RandomState, n: int, nchars: int) -> np.ndarray:
+    digits = np.array(list("0123456789abcdef"))
+    idx = rng.randint(0, 16, size=(n, nchars))
+    return np.array(["".join(row) for row in digits[idx]], dtype=object)
+
+
+def generate_spans_tables(n_spans: int, seed: int = 42) -> dict[str, pd.DataFrame]:
+    """Generate {spans, span_attrs, span_events, span_event_attrs} frames."""
+    rng = np.random.RandomState(seed)
+
+    span_id = np.arange(n_spans, dtype=np.int64)
+    trace_ord = rng.randint(0, max(1, n_spans // 4), size=n_spans)
+    name = np.array(SPAN_NAMES, dtype=object)[rng.randint(0, len(SPAN_NAMES), n_spans)]
+    kind = rng.randint(1, 6, size=n_spans)
+    # ~8% error spans (status_code 2 = ERROR)
+    status_code = np.where(rng.random_sample(n_spans) < 0.08, 2,
+                           np.where(rng.random_sample(n_spans) < 0.2, 1, 0))
+    start_us = rng.randint(0, 3_600_000_000, size=n_spans)
+    duration_ms = (rng.pareto(2.0, size=n_spans) * 20).astype(np.int64) + 1
+    spans = pd.DataFrame(
+        {
+            "id": span_id,
+            "trace_id": _hex(rng, max(1, n_spans // 4), 32)[trace_ord],
+            "span_id_hex": _hex(rng, n_spans, 16),
+            "name": name,
+            "kind": kind.astype(np.int32),
+            "status_code": status_code.astype(np.int32),
+            "start_ts": EPOCH + start_us.astype("timedelta64[us]"),
+            "duration_ms": duration_ms,
+        }
+    )
+
+    # span attrs: 0-4 per span
+    n_attrs = rng.randint(0, 5, size=n_spans)
+    parent = np.repeat(span_id, n_attrs)
+    m = len(parent)
+    keys = np.array(ATTR_KEYS, dtype=object)[rng.randint(0, len(ATTR_KEYS), m)]
+    ints = rng.randint(100, 600, size=m)
+    strs = np.array(["GET", "POST", "mysql", "redis", "svc-a", "svc-b"], dtype=object)[
+        rng.randint(0, 6, size=m)
+    ]
+    is_int = keys == "http.status_code"
+    span_attrs = pd.DataFrame(
+        {
+            "parent_id": parent,
+            "key": keys,
+            "type": np.where(is_int, 2, 1).astype(np.int32),  # 1=str 2=int
+            "str": np.where(is_int, None, strs),
+            "int": np.where(is_int, ints, np.int64(0)),
+        }
+    )
+    span_attrs["int"] = span_attrs["int"].where(is_int, other=pd.NA).astype("Int64")
+
+    # span events: 0-3 per span; exceptions concentrated on error spans
+    n_ev = rng.randint(0, 4, size=n_spans)
+    ev_parent = np.repeat(span_id, n_ev)
+    k = len(ev_parent)
+    ev_id = np.arange(k, dtype=np.int64)
+    ev_name = np.array(EVENT_NAMES, dtype=object)[rng.randint(0, len(EVENT_NAMES), k)]
+    parent_status = status_code[ev_parent]
+    force_exc = (parent_status == 2) & (rng.random_sample(k) < 0.5)
+    ev_name = np.where(force_exc, "exception", ev_name)
+    ev_time = EPOCH + (start_us[ev_parent] + rng.randint(0, 1000, size=k) * 1000).astype(
+        "timedelta64[us]"
+    )
+    span_events = pd.DataFrame(
+        {"id": ev_id, "parent_id": ev_parent, "time_ts": ev_time, "name": ev_name}
+    )
+
+    # span event attrs: 0-2 per event
+    n_ea = rng.randint(0, 3, size=k)
+    ea_parent = np.repeat(ev_id, n_ea)
+    j = len(ea_parent)
+    ea_keys = np.array(EVENT_ATTR_KEYS, dtype=object)[rng.randint(0, len(EVENT_ATTR_KEYS), j)]
+    ea_vals = np.array(
+        ["IOError", "timeout waiting", "3", "warn", "OOM", "disk full"], dtype=object
+    )[rng.randint(0, 6, size=j)]
+    span_event_attrs = pd.DataFrame(
+        {
+            "parent_id": ea_parent,
+            "key": ea_keys,
+            "type": np.full(j, 1, dtype=np.int32),
+            "str": ea_vals,
+        }
+    )
+
+    return {
+        "spans": spans,
+        "span_attrs": span_attrs,
+        "span_events": span_events,
+        "span_event_attrs": span_event_attrs,
+    }
+
+
+def write_spans_parquet(out_dir: str, n_spans: int, seed: int = 42) -> str:
+    """Write the four tables as parquet under ``out_dir`` (idempotent)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    marker = os.path.join(out_dir, f"_SUCCESS.{n_spans}.{seed}")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    for name, pdf in generate_spans_tables(n_spans, seed).items():
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            os.path.join(out_dir, f"{name}.parquet"),
+            row_group_size=62_500,
+        )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir

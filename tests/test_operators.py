@@ -60,6 +60,33 @@ class TestAttributes:
         assert "env" not in _attrs(out, 1)
         assert _attrs(out, 1)["user"] == "alice"
 
+    def test_apply_actions_order_sensitivity(self, attrs_df):
+        """Ordered Action list (attributes_processor/mod.rs:77):
+        rename-then-hash hashes the value under the NEW key;
+        hash-then-rename leaves the same bytes but proves order matters
+        when the hash key refers to the renamed name."""
+        import hashlib
+
+        from otel_arrow_spark.operators.attributes import apply_actions
+
+        a = apply_actions(
+            attrs_df, "attributes",
+            [("rename", "env", "env2"), ("hash", "env2", "s!")],
+        )
+        b = apply_actions(
+            attrs_df, "attributes",
+            [("hash", "env2", "s!"), ("rename", "env", "env2")],
+        )
+        want = hashlib.sha256(b"s!prod").hexdigest()
+        assert _attrs(a, 1)["env2"] == want         # rename first → hashed
+        assert _attrs(b, 1)["env2"] == "prod"       # hash saw no env2 → raw
+        # insert/upsert/delete compose in order too
+        c = apply_actions(
+            attrs_df, "attributes",
+            [("insert", "k", "v1"), ("upsert", "k", "v2"), ("delete", "k")],
+        )
+        assert "k" not in _attrs(c, 1)
+
     def test_rename(self, attrs_df):
         out = attrs_rename(attrs_df, "attributes", "env", "environment")
         assert _attrs(out, 1)["environment"] == "prod"

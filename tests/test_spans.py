@@ -1,0 +1,81 @@
+"""TRACES star-schema tests: generator integrity, three-level id-bitmap
+cascade (docs/data_model.md:309-420; pdata/src/otap/filter.rs analog)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from otel_arrow_spark.operators.filter import cascade_filter
+from otel_arrow_spark.sources.spans import generate_spans_tables, write_spans_parquet
+
+
+@pytest.fixture(scope="module")
+def tables(spark, workdir):
+    path = write_spans_parquet(f"{workdir}/spans_fixture", 2000)
+    return {
+        n: spark.read.parquet(f"{path}/{n}.parquet")
+        for n in ["spans", "span_attrs", "span_events", "span_event_attrs"]
+    }
+
+
+def test_generator_deterministic():
+    a = generate_spans_tables(500)
+    b = generate_spans_tables(500)
+    for k in a:
+        assert a[k].equals(b[k]), k
+
+
+def test_star_schema_integrity(spark, tables):
+    """Every child parent_id resolves to a parent row (no orphans)."""
+    span_ids = {r.id for r in tables["spans"].select("id").collect()}
+    for child in ["span_attrs", "span_events"]:
+        pids = {r.parent_id for r in tables[child].select("parent_id").distinct().collect()}
+        assert pids <= span_ids, child
+    ev_ids = {r.id for r in tables["span_events"].select("id").collect()}
+    ea_pids = {
+        r.parent_id
+        for r in tables["span_event_attrs"].select("parent_id").distinct().collect()
+    }
+    assert ea_pids <= ev_ids
+
+
+def test_cascade_three_levels(spark, tables):
+    """Cascading the error-span selection drops exactly the child rows whose
+    ancestry was dropped, across all three levels."""
+    pred = F.col("status_code") == 2
+    kept, kept_attrs = cascade_filter(tables["spans"], tables["span_attrs"], pred)
+    _, kept_events = cascade_filter(tables["spans"], tables["span_events"], pred)
+    kept_eattrs = tables["span_event_attrs"].join(
+        kept_events.select(F.col("id").alias("parent_id")).distinct(),
+        on="parent_id",
+        how="left_semi",
+    )
+    kept_ids = {r.id for r in kept.select("id").collect()}
+    assert 0 < len(kept_ids) < tables["spans"].count()
+    assert {r.parent_id for r in kept_attrs.collect()} <= kept_ids
+    assert {r.parent_id for r in kept_events.collect()} <= kept_ids
+    # level-3 rows reference only surviving events
+    ev_kept = {r.id for r in kept_events.select("id").collect()}
+    assert {r.parent_id for r in kept_eattrs.collect()} <= ev_kept
+    # completeness: a surviving span keeps ALL its attrs
+    one = next(iter(kept_ids))
+    before = tables["span_attrs"].filter(F.col("parent_id") == one).count()
+    after = kept_attrs.filter(F.col("parent_id") == one).count()
+    assert before == after
+
+
+def test_cascade_matches_duckdb(spark, tables, workdir):
+    """Independent DuckDB re-derivation of the level-2 cascade counts."""
+    import duckdb
+
+    p = f"{workdir}/spans_fixture"
+    want = duckdb.sql(
+        f"""
+        SELECT count(*) FROM read_parquet('{p}/span_events.parquet') e
+        WHERE e.parent_id IN (
+            SELECT id FROM read_parquet('{p}/spans.parquet') WHERE status_code = 2)
+        """
+    ).fetchone()[0]
+    _, kept_events = cascade_filter(
+        tables["spans"], tables["span_events"], F.col("status_code") == 2
+    )
+    assert kept_events.count() == want
