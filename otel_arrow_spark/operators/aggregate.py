@@ -66,6 +66,80 @@ def temporal_aggregate(
     )
 
 
+def capped_reaggregate(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    value_col: str,
+    max_streams: int = 16384,
+) -> DataFrame:
+    """Bounded-memory aggregation with cardinality-cap EARLY FLUSH — the
+    ``max_stream_cardinality`` analog (temporal_reaggregation_processor/
+    README.md:56-60: "Maximum number of individual metric streams tracked
+    while aggregating a single batch... When this limit is hit, data is
+    flushed early"; mod.rs AggregationError::StreamCardinalityExceeded).
+
+    Each partition tracks at most ``max_streams`` distinct key tuples in
+    its in-memory map; when a new stream would exceed the cap, the current
+    partials are emitted (one flush generation) and the map resets. The
+    output may therefore contain MULTIPLE partial rows per stream — the
+    same contract as the reference, whose early-flushed aggregates stand
+    as separate output points. ``flush_seq`` records the generation; a
+    downstream ``groupBy(keys).sum()`` merges partials exactly (asserted
+    in tests against the uncapped aggregate).
+
+    Implementation: one ``mapInPandas`` pass — per Arrow batch a pandas
+    groupby (vectorized) merges into the bounded dict; no shuffle at all,
+    which is the point: this is the operator for when even a shuffle's
+    map-side hash table must stay bounded.
+    """
+    import pandas as pd
+
+    key_list = list(keys)
+    out_schema = ", ".join(
+        [*(f"{k} string" for k in key_list), "n_rows long",
+         f"sum_{value_col} double", "flush_seq int"]
+    )
+
+    def run(batches):
+        state: dict[tuple, list] = {}
+        flush_seq = 0
+
+        def emit():
+            nonlocal state, flush_seq
+            if not state:
+                return None
+            rows = [
+                [*k, v[0], v[1], flush_seq] for k, v in state.items()
+            ]
+            out = pd.DataFrame(
+                rows, columns=[*key_list, "n_rows", f"sum_{value_col}", "flush_seq"]
+            )
+            state = {}
+            flush_seq += 1
+            return out
+
+        for pdf in batches:
+            g = pdf.groupby(key_list, dropna=False, sort=False)[value_col].agg(
+                ["count", "sum"]
+            )
+            for k, row in g.iterrows():
+                kt = k if isinstance(k, tuple) else (k,)
+                if kt in state:
+                    state[kt][0] += int(row["count"])
+                    state[kt][1] += float(row["sum"])
+                else:
+                    if len(state) >= max_streams:
+                        out = emit()
+                        if out is not None:
+                            yield out
+                    state[kt] = [int(row["count"]), float(row["sum"])]
+        out = emit()
+        if out is not None:
+            yield out
+
+    return df.select(*key_list, value_col).mapInPandas(run, schema=out_schema)
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: tuple[str, ...] = ("conv_id", "tool", "severity_text"),

@@ -160,6 +160,54 @@ class TestExpHistogram:
         assert out.e_count == 15
 
 
+class TestCardinalityCap:
+    def test_early_flush_and_exact_merge(self, spark):
+        """max_stream_cardinality analog (README.md:56-60): exceeding the
+        cap emits partial aggregates early; merged partials equal the
+        uncapped aggregate exactly; flush generations actually advance."""
+        from otel_arrow_spark.operators.aggregate import capped_reaggregate
+
+        # small Arrow batches so every stream recurs after its generation
+        # was flushed (local relations otherwise arrive as ONE batch)
+        rows = [(f"s{i % 50:02d}", float(i % 7)) for i in range(25000)]
+        df = spark.createDataFrame(rows, "stream string, v double").coalesce(1)
+
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1000")
+        try:
+            capped = capped_reaggregate(df, ("stream",), "v", max_streams=8)
+            out = capped.collect()
+        finally:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        # 50 streams through an 8-slot map → many flush generations
+        assert max(r.flush_seq for r in out) >= 5
+        assert len(out) > 50  # multiple partials per stream
+        merged = {
+            r.stream: (r.n, r.s)
+            for r in capped.groupBy("stream")
+            .agg(
+                F.sum("n_rows").alias("n"), F.round(F.sum("sum_v"), 6).alias("s")
+            )
+            .collect()
+        }
+        want = {
+            r.stream: (r.n, r.s)
+            for r in df.groupBy("stream")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 6).alias("s"))
+            .collect()
+        }
+        assert merged == want
+
+    def test_under_cap_single_flush(self, spark):
+        from otel_arrow_spark.operators.aggregate import capped_reaggregate
+
+        df = spark.createDataFrame(
+            [(f"s{i % 5}", 1.0) for i in range(100)], "stream string, v double"
+        ).coalesce(1)
+        out = capped_reaggregate(df, ("stream",), "v", max_streams=100).collect()
+        assert len(out) == 5
+        assert all(r.flush_seq == 0 for r in out)
+
+
 class TestStreamingHistogram:
     def test_stream_merge_matches_batch(self, spark, workdir):
         """Streaming tumbling-window histogram merge == batch merge on the
