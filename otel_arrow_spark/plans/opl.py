@@ -158,6 +158,17 @@ class ForkStage:
 
 
 @dataclass
+class RenameStage:
+    map_col: str
+    pairs: list  # [(old_key, new_key)] — applied in order
+
+
+@dataclass
+class RemoveKeysStage:
+    targets: list  # [(map_col, key)]
+
+
+@dataclass
 class ApplyAttrsStage:
     map_col: str
     stages: list  # WhereStage / SetStage over the key/value stream
@@ -281,6 +292,17 @@ class _Parser:
             self.expect("]")
             return ListLit(items)
         if t.kind == "ident":
+            if t.text == "timestamp" and self.peek() is not None and self.peek().kind == "str":
+                # tagged literal timestamp"<iso8601>" (opl.pest:24,
+                # expression.rs:791-797); Z/offset normalized to naive UTC so
+                # it compares against TIMESTAMP_NTZ columns
+                import datetime as dt
+
+                raw = _unquote(self.next().text)
+                val = dt.datetime.fromisoformat(raw.replace("Z", "+00:00"))
+                if val.tzinfo is not None:
+                    val = val.astimezone(dt.timezone.utc).replace(tzinfo=None)
+                return Lit(val)
             if t.text == "true":
                 return Lit(True)
             if t.text == "false":
@@ -373,11 +395,31 @@ class _Parser:
                 raise OplSyntaxError("apply expects a map column name")
             return ApplyAttrsStage(col.text, self._block())
         if t.text == "project":
+            if self.at("-"):
+                # KQL spelling ``project-away`` == remove (opl.pest:223)
+                self.next()
+                away = self.next()
+                if away.text != "away":
+                    raise OplSyntaxError("expected 'away' after 'project-'")
+                return self._remove_stage()
             cols = [self.next().text]
             while self.at(","):
                 self.next()
                 cols.append(self.next().text)
             return ProjectStage(cols)
+        if t.text == "remove":
+            return self._remove_stage()
+        if t.text == "rename":
+            # rename <map_col> "old" as "new" [, "old2" as "new2"]
+            # (opl.pest:219-221 rename_operator_call)
+            target = self.next()
+            if target.kind != "ident":
+                raise OplSyntaxError("rename expects a map column name")
+            pairs = [self._rename_pair()]
+            while self.at(","):
+                self.next()
+                pairs.append(self._rename_pair())
+            return RenameStage(target.text, pairs)
         if t.text == "take" or t.text == "limit":
             n = self.next()
             if n.kind != "num":
@@ -417,6 +459,37 @@ class _Parser:
                     keys.append(self.next().text)
             return SummarizeStage(aggs, keys)
         raise OplSyntaxError(f"unknown stage {t.text!r}")
+
+    def _rename_pair(self):
+        old = self.next()
+        if old.kind != "str":
+            raise OplSyntaxError("rename expects string key literals")
+        kw = self.next()
+        if kw.text != "as":
+            raise OplSyntaxError("rename pair must be '\"old\" as \"new\"'")
+        new = self.next()
+        if new.kind != "str":
+            raise OplSyntaxError("rename expects string key literals")
+        return (_unquote(old.text), _unquote(new.text))
+
+    def _remove_stage(self):
+        # remove attributes['k'] / attributes.k, ... (opl.pest:223-225)
+        targets = []
+        while True:
+            node = self.atom()
+            if isinstance(node, AttrAccess):
+                targets.append((node.map_col, node.key))
+            elif isinstance(node, Col) and "." in node.name:
+                mc, key = node.name.split(".", 1)
+                targets.append((mc, key))
+            else:
+                raise OplSyntaxError(
+                    "remove expects attributes['k'] or map.key targets"
+                )
+            if not self.at(","):
+                break
+            self.next()
+        return RemoveKeysStage(targets)
 
     def _assignment(self):
         target = self.atom()
@@ -638,6 +711,27 @@ def _apply_stages(df: DataFrame, stages: list, ports: dict[str, DataFrame]) -> D
                 else (lambda d: d)
             )
             df = conditional_branches(df, branches, otherwise=otherwise)
+        elif isinstance(stage, RenameStage):
+            # ordered key renames on the map column (rename_operator_call;
+            # attributes_processor Action::Rename kernel)
+            from otel_arrow_spark.operators.attributes import attrs_rename
+
+            for old, new in stage.pairs:
+                df = attrs_rename(df, stage.map_col, old, new)
+        elif isinstance(stage, RemoveKeysStage):
+            # remove / project-away: delete keys, grouped per map column so
+            # each map gets ONE map_filter pass
+            by_col: dict[str, list] = {}
+            for mc, key in stage.targets:
+                by_col.setdefault(mc, []).append(key)
+
+            def _not_in(ks):
+                # factory, not default-arg closure: pyspark derives HOF
+                # lambda arity from the full python signature
+                return lambda k, _: ~k.isin(*ks)
+
+            for mc, keys in by_col.items():
+                df = df.withColumn(mc, F.map_filter(F.col(mc), _not_in(keys)))
         elif isinstance(stage, ForkStage):
             # duplicate the stream into each branch pipeline, union the
             # results (fork.rs:25-31: "results are then unioned back") —

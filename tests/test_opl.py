@@ -242,6 +242,40 @@ class TestAdviceRegressions:
         assert row.m == "failure"
         assert row.g == "failure"
 
+    def test_rename_stage(self, spark, logs):
+        """rename <map> "old" as "new" (opl.pest:219-221), ordered pairs."""
+        r = run_opl(
+            "logs | rename attributes 'env' as 'environment', 'svc' as 'service'",
+            {"logs": logs},
+        )
+        rows = {x.id: x.attributes for x in r.default.collect()}
+        assert rows[4] == {"environment": "prod", "service": "db"}
+        assert rows[3] is None  # null map untouched
+
+    def test_remove_and_project_away(self, spark, logs):
+        """remove / project-away map keys (opl.pest:223-225)."""
+        r = run_opl("logs | remove attributes['env']", {"logs": logs})
+        rows = {x.id: x.attributes for x in r.default.collect()}
+        assert rows[4] == {"svc": "db"} and rows[1] == {}
+        r2 = run_opl(
+            "logs | project-away attributes['env'], attributes['svc']",
+            {"logs": logs},
+        )
+        rows2 = {x.id: x.attributes for x in r2.default.collect()}
+        assert rows2[4] == {} and rows2[2] == {}
+
+    def test_timestamp_tagged_literal(self, spark):
+        """timestamp"<iso8601>" tagged literal (opl.pest:24,
+        expression.rs:791-797)."""
+        df = spark.createDataFrame(
+            [(1, "2026-01-01 00:00:05"), (2, "2026-01-01 00:00:15")],
+            "id int, t string",
+        ).select("id", F.col("t").cast("timestamp_ntz").alias("ts"))
+        r = run_opl(
+            "logs | where ts < timestamp'2026-01-01T00:00:10Z'", {"logs": df}
+        )
+        assert {x.id for x in r.default.collect()} == {1}
+
     def test_uuid_functions(self, spark, logs):
         import uuid as _uuid
 
