@@ -38,6 +38,10 @@ HEADLINE_QUERIES = [
     "quality",
     "similarity_topk",
     "dedup_minhash",
+    "dedup_simhash",
+    "temporal_agg_hist",
+    "ottl_transform",
+    "span_cascade",
 ]
 
 

@@ -165,7 +165,12 @@ class RenameStage:
 
 @dataclass
 class RemoveKeysStage:
-    targets: list  # [(map_col, key)]
+    targets: list  # [("mapkey", map_col, key)] or [("col", name)]
+
+
+@dataclass
+class ColRenameStage:
+    pairs: list  # [(old_col, new_col)] — KQL project-rename
 
 
 @dataclass
@@ -396,12 +401,32 @@ class _Parser:
             return ApplyAttrsStage(col.text, self._block())
         if t.text == "project":
             if self.at("-"):
-                # KQL spelling ``project-away`` == remove (opl.pest:223)
+                # KQL spellings: project-away (drop; == OPL remove for map
+                # keys, opl.pest:223), project-keep, project-rename
+                # (kql.pest tabular_expressions)
                 self.next()
-                away = self.next()
-                if away.text != "away":
-                    raise OplSyntaxError("expected 'away' after 'project-'")
-                return self._remove_stage()
+                kind = self.next().text
+                if kind == "away":
+                    return self._remove_stage()
+                if kind == "keep":
+                    cols = [self.next().text]
+                    while self.at(","):
+                        self.next()
+                        cols.append(self.next().text)
+                    return ProjectStage(cols)
+                if kind == "rename":
+                    # new_name = old_name [, ...]
+                    pairs = []
+                    while True:
+                        new = self.next().text
+                        self.expect("=")
+                        old = self.next().text
+                        pairs.append((old, new))
+                        if not self.at(","):
+                            break
+                        self.next()
+                    return ColRenameStage(pairs)
+                raise OplSyntaxError(f"unknown project-{kind!r}")
             cols = [self.next().text]
             while self.at(","):
                 self.next()
@@ -473,18 +498,21 @@ class _Parser:
         return (_unquote(old.text), _unquote(new.text))
 
     def _remove_stage(self):
-        # remove attributes['k'] / attributes.k, ... (opl.pest:223-225)
+        # remove / project-away: map keys (attributes['k'] / map.key,
+        # opl.pest:223-225) or whole columns (KQL project-away)
         targets = []
         while True:
             node = self.atom()
             if isinstance(node, AttrAccess):
-                targets.append((node.map_col, node.key))
+                targets.append(("mapkey", node.map_col, node.key))
             elif isinstance(node, Col) and "." in node.name:
                 mc, key = node.name.split(".", 1)
-                targets.append((mc, key))
+                targets.append(("mapkey", mc, key))
+            elif isinstance(node, Col):
+                targets.append(("col", node.name))
             else:
                 raise OplSyntaxError(
-                    "remove expects attributes['k'] or map.key targets"
+                    "remove expects attributes['k'], map.key, or column targets"
                 )
             if not self.at(","):
                 break
@@ -719,11 +747,15 @@ def _apply_stages(df: DataFrame, stages: list, ports: dict[str, DataFrame]) -> D
             for old, new in stage.pairs:
                 df = attrs_rename(df, stage.map_col, old, new)
         elif isinstance(stage, RemoveKeysStage):
-            # remove / project-away: delete keys, grouped per map column so
-            # each map gets ONE map_filter pass
+            # remove / project-away: map keys get ONE map_filter pass per
+            # map column; whole-column targets become a single drop
             by_col: dict[str, list] = {}
-            for mc, key in stage.targets:
-                by_col.setdefault(mc, []).append(key)
+            drop_cols = []
+            for tgt in stage.targets:
+                if tgt[0] == "mapkey":
+                    by_col.setdefault(tgt[1], []).append(tgt[2])
+                else:
+                    drop_cols.append(tgt[1])
 
             def _not_in(ks):
                 # factory, not default-arg closure: pyspark derives HOF
@@ -732,6 +764,11 @@ def _apply_stages(df: DataFrame, stages: list, ports: dict[str, DataFrame]) -> D
 
             for mc, keys in by_col.items():
                 df = df.withColumn(mc, F.map_filter(F.col(mc), _not_in(keys)))
+            if drop_cols:
+                df = df.drop(*drop_cols)
+        elif isinstance(stage, ColRenameStage):
+            for old, new in stage.pairs:
+                df = df.withColumnRenamed(old, new)
         elif isinstance(stage, ForkStage):
             # duplicate the stream into each branch pipeline, union the
             # results (fork.rs:25-31: "results are then unioned back") —

@@ -264,6 +264,16 @@ class TestAdviceRegressions:
         rows2 = {x.id: x.attributes for x in r2.default.collect()}
         assert rows2[4] == {} and rows2[2] == {}
 
+    def test_project_away_columns_keep_rename(self, spark, logs):
+        """KQL column forms (kql.pest tabular_expressions): project-away
+        drops columns, project-keep selects, project-rename renames."""
+        r = run_opl("logs | project-away body, attributes", {"logs": logs})
+        assert set(r.default.columns) == {"id", "severity_text", "severity_number"}
+        r2 = run_opl("logs | project-keep id, body", {"logs": logs})
+        assert r2.default.columns == ["id", "body"]
+        r3 = run_opl("logs | project-rename sev = severity_text", {"logs": logs})
+        assert "sev" in r3.default.columns and "severity_text" not in r3.default.columns
+
     def test_timestamp_tagged_literal(self, spark):
         """timestamp"<iso8601>" tagged literal (opl.pest:24,
         expression.rs:791-797)."""
