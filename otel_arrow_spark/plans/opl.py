@@ -557,9 +557,20 @@ def parse(src: str) -> Query:
 # ---------------------------------------------------------------------------
 # compiler: AST → Column / DataFrame
 
+def _kql_case(*args):
+    """KQL case(pred1, val1, ..., predN, valN, default) (kql.pest:154)."""
+    if len(args) < 3 or len(args) % 2 == 0:
+        raise OplSyntaxError("case expects pred/value pairs plus a default")
+    expr = F.when(args[0], args[1])
+    for i in range(2, len(args) - 1, 2):
+        expr = expr.when(args[i], args[i + 1])
+    return expr.otherwise(args[-1])
+
+
 _FUNCTIONS = {
     # OPL name → callable(Column args…) → Column (functions.md binding table,
     # expr/planner.rs:1844-1877)
+    "case": _kql_case,
     "contains": lambda a, b: fns.contains(a, b),
     "matches": lambda a, b: a.rlike(_lit_str(b)),
     "starts_with": lambda a, b: F.startswith(a, b),
@@ -598,6 +609,29 @@ _FUNCTIONS = {
     "coalesce": lambda *a: F.coalesce(*a),
     "count": None,  # aggregate, handled in summarize
     "is_null": F.isnull,
+    # KQL scalar surface (experimental query_engine kql.pest:121-198)
+    "iff": lambda c, a, b: F.when(c, a).otherwise(b),
+    "iif": lambda c, a, b: F.when(c, a).otherwise(b),
+    "strlen": F.length,
+    "strcat": lambda *a: F.concat(*a),
+    "strcat_delim": lambda sep, *a: F.concat_ws(_lit_str(sep), *a),
+    "replace_string": F.replace,
+    # KQL extract(regex, captureGroup, text) — regex-first arg order
+    "extract": lambda p, g, s: F.nullif(
+        F.regexp_extract(s, _lit_str(p), _lit_int(g)), F.lit("")
+    ),
+    "tostring": lambda c: c.cast("string"),
+    "toint": lambda c: c.cast("int"),
+    "tolong": lambda c: c.cast("long"),
+    "todouble": lambda c: c.cast("double"),
+    "toreal": lambda c: c.cast("double"),
+    "tofloat": lambda c: c.cast("double"),
+    "tobool": lambda c: c.cast("boolean"),
+    "todatetime": lambda c: c.cast("timestamp"),
+    "tolower": F.lower,
+    "toupper": F.upper,
+    "gettype": lambda c: F.typeof(c),
+    "parse_json": lambda c: F.try_parse_json(c),
     # zero-arg uuid forms (expr/planner.rs:1871-1872): uuid() is random v4
     # (Spark's built-in, same semantics); uuidv7() is time-ordered — bound to
     # the deterministic-capable uuid7 with wall-clock + random entropy, or

@@ -274,6 +274,25 @@ class TestAdviceRegressions:
         r3 = run_opl("logs | project-rename sev = severity_text", {"logs": logs})
         assert "sev" in r3.default.columns and "severity_text" not in r3.default.columns
 
+    def test_kql_scalar_functions(self, spark, logs):
+        """KQL scalar surface (kql.pest:121-198): iff, case, casts, strcat,
+        extract (regex-first arg order), strlen."""
+        r = run_opl(
+            "logs | set tier = iff(severity_number >= 17, 'crit', 'ok'), "
+            "band = case(severity_number >= 17, 'high', severity_number >= 13, 'mid', 'low'), "
+            "n = strlen(body), joined = strcat_delim('-', severity_text, tostring(id)), "
+            "dev = extract(r'/dev/(\\w+)', 1, body), "
+            "sevl = tolower(severity_text), half = todouble(severity_number) / 2",
+            {"logs": logs},
+        )
+        rows = {x.id: x for x in r.default.collect()}
+        assert rows[1].tier == "crit" and rows[2].tier == "ok"
+        assert rows[1].band == "high" and rows[3].band == "mid" and rows[5].band == "low"
+        assert rows[2].n == len("started ok")
+        assert rows[2].joined == "INFO-2"
+        assert rows[1].dev == "sda" and rows[2].dev is None
+        assert rows[1].sevl == "error" and rows[1].half == 8.5
+
     def test_timestamp_tagged_literal(self, spark):
         """timestamp"<iso8601>" tagged literal (opl.pest:24,
         expression.rs:791-797)."""
