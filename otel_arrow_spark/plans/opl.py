@@ -42,6 +42,7 @@ from otel_arrow_spark.functions import scalar as fns
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
+  | (?P<timespan>(?:\d+\.\d+|\d+)(?:ms|d|h|m|s)(?![A-Za-z0-9_]))
   | (?P<num>\d+\.\d+|\d+)
   | (?P<str>[rR]?'(?:[^'\\]|\\.)*'|[rR]?"(?:[^"\\]|\\.)*")
   | (?P<op>=~|==|!=|>=|<=|[><+\-*/%(),\[\]={}|])
@@ -280,6 +281,15 @@ class _Parser:
             return Bin("-", Lit(0), inner)
         if t.kind == "num":
             return Lit(float(t.text) if "." in t.text else int(t.text))
+        if t.kind == "timespan":
+            # KQL timespan literal 1h / 30m / 10s / 500ms / 2d
+            # (kql.pest:125 time_expression)
+            import datetime as dt
+            import re as _re
+
+            m = _re.fullmatch(r"([\d.]+)(ms|d|h|m|s)", t.text)
+            mult = {"ms": 0.001, "s": 1, "m": 60, "h": 3600, "d": 86400}[m.group(2)]
+            return Lit(dt.timedelta(seconds=float(m.group(1)) * mult))
         if t.kind == "str":
             return Lit(_unquote(t.text))
         if t.text == "(":
@@ -557,6 +567,22 @@ def parse(src: str) -> Query:
 # ---------------------------------------------------------------------------
 # compiler: AST → Column / DataFrame
 
+def _kql_bin(v, s):
+    """KQL bin(value, roundTo) (kql.pest:211): floor to a multiple of
+    roundTo. With a timespan literal the value is treated as a timestamp
+    (floored in epoch-microsecond space); numeric otherwise."""
+    import datetime as dt
+
+    sv = _LIT_STACK[-1].get(id(s)) if _LIT_STACK else None
+    if isinstance(sv, dt.timedelta):
+        us = int(sv.total_seconds() * 1_000_000)
+        floored = (F.floor(F.unix_micros(v.cast("timestamp")) / F.lit(us)) * us).cast(
+            "long"
+        )
+        return F.timestamp_micros(floored)
+    return F.floor(v / s) * s
+
+
 def _kql_case(*args):
     """KQL case(pred1, val1, ..., predN, valN, default) (kql.pest:154)."""
     if len(args) < 3 or len(args) % 2 == 0:
@@ -571,6 +597,9 @@ _FUNCTIONS = {
     # OPL name → callable(Column args…) → Column (functions.md binding table,
     # expr/planner.rs:1844-1877)
     "case": _kql_case,
+    "bin": _kql_bin,
+    "now": lambda: F.current_timestamp(),
+    "datetime": lambda s: F.to_timestamp(s),
     "contains": lambda a, b: fns.contains(a, b),
     "matches": lambda a, b: a.rlike(_lit_str(b)),
     "starts_with": lambda a, b: F.startswith(a, b),

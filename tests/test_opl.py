@@ -293,6 +293,23 @@ class TestAdviceRegressions:
         assert rows[1].dev == "sda" and rows[2].dev is None
         assert rows[1].sevl == "error" and rows[1].half == 8.5
 
+    def test_bin_and_datetime(self, spark):
+        """KQL bin(value, roundTo) with timespan literals (kql.pest:211,125)
+        and the datetime() constructor."""
+        df = spark.createDataFrame(
+            [(1, "2026-01-01 00:07:31", 17.0), (2, "2026-01-01 00:12:02", 3.0)],
+            "id int, t string, v double",
+        ).select("id", F.col("t").cast("timestamp_ntz").alias("ts"), "v")
+        r = run_opl(
+            "logs | set tb = bin(ts, 5m), vb = bin(v, 5), "
+            "cut = datetime('2026-01-01 00:10:00')",
+            {"logs": df},
+        )
+        rows = {x.id: x for x in r.default.collect()}
+        assert rows[1].tb.minute == 5 and rows[2].tb.minute == 10
+        assert rows[1].vb == 15.0 and rows[2].vb == 0.0
+        assert rows[1].cut.minute == 10
+
     def test_timestamp_tagged_literal(self, spark):
         """timestamp"<iso8601>" tagged literal (opl.pest:24,
         expression.rs:791-797)."""
