@@ -605,6 +605,59 @@ def q_span_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _metrics_dir(sf_dir: str) -> str:
+    from otel_arrow_spark.sources.metrics_star import write_metrics_parquet
+
+    n = 2000 if "sf0.001" in sf_dir else 20_000
+    return write_metrics_parquet(os.path.join(_REPO, ".cache", "metrics", f"n{n}"), n)
+
+
+def q_metrics_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METRICS star schema (docs/data_model.md:24-120): select cumulative
+    sums, cascade the id set metrics → number_data_points → dp attrs /
+    exemplars, and reaggregate each stream latest-wins (the reference's
+    cumulative replace-if-newer) — all re-derived independently in SQL."""
+    from otel_arrow_spark.operators.filter import cascade_filter
+    from otel_arrow_spark.operators.metrics import temporal_latest
+
+    p = _metrics_dir(sf_dir)
+    metrics = spark.read.parquet(f"{p}/metrics.parquet")
+    dps = spark.read.parquet(f"{p}/number_data_points.parquet")
+    attrs = spark.read.parquet(f"{p}/number_dp_attrs.parquet")
+    ex = spark.read.parquet(f"{p}/number_dp_exemplars.parquet")
+
+    kept, kept_dps = cascade_filter(metrics, dps, F.col("metric_type") == 1)
+    dp_ids = kept_dps.select(F.col("id").alias("parent_id")).distinct()
+    kept_attrs = attrs.join(dp_ids, "parent_id", "left_semi")
+    kept_ex = ex.join(dp_ids, "parent_id", "left_semi")
+
+    named = kept_dps.join(
+        F.broadcast(kept.select(F.col("id").alias("parent_id"), "name")), "parent_id"
+    ).select("id", "name", "stream", "ts", "double_value")
+    latest = temporal_latest(named.drop("id"), "1 hour", keys=("name", "stream"))
+    per_name = latest.groupBy("name").agg(
+        F.count(F.lit(1)).alias("n_streams"),
+        F.round(F.sum("double_value"), 3).alias("sum_latest"),
+    )
+    n_dps = named.groupBy("name").agg(F.count(F.lit(1)).alias("n_dps"))
+    a_named = kept_attrs.join(
+        named.select(F.col("id").alias("parent_id"), "name"), "parent_id"
+    ).groupBy("name").agg(F.count(F.lit(1)).alias("n_attrs"))
+    e_named = kept_ex.join(
+        named.select(F.col("id").alias("parent_id"), "name"), "parent_id"
+    ).groupBy("name").agg(F.count(F.lit(1)).alias("n_exemplars"))
+    return (
+        per_name.join(n_dps, "name")
+        .join(a_named, "name", "left")
+        .join(e_named, "name", "left")
+        .select(
+            "name", "n_streams", "sum_latest", "n_dps",
+            F.coalesce("n_attrs", F.lit(0)).cast("long").alias("n_attrs"),
+            F.coalesce("n_exemplars", F.lit(0)).cast("long").alias("n_exemplars"),
+        )
+    )
+
+
 def q_ottl_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OTTL statement list (the transform processor's third language,
     transform_processor/mod.rs:177) over events: guarded set editors +
@@ -730,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "opl_summarize": q_opl_summarize,
         "opl_route": q_opl_route,
         "span_cascade": q_span_cascade,
+        "metrics_cascade": q_metrics_cascade,
         "ottl_transform": q_ottl_transform,
         "syslog_parse": q_syslog_parse,
         "embedding_pairs_exact": q_embedding_pairs_exact,
@@ -1006,6 +1060,37 @@ def oracle_sql() -> dict[str, str]:
             FROM s LEFT JOIN a ON s.name = a.name
                    LEFT JOIN e ON s.name = e.sname
                    LEFT JOIN x ON s.name = x.sname
+        """,
+        "metrics_cascade": f"""
+            WITH k AS (
+                SELECT id, name FROM read_parquet('{_REPO}/.cache/metrics/n20000/metrics.parquet')
+                WHERE metric_type = 1),
+            kd AS (
+                SELECT d.id, d.stream, d.ts, d.double_value, k.name
+                FROM read_parquet('{_REPO}/.cache/metrics/n20000/number_data_points.parquet') d
+                JOIN k ON d.parent_id = k.id),
+            latest AS (
+                SELECT name, stream, double_value FROM (
+                    SELECT name, stream, double_value,
+                           row_number() OVER (PARTITION BY name, stream
+                                              ORDER BY ts DESC) AS rn
+                    FROM kd) WHERE rn = 1),
+            pn AS (SELECT name, CAST(count(*) AS BIGINT) AS n_streams,
+                          round(CAST(sum(double_value) AS DOUBLE), 3) AS sum_latest
+                   FROM latest GROUP BY 1),
+            nd AS (SELECT name, CAST(count(*) AS BIGINT) AS n_dps FROM kd GROUP BY 1),
+            na AS (SELECT kd.name, CAST(count(*) AS BIGINT) AS n_attrs
+                   FROM read_parquet('{_REPO}/.cache/metrics/n20000/number_dp_attrs.parquet') a
+                   JOIN kd ON a.parent_id = kd.id GROUP BY 1),
+            ne AS (SELECT kd.name, CAST(count(*) AS BIGINT) AS n_exemplars
+                   FROM read_parquet('{_REPO}/.cache/metrics/n20000/number_dp_exemplars.parquet') e
+                   JOIN kd ON e.parent_id = kd.id GROUP BY 1)
+            SELECT pn.name, pn.n_streams, pn.sum_latest, nd.n_dps,
+                   coalesce(na.n_attrs, 0) AS n_attrs,
+                   coalesce(ne.n_exemplars, 0) AS n_exemplars
+            FROM pn JOIN nd ON pn.name = nd.name
+                    LEFT JOIN na ON pn.name = na.name
+                    LEFT JOIN ne ON pn.name = ne.name
         """,
         "ottl_transform": """
             WITH t AS (

@@ -160,6 +160,41 @@ class TestExpHistogram:
         assert out.e_count == 15
 
 
+class TestMetricsStarSchema:
+    def test_integrity_and_latest_wins(self, spark, workdir):
+        """METRICS star generator: parent_id ancestry resolves at every
+        level; cumulative streams are monotone so latest-wins picks the
+        maximum value per stream."""
+        from otel_arrow_spark.operators.metrics import temporal_latest
+        from otel_arrow_spark.sources.metrics_star import write_metrics_parquet
+
+        p = write_metrics_parquet(f"{workdir}/metrics_fixture", 2000)
+        metrics = spark.read.parquet(f"{p}/metrics.parquet")
+        dps = spark.read.parquet(f"{p}/number_data_points.parquet")
+        attrs = spark.read.parquet(f"{p}/number_dp_attrs.parquet")
+        mids = {r.id for r in metrics.collect()}
+        assert {r.parent_id for r in dps.select("parent_id").distinct().collect()} <= mids
+        dpids = {r.id for r in dps.select("id").collect()}
+        assert {
+            r.parent_id for r in attrs.select("parent_id").distinct().collect()
+        } <= dpids
+        # cumulative sum stream: latest point == max value (monotone)
+        cum = dps.join(
+            metrics.filter(F.col("metric_type") == 1).select(
+                F.col("id").alias("parent_id"), "name"
+            ),
+            "parent_id",
+        )
+        latest = temporal_latest(
+            cum.select("name", "stream", "ts", "double_value"),
+            "1 hour",
+            keys=("name", "stream"),
+        )
+        mx = cum.groupBy("name", "stream").agg(F.max("double_value").alias("mv"))
+        j = latest.join(mx, ["name", "stream"])
+        assert j.filter(F.col("double_value") != F.col("mv")).count() == 0
+
+
 class TestCardinalityCap:
     def test_early_flush_and_exact_merge(self, spark):
         """max_stream_cardinality analog (README.md:56-60): exceeding the
