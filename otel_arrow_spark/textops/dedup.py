@@ -195,7 +195,15 @@ def minhash_near_dup_pairs(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.hash(F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)),
     )
-    banded = sig.select(id_col, F.posexplode(band_arr).alias("band", "bhash"))
+    # persist the ids-only banded projection (3 longs × bands per doc —
+    # the one thing worth caching in an LSH pipeline) so the signature UDF
+    # runs ONCE instead of once per self-join side; MEMORY_AND_DISK spills
+    # rather than recomputing at scale
+    from pyspark import StorageLevel
+
+    banded = sig.select(id_col, F.posexplode(band_arr).alias("band", "bhash")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     left = banded.select(F.col(id_col).alias("id_a"), "band", "bhash")
     right = banded.select(F.col(id_col).alias("id_b"), "band", "bhash")
