@@ -436,16 +436,21 @@ def q_embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantized ANN (rows-only: k-means assignment is
-    hash/sample dependent; recall vs brute force asserted in tests)."""
-    from otel_arrow_spark.textops.ivf import ivf_topk, train_centroids
+    """IVF coarse-quantized ANN with a deterministic quantizer (first-8
+    normalized vectors as centroids) so DuckDB re-derives the full
+    assign → probe → score → rank path independently; ranking on
+    round(cosine, 9) makes cross-engine ordering ulp-proof. (The k-means
+    training path stays recall-tested in tests/test_textops.py.)"""
+    from otel_arrow_spark.textops.ivf import deterministic_centroids, ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    cents = train_centroids(e, n_clusters=8)
+    cents = deterministic_centroids(e, n_clusters=8)
     queries = (
         e.orderBy("vec_id").limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
     )
-    return ivf_topk(e, queries, cents, k=5, nprobe=3).select("query_id", "vec_id", "rank")
+    return ivf_topk(e, queries, cents, k=5, nprobe=3, rank_round=9).select(
+        "query_id", "vec_id", "rank"
+    )
 
 
 def q_opl_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -717,15 +722,21 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN; planes come from a seeded numpy RNG the
+    oracle regenerates identically, vectors are double-cast on both sides,
+    and ranking on round(cosine, 9) is ulp-proof — so the bucket join and
+    final ranks are fully re-derivable in SQL."""
     from otel_arrow_spark.textops import lsh_bucketed_topk
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
     queries = (
         e.orderBy("vec_id").limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
     )
-    return lsh_bucketed_topk(e, queries, k=5, n_planes=6, n_tables=8).select(
-        "query_id", "vec_id", "rank"
-    )
+    return lsh_bucketed_topk(
+        e, queries, k=5, n_planes=6, n_tables=8, rank_round=9
+    ).select("query_id", "vec_id", "rank")
 
 
 def q_transcripts_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -794,6 +805,112 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_routed": q_transcripts_routed,
         "transcripts_agg": q_transcripts_agg,
     }
+
+
+_EMB_SF001 = "/root/testdata/sf0.01/embeddings.parquet"
+
+
+def _ivf_oracle_sql() -> str:
+    """IVF oracle: re-derive the deterministic quantizer (first 8 by
+    vec_id, L2-normalized) with pyarrow+numpy — no Spark involved — and
+    inline the centroids as SQL literals; assignment / probing / ranking
+    are plain SQL from there."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_EMB_SF001, columns=["vec_id", "embedding"]).to_pandas()
+    t = t.sort_values("vec_id").head(8)
+    x = np.asarray(list(t["embedding"]), dtype=np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cent_rows = ", ".join(
+        "({}, [{}])".format(i, ", ".join(repr(float(v)) for v in x[i]))
+        for i in range(len(x))
+    )
+    return f"""
+        WITH ed AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+        cents(cid, c) AS (VALUES {cent_rows}),
+        assigned AS (
+            SELECT e.vec_id, e.v,
+                   (SELECT c2.cid FROM cents c2
+                    ORDER BY list_cosine_similarity(e.v, c2.c) DESC, c2.cid
+                    LIMIT 1) AS cluster_id
+            FROM ed e),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM ed ORDER BY vec_id LIMIT 3),
+        probes AS (
+            SELECT query_id, cid FROM (
+                SELECT q.query_id, c.cid,
+                       row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(q.qv, c.c) DESC, c.cid) AS rn
+                FROM q CROSS JOIN cents c) WHERE rn <= 3),
+        cand AS (
+            SELECT q.query_id, a.vec_id,
+                   list_cosine_similarity(a.v, q.qv) AS cosine
+            FROM assigned a
+            JOIN probes p ON a.cluster_id = p.cid
+            JOIN q ON p.query_id = q.query_id),
+        r AS (SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                         ORDER BY round(cosine, 9) DESC, vec_id) AS rank
+              FROM cand)
+        SELECT query_id, vec_id, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
+    """
+
+
+def _lsh_oracle_sql(n_planes: int = 6, n_tables: int = 8, seed: int = 42) -> str:
+    """LSH oracle: regenerate the hyperplanes with the same seeded numpy
+    RNG and emit each sign as an EXPLICIT left-associated multiply-add
+    chain — IEEE double addition is left-associative in both engines, so
+    the signature bits match Spark's expression chain bit-for-bit (a
+    library dot product could sum in a different order and flip a sign at
+    the boundary)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    dim = len(
+        pq.read_table(_EMB_SF001, columns=["embedding"]).to_pandas()["embedding"].iloc[0]
+    )
+    rng = np.random.RandomState(seed)
+    tables = [rng.standard_normal((n_planes, dim)) for _ in range(n_tables)]
+
+    def sig_expr(vcol: str, planes) -> str:
+        bits = []
+        for p in planes:
+            chain = " + ".join(
+                f"{vcol}[{i + 1}] * {float(p[i])!r}" for i in range(dim)
+            )
+            bits.append(f"CASE WHEN ({chain}) >= 0 THEN '1' ELSE '0' END")
+        return "concat(" + ", ".join(bits) + ")"
+
+    csig = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {sig_expr('v', tables[t])} AS sig FROM ed"
+        for t in range(n_tables)
+    )
+    qsig = " UNION ALL ".join(
+        f"SELECT query_id, {t} AS tbl, {sig_expr('qv', tables[t])} AS sig FROM q"
+        for t in range(n_tables)
+    )
+    return f"""
+        WITH ed AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM ed ORDER BY vec_id LIMIT 3),
+        csig AS ({csig}),
+        qsig AS ({qsig}),
+        cand AS (SELECT DISTINCT qs.query_id, cs.vec_id
+                 FROM csig cs JOIN qsig qs ON cs.tbl = qs.tbl AND cs.sig = qs.sig),
+        scored AS (SELECT c.query_id, c.vec_id,
+                          list_cosine_similarity(e.v, q2.qv) AS cosine
+                   FROM cand c
+                   JOIN ed e ON c.vec_id = e.vec_id
+                   JOIN q q2 ON c.query_id = q2.query_id),
+        r AS (SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                         ORDER BY round(cosine, 9) DESC, vec_id) AS rank
+              FROM scored)
+        SELECT query_id, vec_id, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1225,7 +1342,6 @@ def oracle_sql() -> dict[str, str]:
             FROM sims a JOIN sims b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
-        # ivf_topk / similarity_lsh: rows-only (sampled k-means centroids and
-        # Spark-hash hyperplane signs aren't reproducible in DuckDB); recall
-        # oracles live in tests/test_textops.py
+        "ivf_topk": _ivf_oracle_sql(),
+        "similarity_lsh": _lsh_oracle_sql(),
     }

@@ -69,6 +69,22 @@ def train_centroids(
     return cents
 
 
+def deterministic_centroids(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """The first ``n_clusters`` vectors by id, L2-normalized — a fully
+    deterministic coarse quantizer (no sampling, no Lloyd iterations) for
+    when an independent oracle engine must reproduce the index exactly.
+    Quantization quality is below k-means; recall behavior is still probe-
+    bounded, which is what the oracle checks."""
+    rows = corpus.orderBy(id_col).limit(n_clusters).select(vec_col).collect()
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
 def assign_clusters(
     corpus: DataFrame,
     centroids: np.ndarray,
@@ -115,6 +131,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     pre_assigned: bool = False,
+    rank_round: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score each query only against its ``nprobe``
     nearest clusters. queries must be small (collected driver-side to pick
@@ -146,7 +163,8 @@ def ivf_topk(
             F.col(vec_col).cast("array<double>"), F.col("_qvec").cast("array<double>")
         ),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    sort_key = F.round("cosine", rank_round) if rank_round is not None else F.col("cosine")
+    w = Window.partitionBy(query_id_col).orderBy(F.desc(sort_key), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

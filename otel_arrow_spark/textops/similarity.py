@@ -73,6 +73,7 @@ def lsh_bucketed_topk(
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = 42,
+    rank_round: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: ``n_tables`` independent random-hyperplane tables;
     a query only scores corpus vectors sharing a bucket in ≥1 table.
@@ -119,7 +120,10 @@ def lsh_bucketed_topk(
         .dropDuplicates([query_id_col, id_col])
     )
     scored = cand.withColumn("cosine", cosine_expr(F.col("_cvec"), F.col("_qvec")))
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    # rank_round: rank on a rounded cosine so an independent oracle engine
+    # (different summation order → last-ulp differences) ranks identically
+    sort_key = F.round("cosine", rank_round) if rank_round is not None else F.col("cosine")
+    w = Window.partitionBy(query_id_col).orderBy(F.desc(sort_key), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
