@@ -51,6 +51,7 @@ def write_table(
     partition_by: tuple[str, ...] = (),
     sort_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     mode: str = "overwrite",
+    compression: str | None = None,
 ) -> str:
     """Write a table with stable ordering and partition layout.
 
@@ -73,6 +74,10 @@ def write_table(
     w = out.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
+    if compression:
+        # snappy (spark default) for hot intermediates; zstd for cold
+        # sinks — measured ~35% smaller at sf0.1, see BASELINE.md
+        w = w.option("compression", compression)
     w.parquet(target)
     return target
 
