@@ -199,6 +199,52 @@ class TestFlowAndKql:
         assert r.ports["stats"].collect()[0].n == 5
 
 
+class TestStringLiteralFuzz:
+    """Hypothesis net over the tokenizer's string-literal handling (the
+    round-1 escape bug's whole class): encode → parse → decoded value is
+    identity for arbitrary text."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40))
+    @settings(max_examples=150, deadline=None)
+    def test_plain_literal_round_trip(self, s):
+        from otel_arrow_spark.plans.opl import parse
+
+        enc = s.replace("\\", "\\\\").replace("'", "\\'")
+        q = parse(f"logs | where x == '{enc}'")
+        assert q.stages[0].predicate.right.value == s
+
+    @given(st.text(alphabet=st.characters(blacklist_characters="'\\",
+                                          blacklist_categories=("Cs",)),
+                   max_size=40))
+    @settings(max_examples=150, deadline=None)
+    def test_raw_literal_is_verbatim(self, s):
+        from otel_arrow_spark.plans.opl import parse
+
+        q = parse(f"logs | where x == r'{s}'")
+        assert q.stages[0].predicate.right.value == s
+
+    @given(st.text(alphabet="abcdef\\dswn+*.[]()|{}0123456789", max_size=20))
+    @settings(max_examples=150, deadline=None)
+    def test_unrecognized_escapes_preserved(self, s):
+        """Backslashes before non-escape chars survive — the property the
+        regex-pattern bug violated."""
+        import re as _re
+
+        from otel_arrow_spark.plans.opl import _unquote
+
+        decoded = _unquote(f"'{s}'")
+        # strip ONLY recognized escapes the same way a regex author would
+        expect = _re.sub(
+            r"\\(['\"\\ntr])",
+            lambda m: {"n": "\n", "t": "\t", "r": "\r"}.get(m.group(1), m.group(1)),
+            s,
+        )
+        assert decoded == expect
+
+
 class TestAdviceRegressions:
     """Round-1 ADVICE fixes pinned: raw strings, escape preservation,
     same-port route_to union, unary minus, regexp_substr arg order."""
