@@ -54,3 +54,38 @@ class TestRetry:
                 always, max_attempts=100, initial_interval=1000.0,
                 max_elapsed=0.1, sleep=lambda s: None,
             )
+
+
+def test_kafka_source_gated_with_clear_error(spark):
+    """The contrib Kafka helper is gated: without the spark-sql-kafka
+    package it raises a RuntimeError naming the missing package instead of
+    an opaque classpath failure (contrib receiver surface)."""
+    import pytest as _pytest
+
+    from otel_arrow_spark.sinks import kafka_stream_source
+
+    with _pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        kafka_stream_source(spark, "localhost:9092", "t")
+
+
+def test_write_table_zstd_roundtrip(spark, tiny_transcripts, workdir):
+    """compression='zstd' writes readable parquet smaller than snappy."""
+    import os
+
+    from otel_arrow_spark.sinks import write_table
+
+    df = spark.read.parquet(tiny_transcripts)
+    a = write_table(df, f"{workdir}/comp_snappy", sort_cols=("conv_id", "turn_idx"))
+    b = write_table(
+        df, f"{workdir}/comp_zstd", sort_cols=("conv_id", "turn_idx"),
+        compression="zstd",
+    )
+    assert spark.read.parquet(b).count() == df.count()
+
+    def size(p):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(p) for f in fs if f.endswith(".parquet")
+        )
+
+    assert size(b) < size(a)
