@@ -14,6 +14,7 @@ from otel_arrow_spark.functions.scalar import (  # noqa: F401
     ieq,
     matches,
     md5,
+    sha1,
     murmur3,
     opl_coalesce,
     opl_concat,

@@ -123,6 +123,11 @@ def md5(c) -> Column:
     return F.md5(_c(c).cast("string"))
 
 
+def sha1(c) -> Column:
+    """OPL sha1 (functions.rs make_udf_function list)."""
+    return F.sha1(_c(c).cast("string"))
+
+
 def murmur3(c) -> Column:
     """OPL murmur3 (functions/murmur3.rs:1). Spark's F.hash IS
     Murmur3-x86-32 (same family the reference binds), seed 42."""

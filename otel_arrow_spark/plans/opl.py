@@ -629,9 +629,11 @@ _FUNCTIONS = {
     "sha256": lambda c: F.sha2(c.cast("string"), 256),
     "sha512": lambda c: F.sha2(c.cast("string"), 512),
     "md5": lambda c: F.md5(c.cast("string")),
+    "sha1": lambda c: F.sha1(c.cast("string")),
     "fnv": fns.fnv64,
     "murmur3": F.hash,
     "xxh3": F.xxhash64,
+    "xxh128": F.xxhash64,  # 64-bit stand-in, same family (functions/xxh128.rs)
     "encode": lambda c, enc: fns.opl_encode(c, _lit_str(enc)),
     "log10": F.log10,
     "format_datetime": lambda ts, fmt: F.date_format(ts, _lit_str(fmt)),

@@ -22,6 +22,7 @@ from otel_arrow_spark.functions import (
     opl_substring,
     regexp_capture,
     regexp_substr,
+    sha1,
     sha256,
     starts_with,
     uuid7,
@@ -85,6 +86,7 @@ def test_regexp_substr_nth_occurrence(sdf):
 def test_hashes_vs_python(sdf):
     got = _one(sdf, sha256("a"))[0].v
     assert got == hashlib.sha256(b"Hello World").hexdigest()
+    assert _one(sdf, sha1("a"))[0].v == hashlib.sha1(b"Hello World").hexdigest()
     # FNV-1a 64 oracle
     def fnv_py(s):
         h = 0xCBF29CE484222325
