@@ -711,6 +711,49 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-3-gram Jaccard near-dup pairs via the inverted index; any pair
+    with jaccard > 0 shares ≥1 gram, so the index finds EVERY pair over the
+    threshold — the oracle's all-pairs scan is exactly equal, not just
+    probabilistically."""
+    from otel_arrow_spark.textops import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, n=3, threshold=0.5).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r")
+    )
+
+
+def q_capped_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality-cap early flush (max_stream_cardinality analog): run the
+    bounded-memory aggregator with a tiny cap over events, then merge the
+    flush generations — the merged result must equal a plain groupBy, which
+    is what the oracle computes."""
+    from otel_arrow_spark.operators.aggregate import capped_reaggregate
+
+    e = _t(spark, sf_dir, "events")
+    partials = capped_reaggregate(e, ("event_type",), "value", max_streams=2)
+    return partials.groupBy("event_type").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.round(F.sum("sum_value"), 4).alias("sum_value_r"),
+    )
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH embedding near-dup pairs; the oracle regenerates the
+    seeded planes and replays the 2-band sign bucketing with bit-exact
+    left-associated dot chains, so the candidate SET (not just verified
+    survivors) is engine-independent."""
+    from otel_arrow_spark.textops import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return embedding_near_dup_pairs(e, threshold=0.5).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine_r")
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups in the oracle-reproducible md5/60-bit mode: the
     pigeonhole chunk join is exhaustive (max_hamming < n_chunks), so the
@@ -800,6 +843,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pairs_exact": q_embedding_pairs_exact,
         "ivf_topk": q_ivf_topk,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_ngram": q_dedup_ngram,
+        "dedup_embedding": q_dedup_embedding,
+        "capped_reagg": q_capped_reagg,
         "dedup_simhash": q_dedup_simhash,
         "similarity_lsh": q_similarity_lsh,
         "transcripts_routed": q_transcripts_routed,
@@ -910,6 +956,49 @@ def _lsh_oracle_sql(n_planes: int = 6, n_tables: int = 8, seed: int = 42) -> str
                          ORDER BY round(cosine, 9) DESC, vec_id) AS rank
               FROM scored)
         SELECT query_id, vec_id, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
+    """
+
+
+def _emb_neardup_oracle_sql(n_planes: int = 16, seed: int = 42) -> str:
+    """Embedding near-dup oracle: regenerate the seeded hyperplanes and
+    replay the 2-band sign bucketing with bit-exact left-associated dot
+    chains, then exact-cosine verification — the same derivation chain as
+    the Spark operator, independently in SQL."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    dim = len(
+        pq.read_table(_EMB_SF001, columns=["embedding"]).to_pandas()["embedding"].iloc[0]
+    )
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    half = n_planes // 2
+
+    def sig(vcol: str, ps) -> str:
+        bits = []
+        for p in ps:
+            chain = " + ".join(f"{vcol}[{i + 1}] * {float(p[i])!r}" for i in range(dim))
+            bits.append(f"CASE WHEN ({chain}) >= 0 THEN '1' ELSE '0' END")
+        return "concat(" + ", ".join(bits) + ")"
+
+    return f"""
+        WITH ed AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+        sigs AS (SELECT vec_id, {sig('v', planes[:half])} AS s0,
+                        {sig('v', planes[half:])} AS s1 FROM ed),
+        b AS (SELECT vec_id, 0 AS band, s0 AS bkey FROM sigs
+              UNION ALL SELECT vec_id, 1, s1 FROM sigs),
+        cand AS (SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+                 FROM b l JOIN b r ON l.band = r.band AND l.bkey = r.bkey
+                 WHERE l.vec_id < r.vec_id),
+        scored AS (SELECT c.id_a, c.id_b,
+                          list_cosine_similarity(ea.v, eb.v) AS cosine
+                   FROM cand c
+                   JOIN ed ea ON c.id_a = ea.vec_id
+                   JOIN ed eb ON c.id_b = eb.vec_id)
+        SELECT id_a, id_b, round(cosine, 6) AS cosine_r
+        FROM scored WHERE cosine >= 0.5
     """
 
 
@@ -1344,4 +1433,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ivf_topk": _ivf_oracle_sql(),
         "similarity_lsh": _lsh_oracle_sql(),
+        "dedup_embedding": _emb_neardup_oracle_sql(),
+        "dedup_ngram": """
+            WITH t AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents),
+            g AS (
+                SELECT doc_id, list_distinct(list_transform(
+                    range(1, greatest(len(toks) - 1, 1)),
+                    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS gr
+                FROM t)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.gr, b.gr))), 6) AS jaccard_r
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.gr, b.gr))) >= 0.5
+        """,
+        "capped_reagg": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   round(CAST(sum(value) AS DOUBLE), 4) AS sum_value_r
+            FROM events GROUP BY 1
+        """,
     }
