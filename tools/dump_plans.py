@@ -83,6 +83,55 @@ def main() -> None:
         )
     )
 
+    from otel_arrow_spark.textops.dedup import minhash_near_dup_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sections.append(
+        (
+            "MinHash LSH near-dup (ids-only band join)",
+            "Expected: the `Exchange hashpartitioning(band, bhash)` carries "
+            "only id/band/bhash longs — shingle arrays never ride the band "
+            "shuffle; they are joined back by id only for candidate pairs "
+            "(AQE turns those joins into broadcasts at runtime when the "
+            "candidate set is small).",
+            minhash_near_dup_pairs(docs),
+        )
+    )
+
+    from otel_arrow_spark.operators.metrics import temporal_latest
+
+    hist = spark.createDataFrame(
+        [("m", "2026-01-01 00:00:01", 1, 1.0)],
+        "metric_name string, t string, h_count long, h_sum double",
+    ).select(
+        "metric_name", F.col("t").cast("timestamp").alias("ts"), "h_count", "h_sum"
+    )
+    sections.append(
+        (
+            "Cumulative latest-wins temporal reaggregation",
+            "Expected: partial+final `HashAggregate`/`SortAggregate` pair over "
+            "`max_by` — the reference's replace-if-newer semantics as one "
+            "algebraic aggregate; a hot stream leaves each map task as one row.",
+            temporal_latest(hist, keys=("metric_name",)),
+        )
+    )
+
+    from otel_arrow_spark.plans.ottl import run_ottl
+
+    sections.append(
+        (
+            "OTTL statement list",
+            "Expected: guarded editors collapse into a single `Project` over "
+            "the scan — no Filter, no Exchange; a whole statement list is one "
+            "narrow map stage.",
+            run_ottl(
+                routed.select("conv_id", "severity_text", "signal_class"),
+                ['set(tier, "crit") where severity_text == "ERROR"',
+                 'set(cls, signal_class)'],
+            ),
+        )
+    )
+
     out = [HEADER]
     for title, expect, df in sections:
         plan = df._jdf.queryExecution().explainString(
