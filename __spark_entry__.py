@@ -754,6 +754,29 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: deterministic payloads (magic
+    prefix by doc_id % 4 + UTF-8 text bytes) flow through the magic-byte
+    mime sniff as real binary columns; the oracle re-derives mime + byte
+    accounting arithmetically."""
+    from otel_arrow_spark.textops.multimodal import attach_media_metadata
+
+    d = _t(spark, sf_dir, "documents")
+    m = F.pmod("doc_id", F.lit(4))
+    magic = (
+        F.when(m == 0, F.lit(bytes([0xFF, 0xD8, 0xFF])))
+        .when(m == 1, F.lit(b"\x89PNG"))
+        .when(m == 2, F.lit(b"RIFF"))
+        .otherwise(F.lit(b""))
+    )
+    df = d.withColumn("payload", F.concat(magic, F.encode("text", "UTF-8")))
+    out = attach_media_metadata(df)
+    return out.groupBy("mime_sniffed").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups in the oracle-reproducible md5/60-bit mode: the
     pigeonhole chunk join is exhaustive (max_hamming < n_chunks), so the
@@ -846,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram": q_dedup_ngram,
         "dedup_embedding": q_dedup_embedding,
         "capped_reagg": q_capped_reagg,
+        "multimodal_sniff": q_multimodal_sniff,
         "dedup_simhash": q_dedup_simhash,
         "similarity_lsh": q_similarity_lsh,
         "transcripts_routed": q_transcripts_routed,
@@ -1455,5 +1479,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_rows,
                    round(CAST(sum(value) AS DOUBLE), 4) AS sum_value_r
             FROM events GROUP BY 1
+        """,
+        "multimodal_sniff": """
+            SELECT CASE doc_id % 4
+                       WHEN 0 THEN 'image/jpeg'
+                       WHEN 1 THEN 'image/png'
+                       WHEN 2 THEN 'audio/wav'
+                       ELSE 'application/octet-stream' END AS mime_sniffed,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(octet_length(CAST(text AS BLOB))
+                        + CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 4
+                                          WHEN 2 THEN 4 ELSE 0 END) AS BIGINT) AS total_bytes
+            FROM documents GROUP BY 1
         """,
     }
