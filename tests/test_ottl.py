@@ -125,6 +125,35 @@ class TestEditors:
         assert {r.id: r.attributes for r in b.collect()}[1]["k"] == "v"
 
 
+class TestStreaming:
+    def test_ottl_statements_run_on_streams(self, spark, tiny_transcripts, workdir):
+        """OTTL statements are pure projections, so the same statement list
+        runs unmodified on a streaming frame and matches the batch result
+        (the shared-PipelineStage property)."""
+        from otel_arrow_spark.sources.transcripts import transcripts_schema
+
+        stmts = ['set(src, "x") where role == "user"',
+                 'set(rl, toupper(role))']
+        stream = spark.readStream.schema(transcripts_schema()).parquet(tiny_transcripts)
+        out = f"{workdir}/ottl_stream"
+        q = (
+            run_ottl(stream, stmts)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", f"{workdir}/ottl_stream_ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = spark.read.parquet(out)
+        want = run_ottl(spark.read.parquet(tiny_transcripts), stmts)
+        assert got.count() == want.count() > 0
+        g = {(r.conv_id, r.turn_idx): (r.src, r.rl) for r in got.collect()}
+        w = {(r.conv_id, r.turn_idx): (r.src, r.rl) for r in want.collect()}
+        assert g == w
+
+
 class TestParity:
     def test_opl_ottl_set_parity(self, spark, logs):
         """The same transform expressed in both languages compiles to the
