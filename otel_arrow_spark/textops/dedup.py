@@ -235,6 +235,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """All-pairs token-n-gram Jaccard ≥ threshold via an inverted index.
 
@@ -242,11 +243,28 @@ def ngram_jaccard_pairs(
     (the standard inverted-index trick): pairs sharing ≥1 n-gram are the
     only candidates. Exact Jaccard then filters. Quadratic only within
     posting lists, never across the corpus.
+
+    ``max_df``: candidate-generation document-frequency cut. The posting
+    self-join costs Σ df(g)² — on natural-language corpora a stop-gram
+    like "of the X" with df≈10⁸ makes that term quadratic in corpus size,
+    so at scale grams appearing in more than ``max_df`` documents are
+    dropped from CANDIDATE GENERATION only (verification still uses the
+    full gram sets, so reported jaccard values are exact). A pair whose
+    every shared gram is ultra-common can be missed — the standard,
+    documented trade; leave ``None`` for the exact mode at small scale.
     """
     grams = ensure_parallelism(df).select(
         F.col(id_col), token_ngrams(F.col(text_col), n).alias("_g")
     )
     posting = grams.select(id_col, F.explode("_g").alias("gram"))
+    if max_df is not None:
+        keep = (
+            posting.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("gram")
+        )
+        posting = posting.join(keep, "gram")
     pairs = (
         posting.alias("l")
         .join(posting.alias("r"), on="gram")

@@ -83,6 +83,18 @@ class TestDedup:
         pairs = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(dup_docs, threshold=0.5).collect()}
         assert (1, 2) in pairs and (4, 5) in pairs
 
+    def test_ngram_jaccard_max_df_keeps_rare_gram_pairs(self, dup_docs):
+        """The document-frequency cut prunes candidate generation without
+        losing pairs that share any below-cap gram (verification jaccard
+        stays exact — computed on the FULL gram sets)."""
+        exact = {(r.id_a, r.id_b): r.jaccard
+                 for r in ngram_jaccard_pairs(dup_docs, threshold=0.5).collect()}
+        capped = {(r.id_a, r.id_b): r.jaccard
+                  for r in ngram_jaccard_pairs(dup_docs, threshold=0.5, max_df=3).collect()}
+        assert (1, 2) in capped and (4, 5) in capped
+        for k, j in capped.items():
+            assert abs(j - exact[k]) < 1e-12  # exact values, pruned candidates
+
     def test_simhash(self, dup_docs):
         pairs = {(r.id_a, r.id_b): r.hamming for r in
                  simhash_near_dup_pairs(dup_docs, max_hamming=3).collect()}
