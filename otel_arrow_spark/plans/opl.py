@@ -488,12 +488,27 @@ class _Parser:
             keys = []
             if self.at("by"):
                 self.next()
-                keys.append(self.next().text)
+                keys.append(self._group_key(len(keys)))
                 while self.at(","):
                     self.next()
-                    keys.append(self.next().text)
+                    keys.append(self._group_key(len(keys)))
             return SummarizeStage(aggs, keys)
         raise OplSyntaxError(f"unknown stage {t.text!r}")
+
+    def _group_key(self, idx: int):
+        """``by`` list entry (kql.pest group_by_expression): a bare column,
+        ``alias = expr``, or a bare expression (auto-aliased ``key<idx>``).
+        Returns (alias, ast)."""
+        start = self.i
+        node = self.expr()
+        # ``alias = expr`` — a bare Col followed by '='
+        if isinstance(node, Col) and self.at("="):
+            self.next()
+            return (node.name, self.expr())
+        if isinstance(node, Col):
+            return (node.name, node)
+        del start
+        return (f"key{idx}", node)
 
     def _rename_pair(self):
         old = self.next()
@@ -884,7 +899,14 @@ def _apply_stages(df: DataFrame, stages: list, ports: dict[str, DataFrame]) -> D
                 if fn is None:
                     raise OplSyntaxError(f"unknown aggregate {name!r}")
                 aggs.append(fn(compile_expr(arg) if arg else None).alias(alias))
-            df = df.groupBy(*stage.keys).agg(*aggs)
+            # keys: legacy plain strings or (alias, expr) tuples —
+            # expression keys (bin(ts, 1h) etc.) compile + alias
+            key_cols = [
+                F.col(k) if isinstance(k, str)
+                else compile_expr(k[1]).alias(k[0])
+                for k in stage.keys
+            ]
+            df = df.groupBy(*key_cols).agg(*aggs)
         else:  # pragma: no cover
             raise OplSyntaxError(f"unknown stage {stage!r}")
     return df

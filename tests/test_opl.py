@@ -339,6 +339,25 @@ class TestAdviceRegressions:
         assert rows[1].dev == "sda" and rows[2].dev is None
         assert rows[1].sevl == "error" and rows[1].half == 8.5
 
+    def test_summarize_by_expression_keys(self, spark):
+        """KQL group_by_expression: `by alias = expr` and bare expressions
+        (the canonical `summarize count() by bin(ts, 1h)` shape)."""
+        df = spark.createDataFrame(
+            [(1, "2026-01-01 00:02:00", "a"), (2, "2026-01-01 00:07:00", "a"),
+             (3, "2026-01-01 00:08:00", "b")],
+            "id int, t string, g string",
+        ).select("id", F.col("t").cast("timestamp_ntz").alias("ts"), "g")
+        r = run_opl(
+            "logs | summarize n = count() by tb = bin(ts, 5m), g",
+            {"logs": df},
+        )
+        got = {(x.tb.minute, x.g): x.n for x in r.default.collect()}
+        assert got == {(0, "a"): 1, (5, "a"): 1, (5, "b"): 1}
+        # bare expression key auto-aliases
+        r2 = run_opl("logs | summarize n = count() by bin(ts, 5m)", {"logs": df})
+        assert "key0" in r2.default.columns
+        assert {x.n for x in r2.default.collect()} == {1, 2}
+
     def test_bin_and_datetime(self, spark):
         """KQL bin(value, roundTo) with timespan literals (kql.pest:211,125)
         and the datetime() constructor."""
