@@ -45,7 +45,7 @@ _TOKEN_RE = re.compile(
   | (?P<timespan>(?:\d+\.\d+|\d+)(?:ms|d|h|m|s)(?![A-Za-z0-9_]))
   | (?P<num>\d+\.\d+|\d+)
   | (?P<str>[rR]?'(?:[^'\\]|\\.)*'|[rR]?"(?:[^"\\]|\\.)*")
-  | (?P<op>=~|==|!=|>=|<=|[><+\-*/%(),\[\]={}|])
+  | (?P<op>=~|==|!=|>=|<=|[><+\-*/%(),\[\]={}|;:])
   | (?P<ident>[A-Za-z_][A-Za-z0-9_.]*)
 """,
     re.VERBOSE,
@@ -191,9 +191,21 @@ class TakeStage:
 
 
 @dataclass
+class FuncDef:
+    """``let f = (x: type [, ...]) { [let y = expr;]* expr };`` — a scalar
+    user-defined function (kql.pest:373-378); inlined at compile time."""
+
+    params: list  # [(name, default_ast | None)]
+    inner_lets: list  # [(name, ast)]
+    body: object
+
+
+@dataclass
 class Query:
     source: str
     stages: list
+    let_scalars: list | None = None  # [(name, ast)] in declaration order
+    let_funcs: dict | None = None    # {name: FuncDef}
 
 
 # ---------------------------------------------------------------------------
@@ -347,6 +359,21 @@ class _Parser:
     # --- stages ---
 
     def parse_query(self) -> Query:
+        # leading let-statements (kql.pest:368,373 variable / user-defined
+        # function definitions), then the tabular query
+        scalars: list = []
+        funcs: dict = {}
+        while self.at("let"):
+            self.next()
+            name = self.next()
+            if name.kind != "ident":
+                raise OplSyntaxError("let expects a name")
+            self.expect("=")
+            if self.at("(") and self._funcdef_ahead():
+                funcs[name.text] = self._funcdef()
+            else:
+                scalars.append((name.text, self.expr()))
+            self.expect(";")
         src = self.next()
         if src.kind != "ident":
             raise OplSyntaxError("query must start with a source name")
@@ -356,7 +383,53 @@ class _Parser:
             stages.append(self.stage())
         if self.peek() is not None:
             raise OplSyntaxError(f"trailing input at {self.peek().text!r}")
-        return Query(src.text, stages)
+        return Query(src.text, stages, scalars or None, funcs or None)
+
+    def _funcdef_ahead(self) -> bool:
+        """Lookahead: at '(' — is this a function definition (matching ')'
+        followed by '{') or a parenthesized scalar expression?"""
+        depth = 0
+        for j in range(self.i, len(self.toks)):
+            t = self.toks[j].text
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+                if depth == 0:
+                    return j + 1 < len(self.toks) and self.toks[j + 1].text == "{"
+        return False
+
+    def _funcdef(self) -> FuncDef:
+        self.expect("(")
+        params = []
+        if not self.at(")"):
+            while True:
+                pname = self.next().text
+                default = None
+                if self.at(":"):  # typed param: name: type [= default]
+                    self.next()
+                    self.next()  # type name (advisory only — Spark infers)
+                    if self.at("="):
+                        self.next()
+                        default = self.expr()
+                params.append((pname, default))
+                if not self.at(","):
+                    break
+                self.next()
+        self.expect(")")
+        self.expect("{")
+        inner = []
+        while self.at("let"):
+            self.next()
+            n = self.next().text
+            self.expect("=")
+            inner.append((n, self.expr()))
+            self.expect(";")
+        body = self.expr()
+        if self.at(";"):
+            self.next()
+        self.expect("}")
+        return FuncDef(params, inner, body)
 
     def _block(self) -> list:
         """``{ stage | stage | ... }`` — a nested branch pipeline
@@ -701,6 +774,8 @@ _AGG_FUNCTIONS = {
 # literal back-extraction for functions whose Spark binding needs a python
 # value (regex patterns, formats)
 _LIT_STACK: list = []
+# user-defined function scope (let f = (...) { ... }), per run_opl call
+_USER_FUNCS: list = []
 
 
 def _lit_str(c) -> str:
@@ -750,6 +825,25 @@ def compile_expr(node, env: dict[str, Column] | None = None) -> Column:
             "%": lambda: l % r,
         }[node.op]()
     if isinstance(node, Call):
+        # user-defined functions (let f = (...) { ... }) inline first
+        ufuncs = _USER_FUNCS[-1] if _USER_FUNCS else {}
+        fdef = ufuncs.get(node.name)
+        if fdef is not None:
+            newenv = dict(env or {})
+            for (pname, default), i in zip(
+                fdef.params, range(len(fdef.params))
+            ):
+                if i < len(node.args):
+                    newenv[pname] = compile_expr(node.args[i], env)
+                elif default is not None:
+                    newenv[pname] = compile_expr(default, env)
+                else:
+                    raise OplSyntaxError(
+                        f"missing argument {pname!r} for {node.name!r}"
+                    )
+            for n, ast in fdef.inner_lets:
+                newenv[n] = compile_expr(ast, newenv)
+            return compile_expr(fdef.body, newenv)
         fn = _FUNCTIONS.get(node.name)
         if fn is None:
             raise OplSyntaxError(f"unknown function {node.name!r}")
@@ -773,10 +867,15 @@ class OplResult:
     ports: dict[str, DataFrame]
 
 
-def _apply_stages(df: DataFrame, stages: list, ports: dict[str, DataFrame]) -> DataFrame:
+def _apply_stages(
+    df: DataFrame,
+    stages: list,
+    ports: dict[str, DataFrame],
+    env: dict | None = None,
+) -> DataFrame:
     for stage in stages:
         if isinstance(stage, WhereStage):
-            df = df.filter(compile_expr(stage.predicate))
+            df = df.filter(compile_expr(stage.predicate, env))
         elif isinstance(stage, DropStage):
             # planned as a folded constant filter (planner.rs:186-200)
             df = df.filter(F.lit(False))
@@ -784,7 +883,7 @@ def _apply_stages(df: DataFrame, stages: list, ports: dict[str, DataFrame]) -> D
             # consecutive sets coalesce via CollapseProject — the
             # reference coalesces them explicitly (planner.rs:106-158)
             for target, expr in stage.assignments:
-                val = compile_expr(expr)
+                val = compile_expr(expr, env)
                 if isinstance(target, Col):
                     df = df.withColumn(target.name, val)
                 else:  # attribute upsert (upsert_attributes.rs analog)
@@ -810,11 +909,11 @@ def _apply_stages(df: DataFrame, stages: list, ports: dict[str, DataFrame]) -> D
             from otel_arrow_spark.operators.flow import conditional_branches
 
             branches = [
-                (compile_expr(pred), (lambda d, ss=ss: _apply_stages(d, ss, ports)))
+                (compile_expr(pred, env), (lambda d, ss=ss: _apply_stages(d, ss, ports, env)))
                 for pred, ss in stage.branches
             ]
             otherwise = (
-                (lambda d, ss=stage.otherwise: _apply_stages(d, ss, ports))
+                (lambda d, ss=stage.otherwise: _apply_stages(d, ss, ports, env))
                 if stage.otherwise is not None
                 else (lambda d: d)
             )
@@ -853,7 +952,7 @@ def _apply_stages(df: DataFrame, stages: list, ports: dict[str, DataFrame]) -> D
             # duplicate the stream into each branch pipeline, union the
             # results (fork.rs:25-31: "results are then unioned back") —
             # route_to inside a branch still diverts to its port
-            outs = [_apply_stages(df, ss, ports) for ss in stage.branches]
+            outs = [_apply_stages(df, ss, ports, env) for ss in stage.branches]
             df = outs[0]
             for o in outs[1:]:
                 df = df.unionByName(o, allowMissingColumns=True)
@@ -898,12 +997,12 @@ def _apply_stages(df: DataFrame, stages: list, ports: dict[str, DataFrame]) -> D
                 fn = _AGG_FUNCTIONS.get(name)
                 if fn is None:
                     raise OplSyntaxError(f"unknown aggregate {name!r}")
-                aggs.append(fn(compile_expr(arg) if arg else None).alias(alias))
+                aggs.append(fn(compile_expr(arg, env) if arg else None).alias(alias))
             # keys: legacy plain strings or (alias, expr) tuples —
             # expression keys (bin(ts, 1h) etc.) compile + alias
             key_cols = [
                 F.col(k) if isinstance(k, str)
-                else compile_expr(k[1]).alias(k[0])
+                else compile_expr(k[1], env).alias(k[0])
                 for k in stage.keys
             ]
             df = df.groupBy(*key_cols).agg(*aggs)
@@ -925,10 +1024,17 @@ def run_opl(query: str, sources: dict[str, DataFrame]) -> OplResult:
         raise OplSyntaxError(f"unknown source {q.source!r}")
     ports: dict[str, DataFrame] = {}
     _LIT_STACK.append({})
+    _USER_FUNCS.append(q.let_funcs or {})
     try:
-        df = _apply_stages(sources[q.source], q.stages, ports)
+        # let-bound scalars compile once, in declaration order; later lets
+        # may reference earlier ones (kql.pest variable_definition)
+        env: dict[str, Column] = {}
+        for name, ast in q.let_scalars or []:
+            env[name] = compile_expr(ast, env)
+        df = _apply_stages(sources[q.source], q.stages, ports, env or None)
         return OplResult(default=df, ports=ports)
     finally:
+        _USER_FUNCS.pop()
         _LIT_STACK.pop()
 
 

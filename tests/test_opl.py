@@ -358,6 +358,38 @@ class TestAdviceRegressions:
         assert "key0" in r2.default.columns
         assert {x.n for x in r2.default.collect()} == {1, 2}
 
+    def test_let_scalar_bindings(self, spark, logs):
+        """let name = expr; ... (kql.pest variable_definition_expression);
+        later lets may reference earlier ones."""
+        r = run_opl(
+            "let thresh = 13; let above = thresh + 4; "
+            "logs | where severity_number >= above",
+            {"logs": logs},
+        )
+        assert {x.id for x in r.default.collect()} == {1, 4}
+
+    def test_let_user_defined_function(self, spark, logs):
+        """let f = (params) { body }; — scalar UDF inlined at compile time
+        (kql.pest:373-378), with typed params, defaults, and inner lets."""
+        r = run_opl(
+            "let tag = (s: string, prefix: string = 'sev=') { "
+            "  let low = lower_case(s); concat(prefix, low) }; "
+            "logs | set t1 = tag(severity_text), t2 = tag(severity_text, '>>')",
+            {"logs": logs},
+        )
+        rows = {x.id: x for x in r.default.collect()}
+        assert rows[1].t1 == "sev=error" and rows[1].t2 == ">>error"
+
+    def test_let_function_in_summarize(self, spark, logs):
+        r = run_opl(
+            "let is_high = (n: long) { n >= 13 }; "
+            "logs | where is_high(severity_number) "
+            "| summarize n = count() by severity_text",
+            {"logs": logs},
+        )
+        got = {x.severity_text: x.n for x in r.default.collect()}
+        assert got == {"ERROR": 2, "WARN": 1}
+
     def test_bin_and_datetime(self, spark):
         """KQL bin(value, roundTo) with timespan literals (kql.pest:211,125)
         and the datetime() constructor."""
