@@ -754,6 +754,57 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction with scrub lineage: PII is injected deterministically
+    (doc_id-keyed emails/phones/ips), redacted with the ordered rule list,
+    and the oracle re-derives counts + redacted text with the same RE2
+    patterns in SQL."""
+    from otel_arrow_spark.textops.scrub import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    m = F.pmod("doc_id", F.lit(3))
+    injected = F.concat(
+        F.col("text"),
+        F.when(m == 0, F.concat(F.lit(" reach user"), F.col("doc_id"),
+                                F.lit("@corp.example.com now")))
+        .when(m == 1, F.lit(" call 555-867-5309 today"))
+        .otherwise(F.concat(F.lit(" from host 10.1.2."),
+                            F.pmod("doc_id", F.lit(250)))),
+    )
+    out = redact_pii(d.withColumn("text", injected))
+    return out.select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "n_ssn",
+        F.md5("text_redacted").alias("redacted_md5"),
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: the 'benchmark' is the 3 lowest-id
+    documents; corpus docs sharing any 8-gram with them are flagged via the
+    inverted-index join (broadcast benchmark grams). The oracle replays the
+    gram construction and join in SQL."""
+    from otel_arrow_spark.textops.scrub import benchmark_ngrams, flag_contaminated
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.orderBy("doc_id").limit(3).select("text")
+    out = flag_contaminated(d, benchmark_ngrams(bench, n=8), n=8)
+    return out.select("doc_id", "is_contaminated", "n_hits")
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality signals per document; the oracle
+    re-derives top-bigram fraction and mean word length in SQL."""
+    from otel_arrow_spark.textops.scrub import repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    out = repetition_stats(d)
+    return out.select(
+        "doc_id",
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac_r"),
+        F.round("mean_word_len", 6).alias("mean_word_len_r"),
+    )
+
+
 def q_multimodal_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column plumbing: deterministic payloads (magic
     prefix by doc_id % 4 + UTF-8 text bytes) flow through the magic-byte
@@ -870,6 +921,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "capped_reagg": q_capped_reagg,
         "multimodal_sniff": q_multimodal_sniff,
+        "redact_pii": q_redact_pii,
+        "decontaminate": q_decontaminate,
+        "repetition": q_repetition,
         "dedup_simhash": q_dedup_simhash,
         "similarity_lsh": q_similarity_lsh,
         "transcripts_routed": q_transcripts_routed,
@@ -1479,6 +1533,74 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_rows,
                    round(CAST(sum(value) AS DOUBLE), 4) AS sum_value_r
             FROM events GROUP BY 1
+        """,
+        "redact_pii": """
+            WITH t AS (
+                SELECT doc_id,
+                       text || CASE doc_id % 3
+                           WHEN 0 THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@corp.example.com now'
+                           WHEN 1 THEN ' call 555-867-5309 today'
+                           ELSE ' from host 10.1.2.' || CAST(doc_id % 250 AS VARCHAR) END AS text
+                FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+                   CAST(len(regexp_extract_all(text, '\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}')) AS INT) AS n_phone,
+                   CAST(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS INT) AS n_ssn,
+                   md5(regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(text,
+                                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                               '\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}', '<PHONE>', 'g'),
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+                       '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g')) AS redacted_md5
+            FROM t
+        """,
+        "decontaminate": """
+            WITH tk AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents),
+            g AS (
+                SELECT doc_id, list_distinct(list_transform(
+                    range(1, greatest(len(toks) - 6, 1)),
+                    i -> array_to_string(list_slice(toks, i, i + 7), ' '))) AS gr
+                FROM tk),
+            bench AS (
+                SELECT DISTINCT unnest(gr) AS gram FROM g
+                WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 3)),
+            hits AS (
+                SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+                FROM (SELECT doc_id, unnest(gr) AS gram FROM g) p
+                JOIN bench USING (gram) GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(h.n_hits, 0) > 0 AS is_contaminated,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        """,
+        "repetition": """
+            WITH tk AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents),
+            bg AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 2
+                            THEN list_transform(range(1, len(toks)),
+                                                i -> toks[i] || ' ' || toks[i + 1])
+                            ELSE [] END AS bgs,
+                       toks
+                FROM tk),
+            cnt AS (
+                SELECT doc_id, gram, count(*) AS c
+                FROM (SELECT doc_id, unnest(bgs) AS gram FROM bg) GROUP BY 1, 2),
+            top AS (
+                SELECT doc_id, max(c) AS topc, sum(c) AS total
+                FROM cnt GROUP BY 1)
+            SELECT b.doc_id,
+                   round(coalesce(CAST(t.topc AS DOUBLE) / t.total, 0.0), 6) AS top_bigram_frac_r,
+                   round(CAST(list_sum(list_transform(b.toks, x -> length(x))) AS DOUBLE)
+                         / greatest(len(b.toks), 1), 6) AS mean_word_len_r
+            FROM bg b LEFT JOIN top t ON b.doc_id = t.doc_id
         """,
         "multimodal_sniff": """
             SELECT CASE doc_id % 4

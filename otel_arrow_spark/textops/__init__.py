@@ -31,3 +31,9 @@ from otel_arrow_spark.textops.ivf import (  # noqa: F401
     train_centroids,
     write_ivf_index,
 )
+from otel_arrow_spark.textops.scrub import (  # noqa: F401
+    benchmark_ngrams,
+    flag_contaminated,
+    redact_pii,
+    repetition_stats,
+)
