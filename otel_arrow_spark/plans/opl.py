@@ -122,6 +122,12 @@ class Call:
 
 
 @dataclass
+class TypeCheck:
+    expr: object
+    type_name: str  # String | Int | Long | Double | Bool | Timestamp | Array | Map
+
+
+@dataclass
 class WhereStage:
     predicate: object
 
@@ -267,6 +273,14 @@ class _Parser:
         if t and t.text in ("==", "!=", ">", ">=", "<", "<=", "=~"):
             self.next()
             return Bin(t.text, e, self.add_expr())
+        if t and t.text == "is":
+            # type check: expr is String / Int / Double / Bool / ...
+            # (opl.pest type_check_expression; flow_control.md:116-157)
+            self.next()
+            tname = self.next()
+            if tname.kind != "ident":
+                raise OplSyntaxError("'is' expects a type name")
+            return TypeCheck(e, tname.text)
         return e
 
     def add_expr(self):
@@ -824,6 +838,28 @@ def compile_expr(node, env: dict[str, Column] | None = None) -> Column:
             "/": lambda: l / r,
             "%": lambda: l % r,
         }[node.op]()
+    if isinstance(node, TypeCheck):
+        # runtime type check against the storage type (F.typeof is
+        # JVM-side); a NULL value (e.g. a missing attribute key) is NOT of
+        # any type, matching the reference's AnyValue-tag semantics.
+        c = compile_expr(node.expr, env)
+        names = {
+            "String": ["string"],
+            "Int": ["int", "bigint", "smallint", "tinyint"],
+            "Long": ["bigint"],
+            "Double": ["double", "float"],
+            "Float": ["double", "float"],
+            "Bool": ["boolean"],
+            "Boolean": ["boolean"],
+            "Timestamp": ["timestamp", "timestamp_ntz"],
+        }.get(node.type_name)
+        if names is not None:
+            match = F.typeof(c).isin(*names)
+        elif node.type_name in ("Array", "Map"):
+            match = F.typeof(c).startswith(node.type_name.lower())
+        else:
+            raise OplSyntaxError(f"unknown type name {node.type_name!r}")
+        return c.isNotNull() & match
     if isinstance(node, Call):
         # user-defined functions (let f = (...) { ... }) inline first
         ufuncs = _USER_FUNCS[-1] if _USER_FUNCS else {}
@@ -885,7 +921,28 @@ def _apply_stages(
             for target, expr in stage.assignments:
                 val = compile_expr(expr, env)
                 if isinstance(target, Col):
-                    df = df.withColumn(target.name, val)
+                    if "." in target.name:
+                        # nested struct-field assignment
+                        # (set resource.schema_url = ..., basic_operators.md)
+                        root, path = target.name.split(".", 1)
+                        df = df.withColumn(
+                            root, F.col(root).withField(path, val)
+                        )
+                    else:
+                        df = df.withColumn(target.name, val)
+                elif "." in target.map_col:
+                    # nested map upsert: set resource.attributes["k"] = v —
+                    # rebuild the struct field, not a flat dotted column
+                    from otel_arrow_spark.plans.ottl import _upsert_expr
+
+                    root, path = target.map_col.split(".", 1)
+                    m = F.col(target.map_col)
+                    df = df.withColumn(
+                        root,
+                        F.col(root).withField(
+                            path, _upsert_expr(m, target.key, val)
+                        ),
+                    )
                 else:  # attribute upsert (upsert_attributes.rs analog)
                     from otel_arrow_spark.operators.attributes import attrs_upsert
 
