@@ -18,8 +18,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _coerce(value: Column) -> Column:
+    """Denormalized attribute maps are map<string,string>; non-string
+    values (set attributes['x'] = true / 5) stringify on write — the
+    string-map analog of AnyValue's tagged union (the typed alternative is
+    functions/anyvalue.py). Without this, inserting a boolean makes Spark
+    try to cast every EXISTING value to boolean (ANSI cast error)."""
+    return value.cast("string")
+
+
 def attrs_insert(df: DataFrame, attrs_col: str, key: str, value: Column) -> DataFrame:
     """insert: set only if the key is absent (mod.rs Action::Insert)."""
+    value = _coerce(value)
     m = F.col(attrs_col)
     inserted = F.map_concat(m, F.create_map(F.lit(key), value))
     return df.withColumn(
@@ -32,6 +42,7 @@ def attrs_insert(df: DataFrame, attrs_col: str, key: str, value: Column) -> Data
 
 def attrs_update(df: DataFrame, attrs_col: str, key: str, value: Column) -> DataFrame:
     """update: set only if the key exists (Action::Update)."""
+    value = _coerce(value)
     m = F.col(attrs_col)
     return df.withColumn(
         attrs_col,
@@ -49,6 +60,7 @@ def attrs_upsert(df: DataFrame, attrs_col: str, key: str, value: Column) -> Data
     spark.sql.mapKeyDedupPolicy=LAST_WIN; to stay config-independent we
     filter the old key out first.
     """
+    value = _coerce(value)
     m = F.col(attrs_col)
     without = F.map_filter(m, lambda k, _: k != F.lit(key))
     return df.withColumn(
@@ -66,9 +78,8 @@ def attrs_delete(df: DataFrame, attrs_col: str, key: str) -> DataFrame:
     )
 
 
-def attrs_rename(df: DataFrame, attrs_col: str, old: str, new: str) -> DataFrame:
-    """rename key (Action::Rename): keeps the value, swaps the key."""
-    m = F.col(attrs_col)
+def rename_expr(m: Column, old: str, new: str) -> Column:
+    """Key-rename as a pure expression (for nested struct-field targets)."""
     entries = F.transform(
         F.map_entries(m),
         lambda e: F.struct(
@@ -76,9 +87,12 @@ def attrs_rename(df: DataFrame, attrs_col: str, old: str, new: str) -> DataFrame
             e["value"].alias("value"),
         ),
     )
-    return df.withColumn(
-        attrs_col, F.when(m.isNull(), m).otherwise(F.map_from_entries(entries))
-    )
+    return F.when(m.isNull(), m).otherwise(F.map_from_entries(entries))
+
+
+def attrs_rename(df: DataFrame, attrs_col: str, old: str, new: str) -> DataFrame:
+    """rename key (Action::Rename): keeps the value, swaps the key."""
+    return df.withColumn(attrs_col, rename_expr(F.col(attrs_col), old, new))
 
 
 def attrs_hash(df: DataFrame, attrs_col: str, key: str, salt: str = "") -> DataFrame:

@@ -42,6 +42,7 @@ from otel_arrow_spark.functions import scalar as fns
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
+  | (?P<comment>//[^\n]*)
   | (?P<timespan>(?:\d+\.\d+|\d+)(?:ms|d|h|m|s)(?![A-Za-z0-9_]))
   | (?P<num>\d+\.\d+|\d+)
   | (?P<str>[rR]?'(?:[^'\\]|\\.)*'|[rR]?"(?:[^"\\]|\\.)*")
@@ -69,7 +70,7 @@ def tokenize(src: str) -> list[Tok]:
             raise OplSyntaxError(f"unexpected character {src[i]!r} at {i}")
         i = m.end()
         kind = m.lastgroup
-        if kind == "ws":
+        if kind in ("ws", "comment"):  # // line comments (opl.pest COMMENT)
             continue
         out.append(Tok(kind, m.group()))
     return out
@@ -125,6 +126,15 @@ class Call:
 class TypeCheck:
     expr: object
     type_name: str  # String | Int | Long | Double | Bool | Timestamp | Array | Map
+
+
+@dataclass
+class SignalIs:
+    """Bare ``is Log`` / ``is Metric`` / ``is Span`` signal-type check
+    (flow_control.md:116-157): in the denormalized layout the signal type
+    is a column — ``signal_type`` ∈ {log, metric, span} by convention."""
+
+    signal: str
 
 
 @dataclass
@@ -299,6 +309,10 @@ class _Parser:
 
     def atom(self):
         t = self.next()
+        if t.text == "is" and self.peek() is not None and self.peek().text in (
+            "Log", "Metric", "Span",
+        ):
+            return SignalIs(self.next().text)
         if t.text == "-":
             # unary minus: fold into numeric literals, else 0 - expr
             inner = self.atom()
@@ -838,6 +852,8 @@ def compile_expr(node, env: dict[str, Column] | None = None) -> Column:
             "/": lambda: l / r,
             "%": lambda: l % r,
         }[node.op]()
+    if isinstance(node, SignalIs):
+        return F.col("signal_type") == F.lit(node.signal.lower())
     if isinstance(node, TypeCheck):
         # runtime type check against the storage type (F.typeof is
         # JVM-side); a NULL value (e.g. a missing attribute key) is NOT of
@@ -977,11 +993,22 @@ def _apply_stages(
             df = conditional_branches(df, branches, otherwise=otherwise)
         elif isinstance(stage, RenameStage):
             # ordered key renames on the map column (rename_operator_call;
-            # attributes_processor Action::Rename kernel)
-            from otel_arrow_spark.operators.attributes import attrs_rename
+            # attributes_processor Action::Rename kernel); dotted targets
+            # (rename resource.attributes ...) rebuild the struct field
+            from otel_arrow_spark.operators.attributes import (
+                attrs_rename,
+                rename_expr,
+            )
 
-            for old, new in stage.pairs:
-                df = attrs_rename(df, stage.map_col, old, new)
+            if "." in stage.map_col:
+                root, path = stage.map_col.split(".", 1)
+                expr = F.col(stage.map_col)
+                for old, new in stage.pairs:
+                    expr = rename_expr(expr, old, new)
+                df = df.withColumn(root, F.col(root).withField(path, expr))
+            else:
+                for old, new in stage.pairs:
+                    df = attrs_rename(df, stage.map_col, old, new)
         elif isinstance(stage, RemoveKeysStage):
             # remove / project-away: map keys get ONE map_filter pass per
             # map column; whole-column targets become a single drop
@@ -999,7 +1026,14 @@ def _apply_stages(
                 return lambda k, _: ~k.isin(*ks)
 
             for mc, keys in by_col.items():
-                df = df.withColumn(mc, F.map_filter(F.col(mc), _not_in(keys)))
+                filtered = F.map_filter(F.col(mc), _not_in(keys))
+                if "." in mc:
+                    # nested: remove resource.attributes["k"] rebuilds the
+                    # struct field (attr_operators.md remove examples)
+                    root, path = mc.split(".", 1)
+                    df = df.withColumn(root, F.col(root).withField(path, filtered))
+                else:
+                    df = df.withColumn(mc, filtered)
             if drop_cols:
                 df = df.drop(*drop_cols)
         elif isinstance(stage, ColRenameStage):

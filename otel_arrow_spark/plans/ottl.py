@@ -93,7 +93,10 @@ def _map_target(node, what: str) -> str:
 
 def _upsert_expr(m: Column, key: str, value: Column) -> Column:
     """Insert-or-replace as a pure expression (attrs_upsert analog,
-    upsert_attributes.rs semantics; null map → fresh single-entry map)."""
+    upsert_attributes.rs semantics; null map → fresh single-entry map).
+    Values stringify into the map<string,string> layout (see
+    operators/attributes.py _coerce)."""
+    value = value.cast("string")
     without = F.map_filter(m, lambda k, _: k != F.lit(key))
     return F.when(m.isNull(), F.create_map(F.lit(key), value)).otherwise(
         F.map_concat(without, F.create_map(F.lit(key), value))

@@ -129,6 +129,146 @@ class TestWhereExamples:
         assert ids(r) == {1}
 
 
+class TestAttrOperatorExamples:
+    def test_rename_attr(self, spark, logs):
+        r = run_opl(
+            'logs | rename attributes "url.path" as "url.full"', {"logs": logs}
+        )
+        rows = {x.id: x.attributes for x in r.default.collect()}
+        assert rows[1]["url.full"] == "/v1/users" and "url.path" not in rows[1]
+        assert rows[4] is None
+
+    def test_rename_resource_attr_nested(self, spark, logs):
+        r = run_opl(
+            'logs | rename resource.attributes "k8s.namespace.name" as "k8s.ns"',
+            {"logs": logs},
+        )
+        for x in r.default.collect():
+            assert "k8s.ns" in x.resource.attributes
+            assert "k8s.namespace.name" not in x.resource.attributes
+
+    def test_rename_multiple_pairs_multiline(self, spark, logs):
+        r = run_opl(
+            """logs |
+            rename attributes "url.path" as "p", "http.target" as "t"
+            """,
+            {"logs": logs},
+        )
+        rows = {x.id: x.attributes for x in r.default.collect()}
+        assert rows[1] == {"p": "/v1/users", "t": "/API/users"}
+
+    def test_remove_attr(self, spark, logs):
+        r = run_opl('logs | remove attributes["url.path"]', {"logs": logs})
+        rows = {x.id: x.attributes for x in r.default.collect()}
+        assert all("url.path" not in (a or {}) for a in rows.values())
+
+    def test_remove_mixed_nested(self, spark, logs):
+        r = run_opl(
+            """logs |
+            remove
+                attributes["url.path"],
+                resource.attributes["k8s.pod.name"]
+            """,
+            {"logs": logs},
+        )
+        for x in r.default.collect():
+            assert "url.path" not in (x.attributes or {})
+            assert "k8s.pod.name" not in x.resource.attributes
+
+    def test_apply_attributes_value_filter(self, spark):
+        df = spark.createDataFrame(
+            [(1, {"a": "ok", "b": "my password is x"})],
+            "id int, attributes map<string,string>",
+        )
+        r = run_opl(
+            """logs | apply attributes {
+                where not(matches(value, r".*password.*"))
+            }""",
+            {"logs": df},
+        )
+        assert r.default.collect()[0].attributes == {"a": "ok"}
+
+    def test_apply_attributes_key_prefix_filter(self, spark):
+        df = spark.createDataFrame(
+            [(1, {"internal.x": "1", "public": "2"})],
+            "id int, attributes map<string,string>",
+        )
+        r = run_opl(
+            """logs | apply attributes {
+                where not(starts_with(key, "internal."))
+            }""",
+            {"logs": df},
+        )
+        assert r.default.collect()[0].attributes == {"public": "2"}
+
+
+class TestFlowControlExamples:
+    def test_if_else_attr_priority(self, spark, logs):
+        r = run_opl(
+            """logs | if (severity_text == "ERROR") {
+                set attributes["error.priority"] = "high"
+            } else {
+                set attributes["error.priority"] = "low"
+            }""",
+            {"logs": logs},
+        )
+        rows = {x.id: (x.attributes or {}).get("error.priority")
+                for x in r.default.collect()}
+        assert rows[1] == "high" and rows[2] == "low"
+
+    def test_if_branch_pipeline_with_where(self, spark, logs):
+        r = run_opl(
+            """logs |
+            if (severity_text == "ERROR") {
+                // among ERROR logs, only keep those from observability
+                where resource.attributes["k8s.namespace.name"] == "observability" |
+                set attributes["error.escalate"] = true
+            }""",
+            {"logs": logs},
+        )
+        rows = {x.id: x for x in r.default.collect()}
+        assert rows[1].attributes["error.escalate"] == "true" or \
+            rows[1].attributes["error.escalate"] is True
+        assert set(rows) == {1, 2, 3, 4}  # non-ERROR rows untouched
+
+    def test_comments_in_query(self, spark, logs):
+        r = run_opl(
+            """logs |
+            if (severity_number < 9) {
+                // discard debug and trace logs
+                drop
+            }""",
+            {"logs": logs},
+        )
+        assert ids(r) == {1, 2, 3}
+
+    def test_signal_type_router(self, spark):
+        signals = spark.createDataFrame(
+            [(1, "log", None), (2, "metric", None), (3, "span", None)],
+            "id int, signal_type string, attributes map<string,string>",
+        )
+        r = run_opl(
+            """signals |
+            if (is Log) {
+                set attributes["signal.source"] = "logs"
+            } else if (is Metric) {
+                set attributes["signal.source"] = "metrics"
+            } else if (is Span) {
+                set attributes["signal.source"] = "traces"
+            }""",
+            {"signals": signals},
+        )
+        got = {x.id: x.attributes["signal.source"] for x in r.default.collect()}
+        assert got == {1: "logs", 2: "metrics", 3: "traces"}
+
+    def test_where_is_log(self, spark):
+        signals = spark.createDataFrame(
+            [(1, "log"), (2, "metric"), (3, "span")], "id int, signal_type string"
+        )
+        r = run_opl("signals | where is Log", {"signals": signals})
+        assert ids(r) == {1}
+
+
 class TestSetAndFlowExamples:
     def test_drop_all(self, spark, logs):
         assert run_opl("logs | drop", {"logs": logs}).default.count() == 0
