@@ -724,6 +724,8 @@ _FUNCTIONS = {
     "upper_case": F.upper,
     "concat": lambda *a: F.concat(*a),
     "join": lambda sep, *a: F.concat_ws(_lit_str(sep), *a),
+    # the guide's canonical name (functions.md:77) — same binding
+    "concat_ws": lambda sep, *a: F.concat_ws(_lit_str(sep), *a),
     "substring": lambda s, st, ln=None: F.substr(s, st + F.lit(1)) if ln is None
     else F.substr(s, st + F.lit(1), ln),
     "replace": F.replace,

@@ -269,6 +269,32 @@ class TestFlowControlExamples:
         assert ids(r) == {1}
 
 
+class TestFunctionsSurface:
+    def test_every_functions_md_binding_callable(self, spark):
+        """Every function the guide documents (functions.md:10-305) is
+        callable from OPL text under its documented name."""
+        df = spark.createDataFrame(
+            [(1, "Hello World", 100.0, "2026-01-01 00:00:00")],
+            "id int, s string, v double, t string",
+        ).selectExpr("id", "s", "v", "cast(t as timestamp) ts")
+        q = (
+            "logs | set a1 = contains(s, 'World'), a2 = matches(s, r'W\\w+'), "
+            "a3 = starts_with(s, 'He'), a4 = ends_with(s, 'ld'), a5 = lower_case(s), "
+            "a6 = upper_case(s), a7 = concat(s, '!'), a8 = concat_ws('-', s, s), "
+            "a9 = substring(s, 0, 5), a10 = replace(s, 'World', 'OPL'), "
+            "a11 = ltrim(s), a12 = rtrim(s), a13 = regexp_capture(s, r'(W\\w+)', 1), "
+            "a14 = regexp_substr(s, r'\\w+', 1, 2), a15 = sha256(s), a16 = sha512(s), "
+            "a17 = md5(s), a18 = fnv(s), a19 = murmur3(s), a20 = xxh3(s), a21 = xxh128(s), "
+            "a22 = encode(sha256(s), 'hex'), a23 = v * 2 + 1 - 3 / 4 % 2, a24 = log10(v), "
+            "a25 = format_datetime(ts, 'yyyy-MM-dd'), a26 = uuid(), a27 = uuidv7(), "
+            "a28 = coalesce(null, s)"
+        )
+        row = run_opl(q, {"logs": df}).default.collect()[0]
+        assert row.a1 is True and row.a9 == "Hello" and row.a14 == "World"
+        assert row.a25 == "2026-01-01" and row.a28 == "Hello World"
+        assert row.a24 == 2.0
+
+
 class TestSetAndFlowExamples:
     def test_drop_all(self, spark, logs):
         assert run_opl("logs | drop", {"logs": logs}).default.count() == 0
