@@ -838,6 +838,21 @@ def compile_expr(node, env: dict[str, Column] | None = None) -> Column:
         return ~compile_expr(node.expr, env)
     if isinstance(node, Bin):
         l, r = compile_expr(node.left, env), compile_expr(node.right, env)
+        if node.op in ("==", "!=", ">", ">=", "<", "<="):
+            # AnyValue-comparison semantics for the string-map attribute
+            # layout: attributes['k'] compared to a numeric literal coerces
+            # with try_cast, so a non-numeric value is a type-mismatch
+            # (NULL → no match), never an ANSI cast error.
+            def _num(ast):
+                return isinstance(ast, Lit) and isinstance(ast.value, (int, float)) \
+                    and not isinstance(ast.value, bool)
+
+            if isinstance(node.left, AttrAccess) and _num(node.right):
+                l = l.try_cast("double")
+                r = r.cast("double")
+            elif isinstance(node.right, AttrAccess) and _num(node.left):
+                r = r.try_cast("double")
+                l = l.cast("double")
         return {
             "and": lambda: l & r,
             "or": lambda: l | r,

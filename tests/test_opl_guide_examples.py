@@ -269,6 +269,46 @@ class TestFlowControlExamples:
         assert ids(r) == {1}
 
 
+class TestTracesSource:
+    def test_traces_query_over_spans_star_schema(self, spark, workdir):
+        """The guide's traces example (types.md: `traces | where
+        attributes[\"http.status_code\"] > 499`) over the actual spans star
+        schema: exploded SPAN_ATTRS collected back to a map column, then
+        the verbatim query."""
+        from otel_arrow_spark.operators.attributes import collect_attrs
+        from otel_arrow_spark.sources.spans import write_spans_parquet
+
+        p = write_spans_parquet(f"{workdir}/spans_opl", 2000)
+        spans = spark.read.parquet(f"{p}/spans.parquet")
+        attrs = spark.read.parquet(f"{p}/span_attrs.parquet")
+        # exploded attrs (typed columns) → map<string,string> per span
+        amap = collect_attrs(
+            attrs.select(
+                F.col("parent_id").alias("id"),
+                "key",
+                F.coalesce(F.col("str"), F.col("int").cast("string")).alias("value"),
+            )
+            # OTel attrs are unique per key; the fixture can repeat one, so
+            # reduce deterministically (min) before building the map
+            .groupBy("id", "key").agg(F.min("value").alias("value")),
+            ("id",),
+        )
+        traces = spans.join(amap, "id", "left")
+        r = run_opl(
+            'traces | where attributes["http.status_code"] > 499',
+            {"traces": traces},
+        )
+        got = r.default
+        # oracle: min status per span (matches the map reduction; status
+        # codes are all 3 digits so lexicographic min == numeric min)
+        want = (
+            attrs.filter(F.col("key") == "http.status_code")
+            .groupBy("parent_id").agg(F.min("int").alias("mn"))
+            .filter(F.col("mn") > 499).count()
+        )
+        assert got.count() == want > 0
+
+
 class TestFunctionsSurface:
     def test_every_functions_md_binding_callable(self, spark):
         """Every function the guide documents (functions.md:10-305) is
