@@ -144,6 +144,8 @@ def q_temporal_agg_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = points_to_histogram(e.select("event_type", "ts", "value"), "value",
                               bounds=[10.0, 50.0, 100.0])
     out = histogram_delta_merge(pts, "60 seconds", keys=("event_type",))
+    # bucket_counts is serialized to CSV: the driver's pandas canonicalizer
+    # cannot sort an array<bigint> column (round-2 harness failure).
     return out.select(
         F.col("window_start"),
         "event_type",
@@ -151,7 +153,9 @@ def q_temporal_agg_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("h_sum", 4).alias("h_sum_r"),
         F.round("h_min", 4).alias("h_min_r"),
         F.round("h_max", 4).alias("h_max_r"),
-        "bucket_counts",
+        F.array_join(
+            F.transform("bucket_counts", lambda x: x.cast("string")), ","
+        ).alias("bucket_counts_s"),
     )
 
 
@@ -1123,10 +1127,11 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(value) AS DOUBLE), 4) AS h_sum_r,
                    round(CAST(min(value) AS DOUBLE), 4) AS h_min_r,
                    round(CAST(max(value) AS DOUBLE), 4) AS h_max_r,
-                   [CAST(sum(CASE WHEN value <= 10 THEN 1 ELSE 0 END) AS BIGINT),
-                    CAST(sum(CASE WHEN value > 10 AND value <= 50 THEN 1 ELSE 0 END) AS BIGINT),
-                    CAST(sum(CASE WHEN value > 50 AND value <= 100 THEN 1 ELSE 0 END) AS BIGINT),
-                    CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT)] AS bucket_counts
+                   array_to_string(
+                     [CAST(sum(CASE WHEN value <= 10 THEN 1 ELSE 0 END) AS BIGINT),
+                      CAST(sum(CASE WHEN value > 10 AND value <= 50 THEN 1 ELSE 0 END) AS BIGINT),
+                      CAST(sum(CASE WHEN value > 50 AND value <= 100 THEN 1 ELSE 0 END) AS BIGINT),
+                      CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT)], ',') AS bucket_counts_s
             FROM events GROUP BY 1, 2
         """,
         "filter_strict": """

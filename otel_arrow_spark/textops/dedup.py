@@ -22,19 +22,45 @@ from pyspark.sql import types as T
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Repartition ONLY when the input has fewer partitions than cores.
+    """Repartition ONLY when the input's scan parallelism is below core count.
 
     Compute-heavy per-row operators (shingling, 64-hash signatures) are
     CPU-bound: a corpus arriving as one small file / one row group would
     otherwise run on a single task. At real scale inputs already have
     thousands of splits and this is a no-op; the condition (not a blind
     repartition) is what keeps it from adding a full-corpus shuffle there.
+
+    The probe is metadata-only (no plan-to-RDD conversion, no job): file
+    count first — at scale that alone clears the bar — then, for small
+    local parquet inputs, footer row-group counts, because a Parquet scan
+    yields at most one non-empty task per row group regardless of split
+    sizing. In-memory relations are left alone (they already parallelize).
     """
-    sc = df.sparkSession.sparkContext
-    target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if not files:
+        return df
+    if len(files) >= target:
+        return df
+    import os
+    from urllib.parse import unquote, urlparse
+
+    splits = 0
+    for uri in files:
+        parsed = urlparse(uri)
+        path = unquote(parsed.path) if parsed.scheme in ("file", "") else None
+        if path and path.endswith(".parquet") and os.path.exists(path):
+            try:
+                import pyarrow.parquet as pq
+
+                splits += pq.ParquetFile(path).metadata.num_row_groups
+            except Exception:
+                splits += 1
+        else:
+            splits += 1
+        if splits >= target:
+            return df
+    return df.repartition(target)
 
 
 # --- exact ------------------------------------------------------------------

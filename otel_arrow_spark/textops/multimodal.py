@@ -56,12 +56,38 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
     return df.withColumns({"n_bytes": F.length(p).cast("long"), "mime_sniffed": mime})
 
 
-def media_repartition(df: DataFrame, payload_col: str, target_partition_bytes: int) -> DataFrame:
-    """Repartition by payload volume, not row count: estimates total bytes
-    from a cheap aggregate and sizes partitions to the byte budget (the
-    batch-split-by-size analog, pdata/src/otap/transform/split.rs:57)."""
-    total = df.agg(F.sum(F.length(payload_col))).first()[0] or 0
-    n = max(1, int(total // target_partition_bytes) + 1)
+def media_repartition(
+    df: DataFrame,
+    payload_col: str,
+    target_partition_bytes: int,
+    total_bytes: int | None = None,
+) -> DataFrame:
+    """Repartition by payload volume, not row count (the batch-split-by-size
+    analog, pdata/src/otap/transform/split.rs:57).
+
+    Sizing never scans the data: the caller may pass ``total_bytes``
+    (e.g. from a catalog), otherwise the scan's input files are stat'ed
+    from filesystem metadata — binary payloads dominate the file bytes and
+    barely compress, so file size is a faithful estimate. When neither is
+    available (in-memory relation) the default parallelism is used. No
+    Spark job runs either way; the byte-sum aggregate this replaces was a
+    full extra pass over the heaviest column.
+    """
+    if total_bytes is None:
+        import os
+        from urllib.parse import unquote, urlparse
+
+        total_bytes = 0
+        for uri in df.inputFiles():  # metadata-only: reads the file index
+            parsed = urlparse(uri)
+            if parsed.scheme in ("file", ""):
+                path = unquote(parsed.path or uri)
+                if os.path.exists(path):
+                    total_bytes += os.path.getsize(path)
+    if total_bytes > 0:
+        n = max(1, int(total_bytes // target_partition_bytes) + 1)
+    else:
+        n = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n)
 
 

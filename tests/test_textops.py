@@ -231,6 +231,58 @@ class TestMultimodal:
         got2 = {r.doc_id: r.feature for r in extract_features(df, dim=8).collect()}
         assert got == got2
 
+    def test_media_repartition_runs_no_job(self, spark, workdir):
+        """Partition sizing must come from file metadata, never a byte-sum
+        scan over the payload column (round-2 perf-weak item). Pinned by
+        running the call inside a job group and asserting the group stays
+        empty — a triggered aggregate would register a job."""
+        from otel_arrow_spark.textops.multimodal import media_repartition
+
+        path = f"{workdir}/media_np"
+        payload = b"x" * 1000
+        spark.createDataFrame(
+            [(i, payload) for i in range(64)], "doc_id long, payload binary"
+        ).write.mode("overwrite").parquet(path)
+        df = spark.read.parquet(path)
+
+        group = "media-repartition-no-job"
+        sc = spark.sparkContext
+        sc.setJobGroup(group, "media_repartition must not run a job")
+        try:
+            out = media_repartition(df, "payload", target_partition_bytes=16 * 1024)
+            jobs = sc.statusTracker().getJobIdsForGroup(group)
+        finally:
+            sc.setJobGroup("", "")
+        assert jobs == [], f"media_repartition triggered Spark jobs: {jobs}"
+        # sized from on-disk bytes: ~64 KB of payload / 16 KB budget ≥ 2 parts
+        import os
+
+        disk = sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        expected = disk // (16 * 1024) + 1
+        assert out.rdd.getNumPartitions() == expected
+        # caller-supplied estimate bypasses even the file stat
+        out2 = media_repartition(df, "payload", 10_000, total_bytes=25_000)
+        assert out2.rdd.getNumPartitions() == 3
+
+    def test_ensure_parallelism_metadata_probe(self, spark, workdir):
+        """ensure_parallelism must widen a single-row-group file to core
+        count without any plan-to-RDD probe, and leave in-memory relations
+        untouched."""
+        from otel_arrow_spark.textops.dedup import ensure_parallelism
+
+        path = f"{workdir}/one_rg"
+        spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(100)], "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+        one_file = spark.read.parquet(path)
+        target = spark.sparkContext.defaultParallelism
+        assert ensure_parallelism(one_file).rdd.getNumPartitions() == target
+        mem = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        assert ensure_parallelism(mem) is mem
+
     def test_frame_sample_plan(self, spark):
         from otel_arrow_spark.textops.multimodal import frame_sample_plan
 
