@@ -667,6 +667,235 @@ def q_metrics_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN_LINKS + SPAN_LINK_ATTRS (docs/data_model.md:309-420 — the
+    8-table traces model; Go builder go/pkg/otel/traces/arrow/): causality
+    join. Keep error source spans, cascade to their links and link attrs,
+    resolve each link's target span by the span_id the link carries, and
+    roll up per target-span name. The target resolution is an equi-join on
+    span_id_hex — shuffle-join shape that scales (no collect, no cross)."""
+    from otel_arrow_spark.operators.filter import cascade_filter
+
+    p = _spans_dir(sf_dir)
+    spans = spark.read.parquet(f"{p}/spans.parquet")
+    links = spark.read.parquet(f"{p}/span_links.parquet")
+    lattrs = spark.read.parquet(f"{p}/span_link_attrs.parquet")
+
+    kept, kept_links = cascade_filter(spans, links, F.col("status_code") == 2)
+    kept_lattrs = lattrs.join(
+        kept_links.select(F.col("id").alias("parent_id")).distinct(),
+        "parent_id",
+        "left_semi",
+    )
+    target = spans.select(
+        "span_id_hex",
+        F.col("name").alias("target_name"),
+        F.col("duration_ms").alias("target_dur"),
+        F.col("status_code").alias("target_status"),
+    )
+    resolved = kept_links.join(target, "span_id_hex")
+    per_target = resolved.groupBy("target_name").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("parent_id").alias("n_sources"),
+        F.round(F.avg("target_dur"), 4).alias("avg_target_dur_r"),
+        F.sum((F.col("target_status") == 2).cast("long")).alias("n_err_targets"),
+        F.sum((F.col("trace_state") == "sampled=1").cast("long")).alias("n_sampled"),
+    )
+    n_la = (
+        kept_lattrs.join(
+            kept_links.select(F.col("id").alias("parent_id"), "span_id_hex"),
+            "parent_id",
+        )
+        .join(target.select("span_id_hex", "target_name"), "span_id_hex")
+        .groupBy("target_name")
+        .agg(F.count(F.lit(1)).alias("n_link_attrs"))
+    )
+    return per_target.join(n_la, "target_name", "left").select(
+        "target_name",
+        "n_links",
+        "n_sources",
+        "avg_target_dur_r",
+        "n_err_targets",
+        "n_sampled",
+        F.coalesce("n_link_attrs", F.lit(0)).cast("long").alias("n_link_attrs"),
+    )
+
+
+def q_hist_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HISTOGRAM_DP star-schema path (docs/data_model.md:19-237): cascade
+    metrics → histogram data points → dp attrs, then reaggregate each
+    temporality with its correct rule — delta streams merge bucket-wise
+    (histogram_delta_merge), cumulative streams keep the latest point
+    (temporal_latest, the reference's replace-if-newer) — and serialize
+    bucket arrays for the harness."""
+    from otel_arrow_spark.operators.filter import cascade_filter
+    from otel_arrow_spark.operators.metrics import (
+        histogram_delta_merge,
+        temporal_latest,
+    )
+
+    p = _metrics_dir(sf_dir)
+    metrics = spark.read.parquet(f"{p}/metrics.parquet")
+    hdp = spark.read.parquet(f"{p}/histogram_dp.parquet")
+    hattrs = spark.read.parquet(f"{p}/histogram_dp_attrs.parquet")
+
+    def named(mtype: int) -> DataFrame:
+        kept, dps = cascade_filter(metrics, hdp, F.col("metric_type") == mtype)
+        return dps.join(
+            F.broadcast(kept.select(F.col("id").alias("parent_id"), "name")),
+            "parent_id",
+        )
+
+    cols = ["name", "stream", "ts", "h_count", "h_sum", "h_min", "h_max",
+            "bounds", "bucket_counts"]
+    delta = histogram_delta_merge(named(2).select(*cols), "15 minutes",
+                                  keys=("name", "stream"))
+    cum = temporal_latest(named(3).select(*cols), "15 minutes",
+                          keys=("name", "stream"))
+
+    def shape(df: DataFrame, temp: str) -> DataFrame:
+        return df.select(
+            "name",
+            "stream",
+            "window_start",
+            F.lit(temp).alias("temporality"),
+            "h_count",
+            F.round("h_sum", 3).alias("h_sum_r"),
+            F.round("h_min", 3).alias("h_min_r"),
+            F.round("h_max", 3).alias("h_max_r"),
+            F.array_join(
+                F.transform("bucket_counts", lambda x: x.cast("string")), ","
+            ).alias("bucket_counts_s"),
+        )
+
+    both = shape(delta, "delta").unionByName(shape(cum, "cumulative"))
+    all_named = named(2).unionByName(named(3))
+    attrs_w = (
+        hattrs.join(
+            all_named.select(F.col("id").alias("parent_id"), "name", "stream", "ts"),
+            "parent_id",
+        )
+        .groupBy("name", "stream", F.window(F.col("ts"), "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_attrs"))
+        .select("name", "stream", F.col("w.start").alias("window_start"), "n_attrs")
+    )
+    return both.join(attrs_w, ["name", "stream", "window_start"], "left").select(
+        "name",
+        "stream",
+        "window_start",
+        "temporality",
+        "h_count",
+        "h_sum_r",
+        "h_min_r",
+        "h_max_r",
+        "bucket_counts_s",
+        F.coalesce("n_attrs", F.lit(0)).cast("long").alias("n_attrs"),
+    )
+
+
+def q_summary_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUMMARY_DP reaggregation (builder.rs:79-128 handles summaries):
+    count/sum accumulate, the quantile snapshot latest-wins. Quantile
+    values serialize as integer millis (×1000) so the string compare is
+    float-format-proof across engines."""
+    from otel_arrow_spark.operators.metrics import summary_merge
+
+    p = _metrics_dir(sf_dir)
+    metrics = spark.read.parquet(f"{p}/metrics.parquet")
+    sdp = spark.read.parquet(f"{p}/summary_dp.parquet")
+    named = sdp.join(
+        F.broadcast(
+            metrics.filter(F.col("metric_type") == 4).select(
+                F.col("id").alias("parent_id"), "name"
+            )
+        ),
+        "parent_id",
+    )
+    out = summary_merge(
+        named.select("name", "stream", "ts", "s_count", "s_sum", "quantiles", "values"),
+        "15 minutes",
+        keys=("name", "stream"),
+    )
+    return out.select(
+        "name",
+        "stream",
+        "window_start",
+        "s_count",
+        F.round("s_sum", 3).alias("s_sum_r"),
+        F.array_join(
+            F.transform(
+                "values", lambda v: F.round(v * 1000).cast("long").cast("string")
+            ),
+            ",",
+        ).alias("values_milli_s"),
+    )
+
+
+def q_exp_hist_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-histogram delta merge with scale alignment, BOTH bucket
+    sides (operators/metrics.py exp_histogram_delta_merge; reference
+    builder.rs:79-128). Events become single-observation exp-histogram
+    points with deterministic integer-derived scale/offsets (no float
+    log-bucketing, so the DuckDB oracle replays the ``(offset+i) >> shift``
+    alignment bit-identically) and merge per (minute, event_type)."""
+    from otel_arrow_spark.operators.metrics import exp_histogram_delta_merge
+
+    e = _t(spark, sf_dir, "events")
+    pts = e.select(
+        "event_type",
+        "ts",
+        (F.lit(4) + F.col("event_id") % 2).cast("long").alias("e_count"),
+        F.col("value").cast("double").alias("e_sum"),
+        (F.col("event_id") % 3).cast("int").alias("scale"),
+        (F.col("event_id") % 2).cast("long").alias("zero_count"),
+        (F.col("event_id") % 8).cast("int").alias("pos_offset"),
+        F.array(F.lit(1), F.lit(2)).cast("array<long>").alias("pos_counts"),
+        (F.col("event_id") % 5).cast("int").alias("neg_offset"),
+        F.array(F.lit(1)).cast("array<long>").alias("neg_counts"),
+    )
+    out = exp_histogram_delta_merge(pts, "60 seconds", keys=("event_type",))
+    ser = lambda c: F.array_join(F.transform(c, lambda x: x.cast("string")), ",")  # noqa: E731
+    return out.select(
+        "window_start",
+        "event_type",
+        "e_count",
+        F.round("e_sum", 4).alias("e_sum_r"),
+        "scale",
+        "zero_count",
+        "pos_offset",
+        ser("pos_counts").alias("pos_counts_s"),
+        "neg_offset",
+        ser("neg_counts").alias("neg_counts_s"),
+    )
+
+
+def q_partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition processor (processors/partition_processor README:13-31 —
+    split by an arbitrary expression, e.g. a hashed composite): events
+    partition by a sha256-composite key and materialize hive-partitioned
+    (operators/partition.py write_partitioned_by_expr); reading back and
+    counting per partition value proves the split is exact and lossless —
+    the oracle recomputes the same key directly over the source table."""
+    from otel_arrow_spark.operators.partition import write_partitioned_by_expr
+
+    e = _t(spark, sf_dir, "events")
+    expr = F.substring(
+        F.sha2(
+            F.concat_ws(":", F.col("event_type"), (F.col("event_id") % 7).cast("string")),
+            256,
+        ),
+        1,
+        1,
+    )
+    path = os.path.join(_REPO, ".cache", "partition_out")
+    write_partitioned_by_expr(e.select("event_id", "event_type", "value"), path, expr)
+    back = spark.read.parquet(path)
+    return back.groupBy("part_key").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
 def q_ottl_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OTTL statement list (the transform processor's third language,
     transform_processor/mod.rs:177) over events: guarded set editors +
@@ -916,6 +1145,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "opl_route": q_opl_route,
         "span_cascade": q_span_cascade,
         "metrics_cascade": q_metrics_cascade,
+        "span_links": q_span_links,
+        "hist_star": q_hist_star,
+        "summary_reagg": q_summary_reagg,
+        "exp_hist_merge": q_exp_hist_merge,
+        "partition_counts": q_partition_counts,
         "ottl_transform": q_ottl_transform,
         "syslog_parse": q_syslog_parse,
         "embedding_pairs_exact": q_embedding_pairs_exact,
@@ -1380,6 +1614,159 @@ def oracle_sql() -> dict[str, str]:
             FROM pn JOIN nd ON pn.name = nd.name
                     LEFT JOIN na ON pn.name = na.name
                     LEFT JOIN ne ON pn.name = ne.name
+        """,
+        "span_links": f"""
+            WITH k AS (
+                SELECT id FROM read_parquet('{_REPO}/.cache/spans/n20000/spans.parquet')
+                WHERE status_code = 2),
+            kl AS (
+                SELECT l.id, l.parent_id, l.span_id_hex, l.trace_state
+                FROM read_parquet('{_REPO}/.cache/spans/n20000/span_links.parquet') l
+                JOIN k ON l.parent_id = k.id),
+            tgt AS (
+                SELECT span_id_hex, name AS target_name, duration_ms AS target_dur,
+                       status_code AS target_status
+                FROM read_parquet('{_REPO}/.cache/spans/n20000/spans.parquet')),
+            res AS (SELECT kl.*, tgt.target_name, tgt.target_dur, tgt.target_status
+                    FROM kl JOIN tgt ON kl.span_id_hex = tgt.span_id_hex),
+            pt AS (
+                SELECT target_name,
+                       CAST(count(*) AS BIGINT) AS n_links,
+                       CAST(count(DISTINCT parent_id) AS BIGINT) AS n_sources,
+                       round(avg(target_dur), 4) AS avg_target_dur_r,
+                       CAST(sum(CASE WHEN target_status = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_err_targets,
+                       CAST(sum(CASE WHEN trace_state = 'sampled=1' THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+                FROM res GROUP BY 1),
+            la AS (
+                SELECT res.target_name, CAST(count(*) AS BIGINT) AS n_link_attrs
+                FROM read_parquet('{_REPO}/.cache/spans/n20000/span_link_attrs.parquet') a
+                JOIN res ON a.parent_id = res.id GROUP BY 1)
+            SELECT pt.target_name, pt.n_links, pt.n_sources, pt.avg_target_dur_r,
+                   pt.n_err_targets, pt.n_sampled,
+                   coalesce(la.n_link_attrs, 0) AS n_link_attrs
+            FROM pt LEFT JOIN la ON pt.target_name = la.target_name
+        """,
+        "hist_star": f"""
+            WITH m AS (
+                SELECT id, name, metric_type
+                FROM read_parquet('{_REPO}/.cache/metrics/n20000/metrics.parquet')
+                WHERE metric_type IN (2, 3)),
+            d AS (
+                SELECT h.*, m.name, m.metric_type,
+                       time_bucket(INTERVAL '15 minutes', h.ts) AS window_start
+                FROM read_parquet('{_REPO}/.cache/metrics/n20000/histogram_dp.parquet') h
+                JOIN m ON h.parent_id = m.id),
+            delta AS (
+                SELECT name, stream, window_start, 'delta' AS temporality,
+                       CAST(sum(h_count) AS BIGINT) AS h_count,
+                       round(CAST(sum(h_sum) AS DOUBLE), 3) AS h_sum_r,
+                       round(CAST(min(h_min) AS DOUBLE), 3) AS h_min_r,
+                       round(CAST(max(h_max) AS DOUBLE), 3) AS h_max_r,
+                       array_to_string([CAST(sum(bucket_counts[1]) AS BIGINT),
+                                        CAST(sum(bucket_counts[2]) AS BIGINT),
+                                        CAST(sum(bucket_counts[3]) AS BIGINT),
+                                        CAST(sum(bucket_counts[4]) AS BIGINT)], ',') AS bucket_counts_s
+                FROM d WHERE metric_type = 2 GROUP BY 1, 2, 3),
+            cum AS (
+                SELECT name, stream, window_start, 'cumulative' AS temporality,
+                       CAST(arg_max(h_count, ts) AS BIGINT) AS h_count,
+                       round(CAST(arg_max(h_sum, ts) AS DOUBLE), 3) AS h_sum_r,
+                       round(CAST(arg_max(h_min, ts) AS DOUBLE), 3) AS h_min_r,
+                       round(CAST(arg_max(h_max, ts) AS DOUBLE), 3) AS h_max_r,
+                       array_to_string(arg_max(bucket_counts, ts), ',') AS bucket_counts_s
+                FROM d WHERE metric_type = 3 GROUP BY 1, 2, 3),
+            at AS (
+                SELECT d.name, d.stream, d.window_start, CAST(count(*) AS BIGINT) AS n_attrs
+                FROM read_parquet('{_REPO}/.cache/metrics/n20000/histogram_dp_attrs.parquet') a
+                JOIN d ON a.parent_id = d.id GROUP BY 1, 2, 3),
+            u AS (SELECT * FROM delta UNION ALL SELECT * FROM cum)
+            SELECT u.name, u.stream, u.window_start, u.temporality, u.h_count,
+                   u.h_sum_r, u.h_min_r, u.h_max_r, u.bucket_counts_s,
+                   coalesce(at.n_attrs, 0) AS n_attrs
+            FROM u LEFT JOIN at ON u.name = at.name AND u.stream = at.stream
+                                AND u.window_start = at.window_start
+        """,
+        "summary_reagg": f"""
+            WITH m AS (
+                SELECT id, name
+                FROM read_parquet('{_REPO}/.cache/metrics/n20000/metrics.parquet')
+                WHERE metric_type = 4),
+            d AS (
+                SELECT s.*, m.name,
+                       time_bucket(INTERVAL '15 minutes', s.ts) AS window_start
+                FROM read_parquet('{_REPO}/.cache/metrics/n20000/summary_dp.parquet') s
+                JOIN m ON s.parent_id = m.id)
+            SELECT name, stream, window_start,
+                   CAST(sum(s_count) AS BIGINT) AS s_count,
+                   round(CAST(sum(s_sum) AS DOUBLE), 3) AS s_sum_r,
+                   array_to_string(
+                       list_transform(arg_max("values", ts),
+                                      v -> CAST(round(v * 1000) AS BIGINT)), ',') AS values_milli_s
+            FROM d GROUP BY 1, 2, 3
+        """,
+        "exp_hist_merge": """
+            WITH pts AS (
+                SELECT date_trunc('minute', ts) AS w, event_type,
+                       CAST(event_id % 3 AS INT) AS scale,
+                       CAST(event_id % 8 AS INT) AS pos_off,
+                       CAST(event_id % 5 AS INT) AS neg_off,
+                       CAST(4 + event_id % 2 AS BIGINT) AS e_count,
+                       CAST(event_id % 2 AS BIGINT) AS zero_count,
+                       CAST(value AS DOUBLE) AS e_sum
+                FROM events),
+            tgt AS (
+                SELECT w, event_type, CAST(min(scale) AS INT) AS scale,
+                       CAST(sum(e_count) AS BIGINT) AS e_count,
+                       round(CAST(sum(e_sum) AS DOUBLE), 4) AS e_sum_r,
+                       CAST(sum(zero_count) AS BIGINT) AS zero_count
+                FROM pts GROUP BY 1, 2),
+            pose AS (
+                SELECT p.w, p.event_type,
+                       ((p.pos_off + i.i) >> (p.scale - t.scale)) AS idx,
+                       CAST(i.i + 1 AS BIGINT) AS c
+                FROM pts p JOIN tgt t ON p.w = t.w AND p.event_type = t.event_type
+                CROSS JOIN (SELECT 0 AS i UNION ALL SELECT 1) i),
+            posagg AS (SELECT w, event_type, idx, CAST(sum(c) AS BIGINT) AS c
+                       FROM pose GROUP BY 1, 2, 3),
+            posspan AS (SELECT w, event_type, min(idx) AS lo, max(idx) AS hi
+                        FROM posagg GROUP BY 1, 2),
+            posgrid AS (SELECT w, event_type, lo, unnest(generate_series(lo, hi)) AS g
+                        FROM posspan),
+            posarr AS (
+                SELECT pg.w, pg.event_type, CAST(pg.lo AS INT) AS pos_offset,
+                       array_to_string(list(CAST(coalesce(pa.c, 0) AS BIGINT) ORDER BY pg.g), ',') AS pos_counts_s
+                FROM posgrid pg LEFT JOIN posagg pa
+                  ON pa.w = pg.w AND pa.event_type = pg.event_type AND pa.idx = pg.g
+                GROUP BY 1, 2, 3),
+            nege AS (
+                SELECT p.w, p.event_type,
+                       (p.neg_off >> (p.scale - t.scale)) AS idx,
+                       CAST(1 AS BIGINT) AS c
+                FROM pts p JOIN tgt t ON p.w = t.w AND p.event_type = t.event_type),
+            negagg AS (SELECT w, event_type, idx, CAST(sum(c) AS BIGINT) AS c
+                       FROM nege GROUP BY 1, 2, 3),
+            negspan AS (SELECT w, event_type, min(idx) AS lo, max(idx) AS hi
+                        FROM negagg GROUP BY 1, 2),
+            neggrid AS (SELECT w, event_type, lo, unnest(generate_series(lo, hi)) AS g
+                        FROM negspan),
+            negarr AS (
+                SELECT ng.w, ng.event_type, CAST(ng.lo AS INT) AS neg_offset,
+                       array_to_string(list(CAST(coalesce(na.c, 0) AS BIGINT) ORDER BY ng.g), ',') AS neg_counts_s
+                FROM neggrid ng LEFT JOIN negagg na
+                  ON na.w = ng.w AND na.event_type = ng.event_type AND na.idx = ng.g
+                GROUP BY 1, 2, 3)
+            SELECT t.w AS window_start, t.event_type, t.e_count, t.e_sum_r,
+                   t.scale, t.zero_count,
+                   p.pos_offset, p.pos_counts_s, n.neg_offset, n.neg_counts_s
+            FROM tgt t
+            JOIN posarr p ON t.w = p.w AND t.event_type = p.event_type
+            JOIN negarr n ON t.w = n.w AND t.event_type = n.event_type
+        """,
+        "partition_counts": """
+            SELECT substring(sha256(event_type || ':' || CAST(event_id % 7 AS VARCHAR)), 1, 1) AS part_key,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   round(CAST(sum(value) AS DOUBLE), 4) AS sum_value
+            FROM events GROUP BY 1
         """,
         "ottl_transform": """
             WITH t AS (

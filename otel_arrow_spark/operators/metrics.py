@@ -154,24 +154,58 @@ def points_to_histogram(
     )
 
 
+def _exp_bucket_side_merge(offsets, shifts, lists):
+    """Scatter-add one bucket side (positive or negative) of a whole group
+    at once: every bucket of every point maps to ``(offset + i) >> shift``
+    at the target scale. Fully vectorized — ragged per-point count lists
+    concatenate into one array, per-element source indices derive from
+    repeated offsets/shifts, and one ``np.add.at`` lands the merge."""
+    import numpy as np
+
+    lens = np.fromiter((len(c) for c in lists), dtype=np.int64, count=len(lists))
+    total = int(lens.sum())
+    if total == 0:
+        return 0, np.zeros(0, dtype=np.int64)
+    counts = np.concatenate(
+        [np.asarray(c, dtype=np.int64) for c in lists if len(c)]
+    )
+    starts = np.repeat(np.asarray(offsets, dtype=np.int64), lens)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(lens) - lens, lens
+    )
+    idx = (starts + within) >> np.repeat(np.asarray(shifts, dtype=np.int64), lens)
+    lo = int(idx.min())
+    out = np.zeros(int(idx.max()) - lo + 1, dtype=np.int64)
+    np.add.at(out, idx - lo, counts)
+    return lo, out
+
+
 def exp_histogram_delta_merge(
     df: DataFrame,
     period: str = "60 seconds",
     keys: tuple[str, ...] = ("metric_name",),
     ts_col: str = "ts",
 ) -> DataFrame:
-    """Delta exponential-histogram reaggregation with scale alignment.
+    """Delta exponential-histogram reaggregation with scale alignment,
+    positive AND negative bucket sides (builder.rs:79-128 merges all
+    supported point types; the negative side mirrors the positive one).
 
     Merging exp-histograms of different scales requires downscaling every
     point to the group's minimum scale first: halving the scale merges
     adjacent bucket pairs, so bucket index i (with base offset o) at scale
     s maps to index ``(o + i) >> (s - target)`` at the coarser target
     scale (OTel data model, exponential histograms). Per (stream, window)
-    group this is numpy index arithmetic inside ``applyInPandas`` — counts
-    scatter-add into the target index range.
+    group this is pure numpy index arithmetic inside ``applyInPandas`` —
+    no per-row Python: the group's ragged bucket lists concatenate into
+    one array and a single scatter-add performs the merge.
+
+    ``neg_offset``/``neg_counts`` columns are optional; inputs without
+    them merge the positive side only and emit empty negatives.
     """
     import numpy as np
     import pandas as pd
+
+    has_neg = "neg_counts" in df.columns
 
     out_fields = ", ".join(
         [
@@ -184,6 +218,8 @@ def exp_histogram_delta_merge(
             "zero_count bigint",
             "pos_offset int",
             "pos_counts array<bigint>",
+            "neg_offset int",
+            "neg_counts array<bigint>",
         ]
     )
 
@@ -195,28 +231,18 @@ def exp_histogram_delta_merge(
     group_cols = ["window_start", "window_end", *keys]
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        target = int(pdf["scale"].min())
-        lo, hi = None, None
-        for _, r in pdf.iterrows():
-            if len(r["pos_counts"]) == 0:
-                continue
-            shift = int(r["scale"]) - target
-            first = (int(r["pos_offset"])) >> shift
-            last = (int(r["pos_offset"]) + len(r["pos_counts"]) - 1) >> shift
-            lo = first if lo is None else min(lo, first)
-            hi = last if hi is None else max(hi, last)
-        if lo is None:
-            counts = np.zeros(0, dtype=np.int64)
-            lo = 0
+        scales = pdf["scale"].to_numpy(dtype=np.int64)
+        target = int(scales.min())
+        shifts = scales - target
+        pos_lo, pos = _exp_bucket_side_merge(
+            pdf["pos_offset"].to_numpy(dtype=np.int64), shifts, pdf["pos_counts"].tolist()
+        )
+        if has_neg:
+            neg_lo, neg = _exp_bucket_side_merge(
+                pdf["neg_offset"].to_numpy(dtype=np.int64), shifts, pdf["neg_counts"].tolist()
+            )
         else:
-            counts = np.zeros(hi - lo + 1, dtype=np.int64)
-            for _, r in pdf.iterrows():
-                cs = np.asarray(r["pos_counts"], dtype=np.int64)
-                if len(cs) == 0:
-                    continue
-                shift = int(r["scale"]) - target
-                idx = ((int(r["pos_offset"]) + np.arange(len(cs))) >> shift) - lo
-                np.add.at(counts, idx, cs)
+            neg_lo, neg = 0, np.zeros(0, dtype=np.int64)
         row = {
             "window_start": pdf["window_start"].iloc[0],
             "window_end": pdf["window_end"].iloc[0],
@@ -225,9 +251,47 @@ def exp_histogram_delta_merge(
             "e_sum": pdf["e_sum"].sum(),
             "scale": target,
             "zero_count": pdf["zero_count"].sum(),
-            "pos_offset": lo,
-            "pos_counts": [int(c) for c in counts],
+            "pos_offset": pos_lo,
+            "pos_counts": pos.tolist(),
+            "neg_offset": neg_lo,
+            "neg_counts": neg.tolist(),
         }
         return pd.DataFrame([row])
 
     return keyed.groupBy(*group_cols).applyInPandas(merge, schema=out_fields)
+
+
+def summary_merge(
+    df: DataFrame,
+    period: str = "60 seconds",
+    keys: tuple[str, ...] = ("metric_name",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Summary data-point reaggregation (builder.rs:79-128 handles
+    summaries alongside sums/histograms): ``count``/``sum`` accumulate
+    additively while the quantile snapshot — quantiles cannot be merged
+    without the underlying data — is taken from the LATEST point per
+    (stream, window), the reference's replace-if-newer rule applied to the
+    non-additive part.
+
+    Pure expressions: two sums + one ``max_by`` over the quantile struct —
+    algebraic aggregates, partial+final, no UDF.
+    """
+    w = F.window(F.col(ts_col), period)
+    snap = F.struct(
+        F.col("quantiles").alias("quantiles"), F.col("values").alias("values")
+    )
+    g = df.groupBy(w.alias("w"), *keys).agg(
+        F.sum("s_count").alias("s_count"),
+        F.sum("s_sum").alias("s_sum"),
+        F.max_by(snap, F.col(ts_col)).alias("_q"),
+    )
+    return g.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *keys,
+        "s_count",
+        "s_sum",
+        F.col("_q.quantiles").alias("quantiles"),
+        F.col("_q.values").alias("values"),
+    )

@@ -1,17 +1,21 @@
 """Deterministic synthetic METRICS star-schema generator.
 
-Reference: the metrics Arrow schema (docs/data_model.md:24-120) — METRICS
-with up to 17 child payload tables. This generator materializes the
-univariate-metric slice that carries the analytics semantics: METRICS →
+Reference: the metrics Arrow schema (docs/data_model.md:19-237) — METRICS
+with up to 17 child payload tables, one set per point type. This generator
+materializes the slices that carry the analytics semantics: METRICS →
 NUMBER_DATA_POINTS (parent_id → metric id) → NUMBER_DP_ATTRS and
 NUMBER_DP_EXEMPLARS (parent_id → data-point id), the 3-level id-cascade
-shape shared with traces.
+shape shared with traces, plus the per-point-type tables HISTOGRAM_DP
+(delta and cumulative temporality, with bounds/bucket_counts lists) →
+HISTOGRAM_DP_ATTRS, and SUMMARY_DP (count/sum + quantile snapshot).
 
-Cumulative sums are generated as monotone running totals per (metric,
-stream attr) so the latest-wins reaggregation (operators/metrics.py
-temporal_latest) has realistic cumulative inputs.
+Cumulative streams (sums and histograms) are generated as monotone running
+totals per (metric, stream attr) so the latest-wins reaggregation
+(operators/metrics.py temporal_latest) has realistic cumulative inputs.
 
-Everything is vectorized numpy and fully deterministic.
+Everything is vectorized numpy and fully deterministic. New point-type
+tables draw randomness strictly AFTER the original tables, so the original
+tables are byte-identical across generator versions at the same seed.
 """
 
 from __future__ import annotations
@@ -32,18 +36,29 @@ METRIC_NAMES = [
 ]
 DP_ATTR_KEYS = ["http.status_code", "http.method", "service.name", "host.name"]
 
+# metric_type: 0=gauge 1=cumulative sum 2=delta histogram
+# 3=cumulative histogram 4=summary (ids continue after METRIC_NAMES)
+HIST_METRICS = [
+    ("http.server.duration.hist", "ms", 2),
+    ("rpc.server.duration.hist", "ms", 3),
+]
+SUMMARY_METRICS = [("http.client.latency.summary", "ms", 4)]
+HIST_BOUNDS = [5.0, 25.0, 125.0]  # 4 buckets incl. overflow
+SUMMARY_QUANTILES = [0.5, 0.9, 0.99]
+
 
 def generate_metrics_tables(n_dps: int, seed: int = 42) -> dict[str, pd.DataFrame]:
     """Generate {metrics, number_data_points, number_dp_attrs,
     number_dp_exemplars} frames with parent_id-keyed ancestry."""
     rng = np.random.RandomState(seed)
 
+    all_metrics = METRIC_NAMES + HIST_METRICS + SUMMARY_METRICS
     metrics = pd.DataFrame(
         {
-            "id": np.arange(len(METRIC_NAMES), dtype=np.int64),
-            "name": [m[0] for m in METRIC_NAMES],
-            "unit": [m[1] for m in METRIC_NAMES],
-            "metric_type": np.array([m[2] for m in METRIC_NAMES], dtype=np.int32),
+            "id": np.arange(len(all_metrics), dtype=np.int64),
+            "name": [m[0] for m in all_metrics],
+            "unit": [m[1] for m in all_metrics],
+            "metric_type": np.array([m[2] for m in all_metrics], dtype=np.int32),
         }
     )
 
@@ -98,11 +113,87 @@ def generate_metrics_tables(n_dps: int, seed: int = 42) -> dict[str, pd.DataFram
         }
     )
 
+    # ---- histogram data points (HISTOGRAM_DP analog, data_model.md:124-183)
+    # drawn strictly after the original tables so those stay byte-identical
+    n_h = max(8, n_dps // 4)
+    h_id = np.arange(n_h, dtype=np.int64)
+    h_parent = (len(METRIC_NAMES) + rng.randint(0, len(HIST_METRICS), size=n_h)).astype(
+        np.int64
+    )
+    h_stream = rng.randint(0, 4, size=n_h).astype(np.int32)
+    h_slot = 3_600_000_000 // n_h
+    h_t_us = np.arange(n_h) * h_slot + rng.randint(0, max(h_slot, 1), size=n_h)
+    n_buckets = len(HIST_BOUNDS) + 1
+    delta_counts = rng.randint(0, 9, size=(n_h, n_buckets)).astype(np.int64)
+    # cumulative streams: counts grow with time (deterministic running total
+    # per stream so latest-wins == max and the fixture needs no sorting)
+    t_sec = (h_t_us // 1_000_000).astype(np.int64)
+    cum_counts = (
+        t_sec[:, None] * (h_stream[:, None] + 1) * np.arange(1, n_buckets + 1)[None, :]
+    ).astype(np.int64)
+    is_cum = np.array([m[2] for m in HIST_METRICS])[h_parent - len(METRIC_NAMES)] == 3
+    counts = np.where(is_cum[:, None], cum_counts, delta_counts)
+    h_sum_delta = np.round(rng.uniform(1, 500, size=n_h), 3)
+    h_sum = np.where(is_cum, np.round(t_sec * (h_stream + 1) * 1.5, 3), h_sum_delta)
+    h_min = np.round(rng.uniform(0, 5, size=n_h), 3)
+    h_max = h_min + np.round(rng.uniform(0, 200, size=n_h), 3)
+    histogram_dp = pd.DataFrame(
+        {
+            "id": h_id,
+            "parent_id": h_parent,
+            "start_ts": np.full(n_h, EPOCH),
+            "ts": EPOCH + h_t_us.astype("timedelta64[us]"),
+            "stream": h_stream,
+            "h_count": counts.sum(axis=1),
+            "h_sum": h_sum,
+            "h_min": h_min,
+            "h_max": h_max,
+            "bounds": [HIST_BOUNDS] * n_h,
+            "bucket_counts": [row.tolist() for row in counts],
+        }
+    )
+
+    # histogram dp attrs: 1-2 per dp, same exploded layout
+    n_ha = rng.randint(1, 3, size=n_h)
+    ha_parent = np.repeat(h_id, n_ha)
+    hm = len(ha_parent)
+    ha_keys = np.array(DP_ATTR_KEYS, dtype=object)[rng.randint(0, len(DP_ATTR_KEYS), hm)]
+    ha_vals = np.array(["200", "500", "GET", "POST", "svc-a", "svc-b", "h1", "h2"],
+                       dtype=object)[rng.randint(0, 8, size=hm)]
+    histogram_dp_attrs = pd.DataFrame(
+        {"parent_id": ha_parent, "key": ha_keys,
+         "type": np.full(hm, 1, dtype=np.int32), "str": ha_vals}
+    )
+
+    # ---- summary data points (SUMMARY_DP analog)
+    n_s = max(8, n_dps // 8)
+    s_parent = np.full(n_s, len(METRIC_NAMES) + len(HIST_METRICS), dtype=np.int64)
+    s_stream = rng.randint(0, 4, size=n_s).astype(np.int32)
+    s_slot = 3_600_000_000 // n_s
+    s_t_us = np.arange(n_s) * s_slot + rng.randint(0, max(s_slot, 1), size=n_s)
+    q_vals = np.round(np.sort(rng.uniform(1, 100, size=(n_s, len(SUMMARY_QUANTILES)))), 3)
+    summary_dp = pd.DataFrame(
+        {
+            "id": np.arange(n_s, dtype=np.int64),
+            "parent_id": s_parent,
+            "start_ts": np.full(n_s, EPOCH),
+            "ts": EPOCH + s_t_us.astype("timedelta64[us]"),
+            "stream": s_stream,
+            "s_count": rng.randint(1, 50, size=n_s).astype(np.int64),
+            "s_sum": np.round(rng.uniform(10, 1000, size=n_s), 3),
+            "quantiles": [SUMMARY_QUANTILES] * n_s,
+            "values": [row.tolist() for row in q_vals],
+        }
+    )
+
     return {
         "metrics": metrics,
         "number_data_points": number_data_points,
         "number_dp_attrs": number_dp_attrs,
         "number_dp_exemplars": number_dp_exemplars,
+        "histogram_dp": histogram_dp,
+        "histogram_dp_attrs": histogram_dp_attrs,
+        "summary_dp": summary_dp,
     }
 
 
@@ -111,7 +202,9 @@ def write_metrics_parquet(out_dir: str, n_dps: int, seed: int = 42) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    marker = os.path.join(out_dir, f"_SUCCESS.{n_dps}.{seed}")
+    # v2: histogram_dp / histogram_dp_attrs / summary_dp tables added; the
+    # marker version forces stale pre-v2 cache dirs to regenerate
+    marker = os.path.join(out_dir, f"_SUCCESS.{n_dps}.{seed}.v2")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)

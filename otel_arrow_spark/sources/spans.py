@@ -3,9 +3,13 @@
 Reference: the traces Arrow schema (docs/data_model.md:309-420) — SPANS
 with child tables keyed by ``parent_id``: SPAN_ATTRS (parent_id → span id),
 SPAN_EVENTS (own id, parent_id → span id), SPAN_EVENT_ATTRS (parent_id →
-span-event id). This generator materializes that multi-table layout so the
-id-bitmap cascade (pdata/src/otap/filter.rs filter_otap_batch) can be
-exercised across all three levels with left-semi joins.
+span-event id), SPAN_LINKS (own id, parent_id → span id, carrying the
+linked span's trace_id/span_id) and SPAN_LINK_ATTRS (parent_id → link id)
+— the full 6-table analytics slice of the 8-table traces model. This
+generator materializes that multi-table layout so the id-bitmap cascade
+(pdata/src/otap/filter.rs filter_otap_batch) can be exercised across all
+levels with left-semi joins, and links resolve to real spans in the corpus
+so trace-graph causality joins (span → link → target span) are exercisable.
 
 Columns follow the reference's field names where they carry analytics
 semantics (trace_id/span_id hex, name, kind, status_code,
@@ -116,11 +120,54 @@ def generate_spans_tables(n_spans: int, seed: int = 42) -> dict[str, pd.DataFram
         }
     )
 
+    # span links: ~35% of spans carry 1-2 links that point at REAL other
+    # spans (never self), so causality joins resolve; the link row carries
+    # the target's trace_id/span_id exactly as the reference's SPAN_LINKS
+    # table does (docs/data_model.md:309-420). Drawn strictly after the
+    # original tables so those stay byte-identical across versions.
+    n_links = np.where(rng.random_sample(n_spans) < 0.35,
+                       rng.randint(1, 3, size=n_spans), 0)
+    link_parent = np.repeat(span_id, n_links)
+    nl = len(link_parent)
+    link_id = np.arange(nl, dtype=np.int64)
+    target = (link_parent + 1 + rng.randint(0, max(n_spans - 1, 1), size=nl)) % n_spans
+    trace_state = np.array(["", "sampled=1", ""], dtype=object)[
+        rng.randint(0, 3, size=nl)
+    ]
+    span_links = pd.DataFrame(
+        {
+            "id": link_id,
+            "parent_id": link_parent,
+            "trace_id": spans["trace_id"].to_numpy()[target],
+            "span_id_hex": spans["span_id_hex"].to_numpy()[target],
+            "trace_state": trace_state,
+        }
+    )
+
+    # span link attrs: 0-2 per link
+    n_la = rng.randint(0, 3, size=nl)
+    la_parent = np.repeat(link_id, n_la)
+    q = len(la_parent)
+    la_keys = np.array(["link.type", "messaging.operation", "peer.service"],
+                       dtype=object)[rng.randint(0, 3, size=q)]
+    la_vals = np.array(["follows_from", "child_of", "remote", "publish", "svc-a"],
+                       dtype=object)[rng.randint(0, 5, size=q)]
+    span_link_attrs = pd.DataFrame(
+        {
+            "parent_id": la_parent,
+            "key": la_keys,
+            "type": np.full(q, 1, dtype=np.int32),
+            "str": la_vals,
+        }
+    )
+
     return {
         "spans": spans,
         "span_attrs": span_attrs,
         "span_events": span_events,
         "span_event_attrs": span_event_attrs,
+        "span_links": span_links,
+        "span_link_attrs": span_link_attrs,
     }
 
 
@@ -129,7 +176,9 @@ def write_spans_parquet(out_dir: str, n_spans: int, seed: int = 42) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    marker = os.path.join(out_dir, f"_SUCCESS.{n_spans}.{seed}")
+    # v2: span_links / span_link_attrs tables added; versioned marker forces
+    # stale pre-v2 cache dirs to regenerate
+    marker = os.path.join(out_dir, f"_SUCCESS.{n_spans}.{seed}.v2")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)

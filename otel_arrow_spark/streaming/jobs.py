@@ -80,6 +80,51 @@ def stream_pipeline(
     return writer.start()
 
 
+def stream_histogram_reaggregation(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    period: str = "60 seconds",
+    watermark: str = "10 minutes",
+    temporality: str = "delta",
+    keys: tuple[str, ...] = ("metric_name",),
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming temporal reaggregation of HISTOGRAM data points — the
+    reference's temporal reaggregation is a streaming processor with
+    checkpointable state (temporal_reaggregation_processor/builder.rs:58).
+    The same batch operators run unmodified on the stream: delta streams
+    merge bucket-wise (histogram_delta_merge), cumulative streams keep the
+    latest point per stream identity (temporal_latest, replace-if-newer).
+    Watermarked tumbling windows bound the state store; the checkpoint is
+    the WAL (restart-safe, exactly-once sink).
+    """
+    from otel_arrow_spark.operators.metrics import (
+        histogram_delta_merge,
+        temporal_latest,
+    )
+
+    schema = spark.read.parquet(input_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(input_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+    )
+    op = histogram_delta_merge if temporality == "delta" else temporal_latest
+    merged = op(stream, period, keys=keys)
+    writer = (
+        merged.writeStream.format("parquet")
+        .option("path", f"{output_dir}/hist")
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_temporal_reaggregation(
     spark: SparkSession,
     input_dir: str,

@@ -160,6 +160,84 @@ class TestExpHistogram:
         assert out.e_count == 15
 
 
+    def test_negative_buckets_merge(self, spark):
+        """Negative bucket side mirrors the positive path (builder.rs:79-128
+        merges both); verified against a brute-force oracle on both sides
+        with mixed scales."""
+        rows = [
+            ("e", ts(1), 10, -3.0, 2, 1, 4, [1, 2], 2, [3, 4, 5]),   # scale 2
+            ("e", ts(2), 12, -5.0, 1, 0, 1, [6], 0, [7, 8]),          # scale 1
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "metric_name string, ts timestamp, e_count long, e_sum double, "
+            "scale int, zero_count long, pos_offset int, pos_counts array<long>, "
+            "neg_offset int, neg_counts array<long>",
+        )
+        out = exp_histogram_delta_merge(df, "60 seconds", keys=("metric_name",)).collect()[0]
+        import collections
+
+        for side, off_i, cnt_i in (("pos", 6, 7), ("neg", 8, 9)):
+            acc = collections.Counter()
+            for r in rows:
+                for i, c in enumerate(r[cnt_i]):
+                    acc[(r[off_i] + i) >> (r[4] - 1)] += c
+            lo = min(acc)
+            want = [acc.get(i, 0) for i in range(lo, max(acc) + 1)]
+            assert getattr(out, f"{side}_offset") == lo, side
+            assert getattr(out, f"{side}_counts") == want, side
+        assert out.scale == 1 and out.e_count == 22 and out.zero_count == 1
+        assert abs(out.e_sum + 8.0) < 1e-12
+
+    def test_empty_sides_and_posonly_inputs(self, spark):
+        """Inputs without neg columns still merge (empty negatives out);
+        all-empty bucket lists produce empty arrays, not errors."""
+        df = spark.createDataFrame(
+            [("e", ts(1), 1, 1.0, 0, 1, 0, [])],
+            "metric_name string, ts timestamp, e_count long, e_sum double, "
+            "scale int, zero_count long, pos_offset int, pos_counts array<long>",
+        )
+        out = exp_histogram_delta_merge(df, keys=("metric_name",)).collect()[0]
+        assert out.pos_counts == [] and out.neg_counts == []
+
+
+class TestSummaryMerge:
+    def test_count_sum_add_quantiles_latest(self, spark):
+        """Summary reaggregation: count/sum accumulate, the quantile
+        snapshot comes from the latest-ts point (quantiles are not
+        mergeable; the reference's replace-if-newer applies)."""
+        from otel_arrow_spark.operators.metrics import summary_merge
+
+        rows = [
+            ("s1", ts(5), 10, 100.0, [0.5, 0.99], [10.0, 90.0]),
+            ("s1", ts(40), 20, 300.0, [0.5, 0.99], [12.0, 95.0]),  # latest in w0
+            ("s1", ts(20), 15, 200.0, [0.5, 0.99], [11.0, 92.0]),
+            ("s1", ts(70), 5, 50.0, [0.5, 0.99], [9.0, 80.0]),     # next window
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "metric_name string, ts timestamp, s_count long, s_sum double, "
+            "quantiles array<double>, values array<double>",
+        )
+        out = {r.window_start.minute: r
+               for r in summary_merge(df, "60 seconds", keys=("metric_name",)).collect()}
+        assert out[0].s_count == 45 and abs(out[0].s_sum - 600.0) < 1e-12
+        assert out[0].values == [12.0, 95.0]  # ts=40 snapshot wins
+        assert out[1].s_count == 5 and out[1].values == [9.0, 80.0]
+
+    def test_summary_merge_partial_final(self, spark):
+        """sum+max_by are algebraic: plan must show two-phase aggregation."""
+        from otel_arrow_spark.operators.metrics import summary_merge
+
+        df = spark.createDataFrame(
+            [("s", ts(1), 1, 1.0, [0.5], [1.0])],
+            "metric_name string, ts timestamp, s_count long, s_sum double, "
+            "quantiles array<double>, values array<double>",
+        )
+        plan = summary_merge(df)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("HashAggregate") >= 2 or "SortAggregate" in plan
+
+
 class TestMetricsStarSchema:
     def test_integrity_and_latest_wins(self, spark, workdir):
         """METRICS star generator: parent_id ancestry resolves at every
@@ -193,6 +271,43 @@ class TestMetricsStarSchema:
         mx = cum.groupBy("name", "stream").agg(F.max("double_value").alias("mv"))
         j = latest.join(mx, ["name", "stream"])
         assert j.filter(F.col("double_value") != F.col("mv")).count() == 0
+
+
+    def test_histogram_and_summary_star_tables(self, spark, workdir):
+        """v2 star tables (HISTOGRAM_DP / HISTOGRAM_DP_ATTRS / SUMMARY_DP):
+        ancestry resolves, temporality split is by metric_type, and the
+        cumulative histogram streams are monotone so latest-wins == max."""
+        from otel_arrow_spark.sources.metrics_star import write_metrics_parquet
+
+        p = write_metrics_parquet(f"{workdir}/metrics_fixture", 2000)
+        metrics = spark.read.parquet(f"{p}/metrics.parquet")
+        hdp = spark.read.parquet(f"{p}/histogram_dp.parquet")
+        hattrs = spark.read.parquet(f"{p}/histogram_dp_attrs.parquet")
+        sdp = spark.read.parquet(f"{p}/summary_dp.parquet")
+
+        types = {r.id: r.metric_type for r in metrics.collect()}
+        h_parents = {r.parent_id for r in hdp.select("parent_id").distinct().collect()}
+        assert h_parents and all(types[i] in (2, 3) for i in h_parents)
+        s_parents = {r.parent_id for r in sdp.select("parent_id").distinct().collect()}
+        assert s_parents and all(types[i] == 4 for i in s_parents)
+        hdp_ids = {r.id for r in hdp.select("id").collect()}
+        assert {
+            r.parent_id for r in hattrs.select("parent_id").distinct().collect()
+        } <= hdp_ids
+        # cumulative histogram streams monotone → latest h_count == max
+        cum = hdp.join(
+            metrics.filter(F.col("metric_type") == 3).select(
+                F.col("id").alias("parent_id")
+            ),
+            "parent_id",
+        )
+        latest = temporal_latest(
+            cum.select("stream", "ts", "h_count"), "24 hours", keys=("stream",)
+        )
+        mx = cum.groupBy("stream").agg(F.max("h_count").alias("m"))
+        assert latest.join(mx, "stream").filter(
+            F.col("h_count") != F.col("m")
+        ).count() == 0
 
 
 class TestCardinalityCap:
@@ -260,23 +375,14 @@ class TestStreamingHistogram:
         pts = points_to_histogram(base, "v", bounds=[1.0, 5.0, 10.0])
         pts.write.mode("overwrite").parquet(src)
 
-        stream = (
-            spark.readStream.schema(spark.read.parquet(src).schema)
-            .parquet(src)
-            .withWatermark("ts", "10 minutes")
-        )
-        merged = histogram_delta_merge(stream, "60 seconds", keys=("metric_name",))
-        out = f"{workdir}/hist_stream_out"
-        q = (
-            merged.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", f"{workdir}/hist_stream_ckpt")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+        from otel_arrow_spark.streaming.jobs import stream_histogram_reaggregation
+
+        q = stream_histogram_reaggregation(
+            spark, src, f"{workdir}/hist_stream_out", f"{workdir}/hist_stream_ckpt",
+            temporality="delta",
         )
         q.awaitTermination(300)
-        got = spark.read.parquet(out)
+        got = spark.read.parquet(f"{workdir}/hist_stream_out/hist")
         batch = histogram_delta_merge(
             spark.read.parquet(src), "60 seconds", keys=("metric_name",)
         )
@@ -287,4 +393,47 @@ class TestStreamingHistogram:
         )
         g = {r.window_start: (r.h_count, tuple(r.bucket_counts)) for r in got.collect()}
         w = {r.window_start: (r.h_count, tuple(r.bucket_counts)) for r in closed.collect()}
+        assert g == w and len(g) > 0
+
+    def test_stream_latest_matches_batch(self, spark, workdir):
+        """Streaming CUMULATIVE reaggregation (temporal_latest on the
+        stream) == batch temporal_latest over the same points — the
+        replace-if-newer rule survives micro-batching because max_by is
+        algebraic across state updates."""
+        import numpy as np
+
+        rng = np.random.RandomState(13)
+        rows = []
+        for i in range(400):
+            stream_id = f"s{int(rng.randint(0, 3))}"
+            sec = int(rng.randint(0, 5400))
+            # cumulative: value derives from ts so later point supersedes
+            rows.append(("m", stream_id, ts(sec), 10, float(sec),
+                         [1.0, 5.0], [sec, sec * 2, sec * 3]))
+        src = f"{workdir}/cum_src"
+        df = spark.createDataFrame(
+            rows,
+            "metric_name string, stream string, ts timestamp, h_count long, "
+            "h_sum double, bounds array<double>, bucket_counts array<long>",
+        )
+        df.write.mode("overwrite").parquet(src)
+
+        from otel_arrow_spark.streaming.jobs import stream_histogram_reaggregation
+
+        q = stream_histogram_reaggregation(
+            spark, src, f"{workdir}/cum_out", f"{workdir}/cum_ckpt",
+            temporality="cumulative", keys=("metric_name", "stream"),
+        )
+        q.awaitTermination(300)
+        got = spark.read.parquet(f"{workdir}/cum_out/hist")
+        batch = temporal_latest(
+            spark.read.parquet(src), "60 seconds", keys=("metric_name", "stream")
+        )
+        max_ts = df.agg(F.max("ts")).first()[0]
+        closed = batch.filter(
+            F.col("window_end") <= F.lit(max_ts) - F.expr("INTERVAL 10 MINUTES")
+        )
+        key = lambda r: (r.stream, r.window_start)  # noqa: E731
+        g = {key(r): (r.h_sum, tuple(r.bucket_counts)) for r in got.collect()}
+        w = {key(r): (r.h_sum, tuple(r.bucket_counts)) for r in closed.collect()}
         assert g == w and len(g) > 0

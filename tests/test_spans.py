@@ -13,7 +13,8 @@ def tables(spark, workdir):
     path = write_spans_parquet(f"{workdir}/spans_fixture", 2000)
     return {
         n: spark.read.parquet(f"{path}/{n}.parquet")
-        for n in ["spans", "span_attrs", "span_events", "span_event_attrs"]
+        for n in ["spans", "span_attrs", "span_events", "span_event_attrs",
+                  "span_links", "span_link_attrs"]
     }
 
 
@@ -61,6 +62,33 @@ def test_cascade_three_levels(spark, tables):
     before = tables["span_attrs"].filter(F.col("parent_id") == one).count()
     after = kept_attrs.filter(F.col("parent_id") == one).count()
     assert before == after
+
+
+def test_span_links_resolve_and_cascade(spark, tables):
+    """SPAN_LINKS (6th table of the traces model): every link's parent is a
+    real span, every link's span_id resolves to a real DIFFERENT span, and
+    link attrs cascade with the link selection."""
+    spans, links, lattrs = tables["spans"], tables["span_links"], tables["span_link_attrs"]
+    span_ids = {r.id for r in spans.select("id").collect()}
+    assert {r.parent_id for r in links.select("parent_id").distinct().collect()} <= span_ids
+    # targets resolve by span_id_hex and are never the source span
+    resolved = links.join(
+        spans.select(F.col("span_id_hex"), F.col("id").alias("target_id")),
+        "span_id_hex",
+    )
+    assert resolved.count() == links.count()
+    assert resolved.filter(F.col("parent_id") == F.col("target_id")).count() == 0
+    link_ids = {r.id for r in links.select("id").collect()}
+    assert {r.parent_id for r in lattrs.select("parent_id").distinct().collect()} <= link_ids
+    # cascade: links of error spans only, and their attrs only
+    kept, kept_links = cascade_filter(spans, links, F.col("status_code") == 2)
+    kept_ids = {r.id for r in kept.select("id").collect()}
+    assert {r.parent_id for r in kept_links.collect()} <= kept_ids
+    kept_la = lattrs.join(
+        kept_links.select(F.col("id").alias("parent_id")).distinct(), "parent_id", "left_semi"
+    )
+    kl_ids = {r.id for r in kept_links.select("id").collect()}
+    assert {r.parent_id for r in kept_la.collect()} <= kl_ids
 
 
 def test_cascade_matches_duckdb(spark, tables, workdir):
