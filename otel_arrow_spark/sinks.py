@@ -148,19 +148,122 @@ def debug_sink(
     return base.count()
 
 
-def kafka_stream_source(spark, bootstrap_servers: str, topic: str):
+def kafka_options(
+    bootstrap_servers: str,
+    topic: str,
+    *,
+    starting_offsets: str = "earliest",
+    fail_on_data_loss: bool = True,
+    extra: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """Marshal Kafka connector options (contrib kafka receiver/exporter
+    config analog). Pure config wiring — testable without the package."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
+    if extra:
+        opts.update(extra)
+    return opts
+
+
+def kafka_value_frame(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = (),
+    value_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Shape rows into the (key, value) frame the Kafka sink requires:
+    value = JSON of the selected columns, key = '/'-joined key columns.
+    Pure DataFrame transform — the serialization contract is testable (and
+    tested) without any Kafka package; only the final format('kafka')
+    needs the jar."""
+    cols = list(value_cols) if value_cols is not None else list(df.columns)
+    value = F.to_json(F.struct(*[F.col(c) for c in cols])).alias("value")
+    if key_cols:
+        key = F.concat_ws("/", *[F.col(c).cast("string") for c in key_cols]).alias("key")
+        return df.select(key, value)
+    return df.select(value)
+
+
+def kafka_stream_source(spark, bootstrap_servers: str, topic: str, **kw):
     """Kafka ingest (contrib kafka receiver analog) — requires the
     spark-sql-kafka package on the cluster; gated so environments without
     it get a clear error instead of an opaque classpath failure."""
     try:
         return (
             spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", bootstrap_servers)
-            .option("subscribe", topic)
+            .options(**kafka_options(bootstrap_servers, topic, **kw))
             .load()
         )
     except Exception as ex:  # noqa: BLE001
         raise RuntimeError(
             "kafka source requires the spark-sql-kafka-0-10 package "
             "(--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>)"
+        ) from ex
+
+
+def kafka_sink(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    key_cols: tuple[str, ...] = (),
+    value_cols: tuple[str, ...] | None = None,
+) -> None:
+    """Kafka exporter analog (batch write): marshals rows via
+    ``kafka_value_frame`` then writes with the Kafka connector. Gated like
+    the source."""
+    shaped = kafka_value_frame(df, key_cols, value_cols)
+    try:
+        (
+            shaped.write.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("topic", topic)
+            .save()
+        )
+    except Exception as ex:  # noqa: BLE001
+        raise RuntimeError(
+            "kafka sink requires the spark-sql-kafka-0-10 package "
+            "(--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>)"
+        ) from ex
+
+
+def clickhouse_options(
+    url: str,
+    table: str,
+    *,
+    user: str = "default",
+    password: str = "",
+    batch_size: int = 100_000,
+    extra: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """Marshal ClickHouse JDBC options (contrib ClickHouse exporter config
+    analog): url/dbtable/driver/credentials/batchsize. Pure config wiring."""
+    opts = {
+        "url": url if url.startswith("jdbc:") else f"jdbc:clickhouse://{url}",
+        "dbtable": table,
+        "driver": "com.clickhouse.jdbc.ClickHouseDriver",
+        "user": user,
+        "password": password,
+        "batchsize": str(batch_size),
+        "isolationLevel": "NONE",  # ClickHouse has no transactions
+    }
+    if extra:
+        opts.update(extra)
+    return opts
+
+
+def clickhouse_sink(df: DataFrame, url: str, table: str, mode: str = "append", **kw) -> None:
+    """ClickHouse exporter analog over Spark's JDBC writer; gated so
+    environments without the ClickHouse JDBC driver jar get a clear error
+    instead of a ClassNotFoundException."""
+    try:
+        df.write.format("jdbc").options(**clickhouse_options(url, table, **kw)).mode(
+            mode
+        ).save()
+    except Exception as ex:  # noqa: BLE001
+        raise RuntimeError(
+            "clickhouse sink requires the ClickHouse JDBC driver on the "
+            "classpath (--jars clickhouse-jdbc-<ver>-all.jar)"
         ) from ex
