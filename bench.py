@@ -42,6 +42,9 @@ HEADLINE_QUERIES = [
     "temporal_agg_hist",
     "ottl_transform",
     "span_cascade",
+    "span_links",
+    "hist_star",
+    "exp_hist_merge",
 ]
 
 

