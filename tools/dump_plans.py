@@ -116,6 +116,29 @@ def main() -> None:
         )
     )
 
+    from otel_arrow_spark.operators.metrics import exp_histogram_delta_merge
+
+    exp = spark.createDataFrame(
+        [("e", "2026-01-01 00:00:01", 1, 1.0, 0, 0, 0, [1])],
+        "metric_name string, t string, e_count long, e_sum double, "
+        "scale int, zero_count long, pos_offset int, pos_counts array<long>",
+    ).select(
+        "metric_name", F.col("t").cast("timestamp").alias("ts"), "e_count",
+        "e_sum", "scale", "zero_count", "pos_offset", "pos_counts",
+    )
+    sections.append(
+        (
+            "Exp-histogram delta merge (native engine)",
+            "Expected: JVM-only (no `EvalPython` node) — scalar hash "
+            "aggregate, join back for the scale shift, `Generate posexplode` "
+            "for the buckets, two more partial+final hash aggregates; the "
+            "pandas engine (kept as parity oracle) would instead show one "
+            "FlatMapGroupsInPandas that pays per-group Python overhead "
+            "(measured 103s vs 1.4s at sf0.1's ~40k groups).",
+            exp_histogram_delta_merge(exp, keys=("metric_name",)),
+        )
+    )
+
     from otel_arrow_spark.plans.ottl import run_ottl
 
     sections.append(
