@@ -869,6 +869,77 @@ def q_exp_hist_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exp_hist_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXP_HISTOGRAM_DATA_POINTS star-schema path (data_model.md:211-227):
+    cascade metrics → exp-histogram data points (ragged bucket lists at
+    mixed scales) and merge with the native expression engine; the oracle
+    unnests the stored lists with ordinals and replays the
+    ``(offset+i) >> shift`` alignment."""
+    from otel_arrow_spark.operators.filter import cascade_filter
+    from otel_arrow_spark.operators.metrics import exp_histogram_delta_merge
+
+    p = _metrics_dir(sf_dir)
+    metrics = spark.read.parquet(f"{p}/metrics.parquet")
+    edp = spark.read.parquet(f"{p}/exp_histogram_dp.parquet")
+    kept, dps = cascade_filter(metrics, edp, F.col("metric_type") == 5)
+    named = dps.join(
+        F.broadcast(kept.select(F.col("id").alias("parent_id"), "name")), "parent_id"
+    )
+    out = exp_histogram_delta_merge(
+        named.select("name", "stream", "ts", "e_count", "e_sum", "scale",
+                     "zero_count", "pos_offset", "pos_counts",
+                     "neg_offset", "neg_counts"),
+        "15 minutes",
+        keys=("name", "stream"),
+    )
+    ser = lambda c: F.array_join(F.transform(c, lambda x: x.cast("string")), ",")  # noqa: E731
+    return out.select(
+        "name",
+        "stream",
+        "window_start",
+        "e_count",
+        F.round("e_sum", 3).alias("e_sum_r"),
+        "scale",
+        "zero_count",
+        "pos_offset",
+        ser("pos_counts").alias("pos_counts_s"),
+        "neg_offset",
+        ser("neg_counts").alias("neg_counts_s"),
+    )
+
+
+def q_resource_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESOURCE_ATTRS scoping (data_model.md:346-356): select the resources
+    whose k8s.namespace.name is 'prod', semi-join spans down to that
+    resource set (the resource-level id bitmap of filter_otap_batch), then
+    roll up per service.name — two different keys of the same exploded
+    attrs table driving a filter and an enrichment."""
+    p = _spans_dir(sf_dir)
+    spans = spark.read.parquet(f"{p}/spans.parquet")
+    rattrs = spark.read.parquet(f"{p}/resource_attrs.parquet")
+
+    prod = (
+        rattrs.filter(
+            (F.col("key") == "k8s.namespace.name") & (F.col("str") == "prod")
+        )
+        .select(F.col("parent_id").alias("resource_id"))
+        .distinct()
+    )
+    svc = rattrs.filter(F.col("key") == "service.name").select(
+        F.col("parent_id").alias("resource_id"), F.col("str").alias("service")
+    )
+    kept = spans.join(prod, "resource_id", "left_semi")
+    return (
+        kept.join(F.broadcast(svc), "resource_id")
+        .groupBy("service")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("status_code") == 2).cast("long")).alias("n_errors"),
+            F.round(F.avg("duration_ms"), 4).alias("avg_dur_r"),
+        )
+    )
+
+
 def q_partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition processor (processors/partition_processor README:13-31 —
     split by an arbitrary expression, e.g. a hashed composite): events
@@ -1149,6 +1220,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_star": q_hist_star,
         "summary_reagg": q_summary_reagg,
         "exp_hist_merge": q_exp_hist_merge,
+        "exp_hist_star": q_exp_hist_star,
+        "resource_scope": q_resource_scope,
         "partition_counts": q_partition_counts,
         "ottl_transform": q_ottl_transform,
         "syslog_parse": q_syslog_parse,
@@ -1761,6 +1834,97 @@ def oracle_sql() -> dict[str, str]:
             FROM tgt t
             JOIN posarr p ON t.w = p.w AND t.event_type = p.event_type
             JOIN negarr n ON t.w = n.w AND t.event_type = n.event_type
+        """,
+        "exp_hist_star": f"""
+            WITH m AS (
+                SELECT id, name
+                FROM read_parquet('{_REPO}/.cache/metrics/n20000/metrics.parquet')
+                WHERE metric_type = 5),
+            d AS (
+                SELECT h.*, m.name,
+                       time_bucket(INTERVAL '15 minutes', h.ts) AS w
+                FROM read_parquet('{_REPO}/.cache/metrics/n20000/exp_histogram_dp.parquet') h
+                JOIN m ON h.parent_id = m.id),
+            tgt AS (
+                SELECT name, stream, w, CAST(min(scale) AS INT) AS scale,
+                       CAST(sum(e_count) AS BIGINT) AS e_count,
+                       round(CAST(sum(e_sum) AS DOUBLE), 3) AS e_sum_r,
+                       CAST(sum(zero_count) AS BIGINT) AS zero_count
+                FROM d GROUP BY 1, 2, 3),
+            pose AS (
+                SELECT name, stream, w, scale, pos_offset,
+                       unnest(pos_counts) AS c,
+                       generate_subscripts(pos_counts, 1) AS i
+                FROM d),
+            pose2 AS (
+                SELECT p.name, p.stream, p.w,
+                       ((p.pos_offset + p.i - 1) >> (p.scale - t.scale)) AS idx,
+                       CAST(p.c AS BIGINT) AS c
+                FROM pose p JOIN tgt t USING (name, stream, w)),
+            posagg AS (SELECT name, stream, w, idx, CAST(sum(c) AS BIGINT) AS c
+                       FROM pose2 GROUP BY 1, 2, 3, 4),
+            posspan AS (SELECT name, stream, w, min(idx) AS lo, max(idx) AS hi
+                        FROM posagg GROUP BY 1, 2, 3),
+            posgrid AS (SELECT name, stream, w, lo,
+                               unnest(generate_series(lo, hi)) AS g FROM posspan),
+            posarr AS (
+                SELECT pg.name, pg.stream, pg.w, CAST(pg.lo AS INT) AS pos_offset,
+                       array_to_string(list(CAST(coalesce(pa.c, 0) AS BIGINT) ORDER BY pg.g), ',') AS pos_counts_s
+                FROM posgrid pg LEFT JOIN posagg pa
+                  ON pa.name = pg.name AND pa.stream = pg.stream
+                 AND pa.w = pg.w AND pa.idx = pg.g
+                GROUP BY 1, 2, 3, 4),
+            nege AS (
+                SELECT name, stream, w, scale, neg_offset,
+                       unnest(neg_counts) AS c,
+                       generate_subscripts(neg_counts, 1) AS i
+                FROM d),
+            nege2 AS (
+                SELECT p.name, p.stream, p.w,
+                       ((p.neg_offset + p.i - 1) >> (p.scale - t.scale)) AS idx,
+                       CAST(p.c AS BIGINT) AS c
+                FROM nege p JOIN tgt t USING (name, stream, w)),
+            negagg AS (SELECT name, stream, w, idx, CAST(sum(c) AS BIGINT) AS c
+                       FROM nege2 GROUP BY 1, 2, 3, 4),
+            negspan AS (SELECT name, stream, w, min(idx) AS lo, max(idx) AS hi
+                        FROM negagg GROUP BY 1, 2, 3),
+            neggrid AS (SELECT name, stream, w, lo,
+                               unnest(generate_series(lo, hi)) AS g FROM negspan),
+            negarr AS (
+                SELECT ng.name, ng.stream, ng.w, CAST(ng.lo AS INT) AS neg_offset,
+                       array_to_string(list(CAST(coalesce(na.c, 0) AS BIGINT) ORDER BY ng.g), ',') AS neg_counts_s
+                FROM neggrid ng LEFT JOIN negagg na
+                  ON na.name = ng.name AND na.stream = ng.stream
+                 AND na.w = ng.w AND na.idx = ng.g
+                GROUP BY 1, 2, 3, 4)
+            SELECT t.name, t.stream, t.w AS window_start, t.e_count, t.e_sum_r,
+                   t.scale, t.zero_count,
+                   coalesce(p.pos_offset, 0) AS pos_offset,
+                   coalesce(p.pos_counts_s, '') AS pos_counts_s,
+                   coalesce(n.neg_offset, 0) AS neg_offset,
+                   coalesce(n.neg_counts_s, '') AS neg_counts_s
+            FROM tgt t
+            LEFT JOIN posarr p ON t.name = p.name AND t.stream = p.stream AND t.w = p.w
+            LEFT JOIN negarr n ON t.name = n.name AND t.stream = n.stream AND t.w = n.w
+        """,
+        "resource_scope": f"""
+            WITH prod AS (
+                SELECT DISTINCT parent_id AS resource_id
+                FROM read_parquet('{_REPO}/.cache/spans/n20000/resource_attrs.parquet')
+                WHERE key = 'k8s.namespace.name' AND str = 'prod'),
+            svc AS (
+                SELECT parent_id AS resource_id, str AS service
+                FROM read_parquet('{_REPO}/.cache/spans/n20000/resource_attrs.parquet')
+                WHERE key = 'service.name'),
+            kept AS (
+                SELECT s.* FROM read_parquet('{_REPO}/.cache/spans/n20000/spans.parquet') s
+                WHERE s.resource_id IN (SELECT resource_id FROM prod))
+            SELECT svc.service,
+                   CAST(count(*) AS BIGINT) AS n_spans,
+                   CAST(sum(CASE WHEN kept.status_code = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+                   round(avg(kept.duration_ms), 4) AS avg_dur_r
+            FROM kept JOIN svc ON kept.resource_id = svc.resource_id
+            GROUP BY 1
         """,
         "partition_counts": """
             SELECT substring(sha256(event_type || ':' || CAST(event_id % 7 AS VARCHAR)), 1, 1) AS part_key,

@@ -43,6 +43,7 @@ HIST_METRICS = [
     ("rpc.server.duration.hist", "ms", 3),
 ]
 SUMMARY_METRICS = [("http.client.latency.summary", "ms", 4)]
+EXPH_METRICS = [("grpc.server.duration.exph", "ms", 5)]  # 5 = delta exp-histogram
 HIST_BOUNDS = [5.0, 25.0, 125.0]  # 4 buckets incl. overflow
 SUMMARY_QUANTILES = [0.5, 0.9, 0.99]
 
@@ -52,7 +53,7 @@ def generate_metrics_tables(n_dps: int, seed: int = 42) -> dict[str, pd.DataFram
     number_dp_exemplars} frames with parent_id-keyed ancestry."""
     rng = np.random.RandomState(seed)
 
-    all_metrics = METRIC_NAMES + HIST_METRICS + SUMMARY_METRICS
+    all_metrics = METRIC_NAMES + HIST_METRICS + SUMMARY_METRICS + EXPH_METRICS
     metrics = pd.DataFrame(
         {
             "id": np.arange(len(all_metrics), dtype=np.int64),
@@ -186,6 +187,47 @@ def generate_metrics_tables(n_dps: int, seed: int = 42) -> dict[str, pd.DataFram
         }
     )
 
+    # ---- exponential-histogram data points (EXP_HISTOGRAM_DATA_POINTS
+    # analog, data_model.md:211-227): ragged positive/negative bucket lists
+    # at mixed scales so the merge's scale alignment is exercised. (The
+    # per-point-type ATTRS cascade is demonstrated by histogram_dp_attrs;
+    # exp-histogram attrs/exemplars share that exact shape.)
+    n_e = max(8, n_dps // 8)
+    e_parent = np.full(
+        n_e, len(METRIC_NAMES) + len(HIST_METRICS) + len(SUMMARY_METRICS),
+        dtype=np.int64,
+    )
+    e_stream = rng.randint(0, 4, size=n_e).astype(np.int32)
+    e_slot = 3_600_000_000 // n_e
+    e_t_us = np.arange(n_e) * e_slot + rng.randint(0, max(e_slot, 1), size=n_e)
+    e_scale = rng.randint(0, 3, size=n_e).astype(np.int32)
+    pos_len = rng.randint(0, 5, size=n_e)
+    neg_len = rng.randint(0, 4, size=n_e)
+    pos_pool = rng.randint(0, 7, size=int(pos_len.sum()))
+    neg_pool = rng.randint(0, 7, size=int(neg_len.sum()))
+    pos_split = np.split(pos_pool, np.cumsum(pos_len)[:-1])
+    neg_split = np.split(neg_pool, np.cumsum(neg_len)[:-1])
+    zero = rng.randint(0, 3, size=n_e).astype(np.int64)
+    exp_histogram_dp = pd.DataFrame(
+        {
+            "id": np.arange(n_e, dtype=np.int64),
+            "parent_id": e_parent,
+            "start_ts": np.full(n_e, EPOCH),
+            "ts": EPOCH + e_t_us.astype("timedelta64[us]"),
+            "stream": e_stream,
+            "e_count": np.array([c.sum() for c in pos_split], dtype=np.int64)
+            + np.array([c.sum() for c in neg_split], dtype=np.int64)
+            + zero,
+            "e_sum": np.round(rng.uniform(-50, 500, size=n_e), 3),
+            "scale": e_scale,
+            "zero_count": zero,
+            "pos_offset": rng.randint(-4, 10, size=n_e).astype(np.int32),
+            "pos_counts": [c.astype(np.int64).tolist() for c in pos_split],
+            "neg_offset": rng.randint(-4, 10, size=n_e).astype(np.int32),
+            "neg_counts": [c.astype(np.int64).tolist() for c in neg_split],
+        }
+    )
+
     return {
         "metrics": metrics,
         "number_data_points": number_data_points,
@@ -194,6 +236,7 @@ def generate_metrics_tables(n_dps: int, seed: int = 42) -> dict[str, pd.DataFram
         "histogram_dp": histogram_dp,
         "histogram_dp_attrs": histogram_dp_attrs,
         "summary_dp": summary_dp,
+        "exp_histogram_dp": exp_histogram_dp,
     }
 
 
@@ -202,9 +245,9 @@ def write_metrics_parquet(out_dir: str, n_dps: int, seed: int = 42) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    # v2: histogram_dp / histogram_dp_attrs / summary_dp tables added; the
-    # marker version forces stale pre-v2 cache dirs to regenerate
-    marker = os.path.join(out_dir, f"_SUCCESS.{n_dps}.{seed}.v2")
+    # v2: histogram_dp / histogram_dp_attrs / summary_dp added; v3:
+    # exp_histogram_dp. Versioned marker forces stale caches to regenerate.
+    marker = os.path.join(out_dir, f"_SUCCESS.{n_dps}.{seed}.v3")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)

@@ -161,6 +161,35 @@ def generate_spans_tables(n_spans: int, seed: int = 42) -> dict[str, pd.DataFram
         }
     )
 
+    # resource attrs (RESOURCE_ATTRS analog, data_model.md:346-356): spans
+    # carry a resource_id; the attrs table is keyed by it. Enables
+    # resource-scoped filtering (e.g. k8s.namespace.name = 'prod' → span
+    # subset) — the resource-level id bitmap of filter_otap_batch. Drawn
+    # after everything above. (SCOPE_ATTRS shares this exact shape.)
+    n_resources = max(4, n_spans // 50)
+    spans = spans.assign(
+        resource_id=rng.randint(0, n_resources, size=n_spans).astype(np.int64)
+    )
+    ns = np.array(["prod", "staging", "dev"], dtype=object)[
+        rng.randint(0, 3, size=n_resources)
+    ]
+    svc = np.array([f"svc-{i % 7}" for i in range(n_resources)], dtype=object)
+    ver = np.array(["1.0", "1.1", "2.0"], dtype=object)[
+        rng.randint(0, 3, size=n_resources)
+    ]
+    resource_attrs = pd.DataFrame(
+        {
+            "parent_id": np.repeat(np.arange(n_resources, dtype=np.int64), 3),
+            "key": np.tile(
+                np.array(["k8s.namespace.name", "service.name", "service.version"],
+                         dtype=object),
+                n_resources,
+            ),
+            "type": np.full(n_resources * 3, 1, dtype=np.int32),
+            "str": np.stack([ns, svc, ver], axis=1).reshape(-1),
+        }
+    )
+
     return {
         "spans": spans,
         "span_attrs": span_attrs,
@@ -168,6 +197,7 @@ def generate_spans_tables(n_spans: int, seed: int = 42) -> dict[str, pd.DataFram
         "span_event_attrs": span_event_attrs,
         "span_links": span_links,
         "span_link_attrs": span_link_attrs,
+        "resource_attrs": resource_attrs,
     }
 
 
@@ -176,9 +206,9 @@ def write_spans_parquet(out_dir: str, n_spans: int, seed: int = 42) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    # v2: span_links / span_link_attrs tables added; versioned marker forces
-    # stale pre-v2 cache dirs to regenerate
-    marker = os.path.join(out_dir, f"_SUCCESS.{n_spans}.{seed}.v2")
+    # v2: span_links / span_link_attrs added; v3: resource_id + resource
+    # attrs. Versioned marker forces stale caches to regenerate.
+    marker = os.path.join(out_dir, f"_SUCCESS.{n_spans}.{seed}.v3")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)

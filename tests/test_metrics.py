@@ -378,6 +378,30 @@ class TestMetricsStarSchema:
             F.col("h_count") != F.col("m")
         ).count() == 0
 
+    def test_exp_histogram_star_table(self, spark, workdir):
+        """v3 table (EXP_HISTOGRAM_DATA_POINTS analog): ancestry resolves
+        to exp-histogram metrics, bucket lists are ragged at mixed scales,
+        and e_count is internally consistent with buckets + zero bucket."""
+        from otel_arrow_spark.sources.metrics_star import write_metrics_parquet
+
+        p = write_metrics_parquet(f"{workdir}/metrics_fixture", 2000)
+        metrics = spark.read.parquet(f"{p}/metrics.parquet")
+        edp = spark.read.parquet(f"{p}/exp_histogram_dp.parquet")
+        types = {r.id: r.metric_type for r in metrics.collect()}
+        assert all(
+            types[r.parent_id] == 5
+            for r in edp.select("parent_id").distinct().collect()
+        )
+        bad = edp.filter(
+            F.col("e_count")
+            != F.aggregate("pos_counts", F.lit(0).cast("long"), lambda a, x: a + x)
+            + F.aggregate("neg_counts", F.lit(0).cast("long"), lambda a, x: a + x)
+            + F.col("zero_count")
+        )
+        assert bad.count() == 0
+        scales = {r.scale for r in edp.select("scale").distinct().collect()}
+        assert len(scales) > 1, "mixed scales required to exercise alignment"
+
 
 class TestCardinalityCap:
     def test_early_flush_and_exact_merge(self, spark):

@@ -14,7 +14,7 @@ def tables(spark, workdir):
     return {
         n: spark.read.parquet(f"{path}/{n}.parquet")
         for n in ["spans", "span_attrs", "span_events", "span_event_attrs",
-                  "span_links", "span_link_attrs"]
+                  "span_links", "span_link_attrs", "resource_attrs"]
     }
 
 
@@ -89,6 +89,24 @@ def test_span_links_resolve_and_cascade(spark, tables):
     )
     kl_ids = {r.id for r in kept_links.select("id").collect()}
     assert {r.parent_id for r in kept_la.collect()} <= kl_ids
+
+
+def test_resource_attrs_scope(spark, tables):
+    """RESOURCE_ATTRS (v3): every span's resource_id resolves, every
+    resource carries the 3 attr keys, and the namespace semi-join selects a
+    strict non-empty span subset."""
+    spans, rattrs = tables["spans"], tables["resource_attrs"]
+    rids = {r.parent_id for r in rattrs.select("parent_id").distinct().collect()}
+    assert {r.resource_id for r in spans.select("resource_id").distinct().collect()} <= rids
+    per_res = rattrs.groupBy("parent_id").agg(
+        F.count_distinct("key").alias("nk")
+    )
+    assert per_res.filter(F.col("nk") != 3).count() == 0
+    prod = rattrs.filter(
+        (F.col("key") == "k8s.namespace.name") & (F.col("str") == "prod")
+    ).select(F.col("parent_id").alias("resource_id"))
+    kept = spans.join(prod, "resource_id", "left_semi")
+    assert 0 < kept.count() < spans.count()
 
 
 def test_cascade_matches_duckdb(spark, tables, workdir):
