@@ -729,50 +729,49 @@ def q_hist_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     (temporal_latest, the reference's replace-if-newer) — and serialize
     bucket arrays for the harness."""
     from otel_arrow_spark.operators.filter import cascade_filter
-    from otel_arrow_spark.operators.metrics import (
-        histogram_delta_merge,
-        temporal_latest,
-    )
+    from otel_arrow_spark.operators.metrics import histogram_mixed_reaggregate
 
     p = _metrics_dir(sf_dir)
     metrics = spark.read.parquet(f"{p}/metrics.parquet")
     hdp = spark.read.parquet(f"{p}/histogram_dp.parquet")
     hattrs = spark.read.parquet(f"{p}/histogram_dp_attrs.parquet")
 
-    def named(mtype: int) -> DataFrame:
-        kept, dps = cascade_filter(metrics, hdp, F.col("metric_type") == mtype)
-        return dps.join(
-            F.broadcast(kept.select(F.col("id").alias("parent_id"), "name")),
-            "parent_id",
-        )
-
-    cols = ["name", "stream", "ts", "h_count", "h_sum", "h_min", "h_max",
-            "bounds", "bucket_counts"]
-    delta = histogram_delta_merge(named(2).select(*cols), "15 minutes",
-                                  keys=("name", "stream"))
-    cum = temporal_latest(named(3).select(*cols), "15 minutes",
-                          keys=("name", "stream"))
-
-    def shape(df: DataFrame, temp: str) -> DataFrame:
-        return df.select(
-            "name",
-            "stream",
-            "window_start",
-            F.lit(temp).alias("temporality"),
-            "h_count",
-            F.round("h_sum", 3).alias("h_sum_r"),
-            F.round("h_min", 3).alias("h_min_r"),
-            F.round("h_max", 3).alias("h_max_r"),
-            F.array_join(
-                F.transform("bucket_counts", lambda x: x.cast("string")), ","
-            ).alias("bucket_counts_s"),
-        )
-
-    both = shape(delta, "delta").unionByName(shape(cum, "cumulative"))
-    all_named = named(2).unionByName(named(3))
+    # ONE cascade + broadcast-name join covering both temporalities: the
+    # point table (the big one at scale) is scanned once for the merge and
+    # once (column-pruned to 4 thin cols) for the attrs rollup — feeding
+    # the two single-temporality operators separately would scan it 4×.
+    kept, dps = cascade_filter(metrics, hdp, F.col("metric_type").isin(2, 3))
+    named = dps.join(
+        F.broadcast(
+            kept.select(F.col("id").alias("parent_id"), "name", "metric_type")
+        ),
+        "parent_id",
+    ).withColumn(
+        "temporality",
+        F.when(F.col("metric_type") == 2, "delta").otherwise("cumulative"),
+    )
+    merged = histogram_mixed_reaggregate(
+        named.select("name", "stream", "ts", "temporality", "h_count", "h_sum",
+                     "h_min", "h_max", "bounds", "bucket_counts"),
+        "15 minutes",
+        keys=("name", "stream"),
+    )
+    both = merged.select(
+        "name",
+        "stream",
+        "window_start",
+        "temporality",
+        "h_count",
+        F.round("h_sum", 3).alias("h_sum_r"),
+        F.round("h_min", 3).alias("h_min_r"),
+        F.round("h_max", 3).alias("h_max_r"),
+        F.array_join(
+            F.transform("bucket_counts", lambda x: x.cast("string")), ","
+        ).alias("bucket_counts_s"),
+    )
     attrs_w = (
         hattrs.join(
-            all_named.select(F.col("id").alias("parent_id"), "name", "stream", "ts"),
+            named.select(F.col("id").alias("parent_id"), "name", "stream", "ts"),
             "parent_id",
         )
         .groupBy("name", "stream", F.window(F.col("ts"), "15 minutes").alias("w"))

@@ -126,6 +126,66 @@ def histogram_delta_merge(
     )
 
 
+def histogram_mixed_reaggregate(
+    df: DataFrame,
+    period: str = "60 seconds",
+    keys: tuple[str, ...] = ("metric_name",),
+    ts_col: str = "ts",
+    type_col: str = "temporality",
+) -> DataFrame:
+    """Single-pass reaggregation of a frame carrying BOTH delta and
+    cumulative histogram streams (``type_col`` ∈ {'delta','cumulative'}):
+    one scan and one shuffle compute both merge forms per (window, stream)
+    group, and the temporality picks the right one — delta groups get the
+    additive bucket fold, cumulative groups get latest-wins
+    (replace-if-newer, mod.rs:1167-1205).
+
+    Feeding ``histogram_delta_merge`` and ``temporal_latest`` separately
+    from the same data-point table scans it twice; at scale the point
+    table dominates IO, so the mixed form halves the read. Costs are kept
+    per-temporality: the bucket ``collect_list`` wraps rows in
+    ``when(is_delta, …)`` so cumulative groups collect nothing (collect_list
+    skips nulls) and pay only the ``max_by``; delta groups pay one extra
+    tiny ``max_by``. All aggregates remain algebraic → partial+final.
+    """
+    w = F.window(F.col(ts_col), period)
+    is_delta_row = F.col(type_col) == "delta"
+    point = F.struct(
+        F.col(ts_col).alias("ts"),
+        F.col("h_count").alias("h_count"),
+        F.col("h_sum").alias("h_sum"),
+        F.col("h_min").alias("h_min"),
+        F.col("h_max").alias("h_max"),
+        F.col("bucket_counts").alias("bucket_counts"),
+    )
+    g = df.groupBy(w.alias("w"), *keys, type_col).agg(
+        F.sum("h_count").alias("_dc"),
+        F.sum("h_sum").alias("_ds"),
+        F.min("h_min").alias("_dmin"),
+        F.max("h_max").alias("_dmax"),
+        F.first("bounds").alias("bounds"),
+        F.collect_list(F.when(is_delta_row, F.col("bucket_counts"))).alias("_bcs"),
+        F.max_by(point, F.col(ts_col)).alias("_pt"),
+    )
+    zeros = F.transform(F.element_at("_bcs", 1), lambda _: F.lit(0).cast("long"))
+    folded = F.aggregate(
+        "_bcs", zeros, lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b)
+    )
+    is_delta = F.col(type_col) == "delta"
+    return g.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *keys,
+        type_col,
+        F.when(is_delta, F.col("_dc")).otherwise(F.col("_pt.h_count")).alias("h_count"),
+        F.when(is_delta, F.col("_ds")).otherwise(F.col("_pt.h_sum")).alias("h_sum"),
+        F.when(is_delta, F.col("_dmin")).otherwise(F.col("_pt.h_min")).alias("h_min"),
+        F.when(is_delta, F.col("_dmax")).otherwise(F.col("_pt.h_max")).alias("h_max"),
+        "bounds",
+        F.when(is_delta, folded).otherwise(F.col("_pt.bucket_counts")).alias("bucket_counts"),
+    )
+
+
 def points_to_histogram(
     df: DataFrame,
     value_col: str,

@@ -105,6 +105,55 @@ class TestDeltaHistogram:
             assert abs(got[m].h_sum - s) < 1e-9
             assert got[m].h_min == mins[m] and got[m].h_max == maxs[m]
 
+    def test_mixed_reaggregate_matches_single_temporality_ops(self, spark, hist_points):
+        """histogram_mixed_reaggregate == histogram_delta_merge on delta
+        streams AND == temporal_latest on cumulative streams, in ONE pass
+        (the point-table-scanned-once form used by the star-schema query)."""
+        import numpy as np
+
+        from otel_arrow_spark.operators.metrics import histogram_mixed_reaggregate
+
+        rng = np.random.RandomState(17)
+        rows = []
+        for i in range(200):
+            sec = int(rng.randint(0, 180))
+            counts = [int(c) for c in rng.randint(0, 5, size=3)]
+            v = float(np.round(rng.uniform(0, 20), 6))
+            temp = "delta" if i % 2 == 0 else "cumulative"
+            rows.append((f"m_{temp}", temp, ts(sec), sum(counts), v, v, v,
+                         [1.0, 5.0], counts))
+        df = spark.createDataFrame(
+            rows,
+            "metric_name string, temporality string, ts timestamp, "
+            "h_count long, h_sum double, h_min double, h_max double, "
+            "bounds array<double>, bucket_counts array<long>",
+        )
+        mixed = histogram_mixed_reaggregate(df, "60 seconds", keys=("metric_name",))
+
+        def canon(frame):
+            return {
+                (r.metric_name, r.window_start): (
+                    r.h_count, round(r.h_sum, 9), r.h_min, r.h_max,
+                    tuple(r.bucket_counts),
+                )
+                for r in frame.collect()
+            }
+
+        got_delta = canon(mixed.filter(F.col("temporality") == "delta"))
+        want_delta = canon(histogram_delta_merge(
+            df.filter(F.col("temporality") == "delta").drop("temporality"),
+            "60 seconds", keys=("metric_name",)))
+        assert got_delta == want_delta and len(got_delta) > 0
+        got_cum = canon(mixed.filter(F.col("temporality") == "cumulative"))
+        want_cum = canon(temporal_latest(
+            df.filter(F.col("temporality") == "cumulative").drop("temporality"),
+            "60 seconds", keys=("metric_name",)))
+        assert got_cum == want_cum and len(got_cum) > 0
+        # partial+final and JVM-only
+        plan = mixed._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+        assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 2
+
     def test_points_to_histogram_bucket_rule(self, spark):
         df = spark.createDataFrame(
             [(0.5,), (1.0,), (3.0,), (5.0,), (7.0,)], "v double"
