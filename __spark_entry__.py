@@ -682,10 +682,12 @@ def q_span_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     lattrs = spark.read.parquet(f"{p}/span_link_attrs.parquet")
 
     kept, kept_links = cascade_filter(spans, links, F.col("status_code") == 2)
-    kept_lattrs = lattrs.join(
-        kept_links.select(F.col("id").alias("parent_id")).distinct(),
-        "parent_id",
-        "left_semi",
+    # attr counts aggregate per LINK before resolution, so the whole query
+    # is one resolution join + ONE output aggregate — branching the
+    # resolved frame into a second attrs rollup would re-scan spans twice
+    # more, and spans is the big table at scale
+    la_counts = lattrs.groupBy(F.col("parent_id").alias("link_id")).agg(
+        F.count(F.lit(1)).alias("n_la")
     )
     target = spans.select(
         "span_id_hex",
@@ -693,31 +695,16 @@ def q_span_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("duration_ms").alias("target_dur"),
         F.col("status_code").alias("target_status"),
     )
-    resolved = kept_links.join(target, "span_id_hex")
-    per_target = resolved.groupBy("target_name").agg(
+    resolved = kept_links.join(
+        la_counts, kept_links.id == la_counts.link_id, "left"
+    ).join(target, "span_id_hex")
+    return resolved.groupBy("target_name").agg(
         F.count(F.lit(1)).alias("n_links"),
         F.countDistinct("parent_id").alias("n_sources"),
         F.round(F.avg("target_dur"), 4).alias("avg_target_dur_r"),
         F.sum((F.col("target_status") == 2).cast("long")).alias("n_err_targets"),
         F.sum((F.col("trace_state") == "sampled=1").cast("long")).alias("n_sampled"),
-    )
-    n_la = (
-        kept_lattrs.join(
-            kept_links.select(F.col("id").alias("parent_id"), "span_id_hex"),
-            "parent_id",
-        )
-        .join(target.select("span_id_hex", "target_name"), "span_id_hex")
-        .groupBy("target_name")
-        .agg(F.count(F.lit(1)).alias("n_link_attrs"))
-    )
-    return per_target.join(n_la, "target_name", "left").select(
-        "target_name",
-        "n_links",
-        "n_sources",
-        "avg_target_dur_r",
-        "n_err_targets",
-        "n_sampled",
-        F.coalesce("n_link_attrs", F.lit(0)).cast("long").alias("n_link_attrs"),
+        F.sum(F.coalesce("n_la", F.lit(0))).cast("long").alias("n_link_attrs"),
     )
 
 
@@ -937,6 +924,37 @@ def q_resource_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("duration_ms"), 4).alias("avg_dur_r"),
         )
     )
+
+
+def q_fork_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fork (pipeline/fork.rs:31) + topic pub/sub (topic receiver/exporter)
+    + batch reshape (split/concatenate analog): one rebatched input forked
+    into two aggregation pipelines (the input plan executes once — fork
+    persists it), handed off through an in-process topic, unioned with a
+    branch tag. The oracle re-derives both branches as a UNION ALL."""
+    from otel_arrow_spark.operators.flow import fork, rebatch
+    from otel_arrow_spark.sources.topics import publish_topic, subscribe_topic
+
+    e = _t(spark, sf_dir, "events")
+    base = rebatch(e.select("event_type", "ts", "value"), 8)
+    by_type, by_hour = fork(
+        base,
+        [
+            lambda d: d.groupBy(F.col("event_type").alias("key")).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 4).alias("metric"),
+            ).withColumn("branch", F.lit("by_type")),
+            lambda d: d.groupBy(
+                F.date_trunc("hour", "ts").cast("string").alias("key")
+            ).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.max("value"), 4).alias("metric"),
+            ).withColumn("branch", F.lit("by_hour")),
+        ],
+    )
+    publish_topic(by_type.unionByName(by_hour), "fork_demo")
+    out = subscribe_topic(spark, "fork_demo")
+    return out.select("branch", "key", "n", "metric")
 
 
 def q_partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1221,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exp_hist_merge": q_exp_hist_merge,
         "exp_hist_star": q_exp_hist_star,
         "resource_scope": q_resource_scope,
+        "fork_topics": q_fork_topics,
         "partition_counts": q_partition_counts,
         "ottl_transform": q_ottl_transform,
         "syslog_parse": q_syslog_parse,
@@ -1924,6 +1943,17 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(kept.duration_ms), 4) AS avg_dur_r
             FROM kept JOIN svc ON kept.resource_id = svc.resource_id
             GROUP BY 1
+        """,
+        "fork_topics": """
+            SELECT 'by_type' AS branch, event_type AS key,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(CAST(sum(value) AS DOUBLE), 4) AS metric
+            FROM events GROUP BY 2
+            UNION ALL
+            SELECT 'by_hour' AS branch, CAST(date_trunc('hour', ts) AS VARCHAR) AS key,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(CAST(max(value) AS DOUBLE), 4) AS metric
+            FROM events GROUP BY 2
         """,
         "partition_counts": """
             SELECT substring(sha256(event_type || ':' || CAST(event_id % 7 AS VARCHAR)), 1, 1) AS part_key,
