@@ -926,6 +926,26 @@ def q_resource_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_opl_program(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-stage OPL program in one text — set(iff) → if{drop} →
+    project-rename → project-away (opl.pest:219-225; flow_control drop) —
+    the stages that previously had pytest-only coverage, re-derived as
+    plain SQL by the oracle."""
+    from otel_arrow_spark.plans.opl import run_opl
+
+    e = _t(spark, sf_dir, "events")
+    r = run_opl(
+        "events "
+        "| set tier = iff(value > 50.0, 'high', 'low') "
+        "| if (event_type == 'click' and tier == 'low') { drop } "
+        "| project-rename etype = event_type "
+        "| project-away props, user_id",
+        {"events": e},
+    )
+    return r.default.select("event_id", "etype", "tier",
+                            F.round("value", 4).alias("value_r"))
+
+
 def q_fork_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fork (pipeline/fork.rs:31) + topic pub/sub (topic receiver/exporter)
     + batch reshape (split/concatenate analog): one rebatched input forked
@@ -1240,6 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exp_hist_star": q_exp_hist_star,
         "resource_scope": q_resource_scope,
         "fork_topics": q_fork_topics,
+        "opl_program": q_opl_program,
         "partition_counts": q_partition_counts,
         "ottl_transform": q_ottl_transform,
         "syslog_parse": q_syslog_parse,
@@ -1943,6 +1964,14 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(kept.duration_ms), 4) AS avg_dur_r
             FROM kept JOIN svc ON kept.resource_id = svc.resource_id
             GROUP BY 1
+        """,
+        "opl_program": """
+            SELECT event_id,
+                   event_type AS etype,
+                   CASE WHEN value > 50.0 THEN 'high' ELSE 'low' END AS tier,
+                   round(CAST(value AS DOUBLE), 4) AS value_r
+            FROM events
+            WHERE NOT (event_type = 'click' AND value <= 50.0)
         """,
         "fork_topics": """
             SELECT 'by_type' AS branch, event_type AS key,
