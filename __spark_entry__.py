@@ -926,6 +926,25 @@ def q_resource_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: MinHash pair generation followed by connected
+    components (iterative min-label propagation — A~B, B~C collapse into
+    one cluster with the lowest id as representative). The oracle rebuilds
+    the exact-Jaccard edge set and computes components independently with
+    a DuckDB recursive CTE (transitive closure → min reachable id)."""
+    from otel_arrow_spark.textops import minhash_near_dup_pairs
+    from otel_arrow_spark.textops.dedup import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(d, jaccard_threshold=0.8)
+    comp = connected_components(pairs)
+    return comp.groupBy(F.col("comp").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )
+
+
 def q_opl_program(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-stage OPL program in one text — set(iff) → if{drop} →
     project-rename → project-away (opl.pest:219-225; flow_control drop) —
@@ -1261,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resource_scope": q_resource_scope,
         "fork_topics": q_fork_topics,
         "opl_program": q_opl_program,
+        "dedup_clusters": q_dedup_clusters,
         "partition_counts": q_partition_counts,
         "ottl_transform": q_ottl_transform,
         "syslog_parse": q_syslog_parse,
@@ -1964,6 +1984,30 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(kept.duration_ms), 4) AS avg_dur_r
             FROM kept JOIN svc ON kept.resource_id = svc.resource_id
             GROUP BY 1
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE s AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(length(text) - 3, 1)),
+                           i -> substring(text, i, 5))) AS sh
+                FROM documents),
+            p AS (
+                SELECT a.doc_id AS ia, b.doc_id AS ib
+                FROM s a JOIN s b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+            e AS (SELECT ia AS src, ib AS dst FROM p
+                  UNION SELECT ib AS src, ia AS dst FROM p),
+            n AS (SELECT DISTINCT src AS id FROM e),
+            reach(a, b) AS (
+                SELECT id, id FROM n
+                UNION
+                SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+            comp AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY a)
+            SELECT component, CAST(count(*) AS BIGINT) AS n_members,
+                   min(id) AS min_id, max(id) AS max_id
+            FROM comp GROUP BY 1
         """,
         "opl_program": """
             SELECT event_id,

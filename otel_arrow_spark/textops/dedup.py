@@ -509,3 +509,79 @@ def cosine_expr(a: Column, b: Column) -> Column:
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
     return dot / (na * nb)
+
+
+# --- near-dup clustering (connected components) ---------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over candidate near-dup pairs by iterative
+    min-label propagation: ``comp(v)`` converges to the minimum id
+    reachable from ``v``, giving each duplicate cluster its canonical
+    (lowest-id) representative — the step a dedup pipeline runs after pair
+    generation to collapse A~B, B~C into one {A,B,C} cluster.
+
+    Scale shape: each round is one shuffle join of the (long, long) edge
+    list against the label table plus two hash aggregates; labels are
+    ``localCheckpoint``-ed per round so the plan never grows with the
+    iteration count; convergence is a bounded count per round. Simple
+    propagation needs O(component diameter) rounds — near-dup clusters
+    are small and dense (template families), so 3-5 rounds in practice;
+    for graphs with long chains swap in alternating large-star/small-star
+    (Kiveris et al.), which is the same join skeleton applied twice per
+    round.
+
+    Returns (id, comp) for every vertex that appears in ``pairs``;
+    vertices with no pairs are their own singleton components and are not
+    emitted (callers union them back if they need total coverage).
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("comp")
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new = (
+            labels.join(nbr, labels.id == nbr.dst, "left")
+            .select(
+                labels.id.alias("id"),
+                F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("comp", "old"), "id")
+            .filter(F.col("comp") != F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_cluster_representatives(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative (the minimum id) per near-dup cluster:
+    documents absent from ``pairs`` survive as their own representatives;
+    clustered documents survive only if they ARE the cluster minimum."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -206,6 +206,53 @@ class TestAnalysis:
         assert fp[1] == fp[2] != fp[3]
 
 
+class TestConnectedComponents:
+    def test_matches_union_find_oracle(self, spark):
+        """Min-label propagation == a Python union-find on a random graph
+        with chains, triangles, and singleton-free structure."""
+        import numpy as np
+
+        from otel_arrow_spark.textops.dedup import connected_components
+
+        rng = np.random.RandomState(5)
+        edges = set()
+        for _ in range(60):
+            a, b = int(rng.randint(0, 40)), int(rng.randint(0, 40))
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        # force a long chain (worst case for propagation rounds)
+        for i in range(50, 60):
+            edges.add((i, i + 1))
+        pairs = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+        got = {r.id: r.comp for r in connected_components(pairs).collect()}
+
+        parent: dict[int, int] = {}
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {v: find(v) for v in {x for e in edges for x in e}}
+        assert got == want
+
+    def test_representatives(self, spark):
+        from otel_arrow_spark.textops.dedup import dedup_cluster_representatives
+
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame(
+            [(1, 3), (3, 5), (6, 7)], "id_a long, id_b long"
+        )
+        kept = {r.doc_id for r in dedup_cluster_representatives(docs, pairs).collect()}
+        # cluster {1,3,5} → keep 1; {6,7} → keep 6; singletons survive
+        assert kept == {0, 1, 2, 4, 6}
+
+
 class TestMultimodal:
     def test_metadata_and_features(self, spark):
         from otel_arrow_spark.textops.multimodal import (
