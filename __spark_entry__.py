@@ -25,6 +25,13 @@ from pyspark.sql import functions as F
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
+# classifier_score model: deterministic weight vector shared between the
+# Spark query and its DuckDB oracle (the literal list below)
+_CLF_WEIGHTS = {i: ((i * 37) % 11 - 5) / 10.0 for i in range(64)}
+_CLF_WEIGHTS_SQL = "[" + ", ".join(
+    repr(_CLF_WEIGHTS[i]) for i in range(64)
+) + "]"
+
 # transcript corpus size per sf tier (generated deterministically, cached)
 _SF_TURNS = {"0.001": 20_000, "0.01": 100_000, "0.1": 2_000_000}
 
@@ -926,6 +933,29 @@ def q_resource_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixing sampler: at most 5 docs per (lang, source) stratum,
+    chosen by deterministic md5-of-id order (reproducible across engines,
+    unlike rand()); the oracle replays the same window."""
+    from otel_arrow_spark.textops.analysis import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = stratified_sample(d, ("lang", "source"), 5)
+    return out.select("doc_id", "lang", "source")
+
+
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier inference (fastText-style): md5-hashed
+    token buckets × a literal weight vector + sigmoid — the model-scoring
+    step of a training-data pipeline, recomputed bit-for-bit by the
+    oracle."""
+    from otel_arrow_spark.textops.analysis import classifier_score
+
+    d = _t(spark, sf_dir, "documents")
+    out = classifier_score(d, _CLF_WEIGHTS, dim=64, bias=0.25)
+    return out.select("doc_id", F.round("clf_score", 6).alias("clf_score_r"))
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING: MinHash pair generation followed by connected
     components (iterative min-label propagation — A~B, B~C collapse into
@@ -1281,6 +1311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fork_topics": q_fork_topics,
         "opl_program": q_opl_program,
         "dedup_clusters": q_dedup_clusters,
+        "stratified_sample": q_stratified_sample,
+        "classifier_score": q_classifier_score,
         "partition_counts": q_partition_counts,
         "ottl_transform": q_ottl_transform,
         "syslog_parse": q_syslog_parse,
@@ -1984,6 +2016,25 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(kept.duration_ms), 4) AS avg_dur_r
             FROM kept JOIN svc ON kept.resource_id = svc.resource_id
             GROUP BY 1
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang, source FROM (
+                SELECT doc_id, lang, source,
+                       row_number() OVER (
+                           PARTITION BY lang, source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                FROM documents) WHERE rn <= 5
+        """,
+        "classifier_score": f"""
+            WITH w AS (SELECT {_CLF_WEIGHTS_SQL} AS wv),
+            toks AS (
+                SELECT doc_id,
+                       list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS ts
+                FROM documents)
+            SELECT t.doc_id,
+                   round(1.0 / (1.0 + exp(-(0.25 + list_sum(list_transform(t.ts,
+                       x -> w.wv[CAST((CAST('0x' || substring(md5(x), 1, 8) AS BIGINT) % 64) AS INT) + 1]))))), 6) AS clf_score_r
+            FROM toks t, w
         """,
         "dedup_clusters": """
             WITH RECURSIVE s AS (

@@ -121,3 +121,64 @@ def document_fingerprint(
         )
     )
     return df.withColumn(out_col, F.md5(canon))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: tuple[str, ...],
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sampling for dataset mixing: keep at most
+    ``n_per_stratum`` documents per stratum, selected by a seeded hash
+    order (md5 of the id — reproducible across engines and runs, unlike
+    ``rand()``), so recipe weights like "equal parts per language ×
+    quality bucket" are one call.
+
+    One window function per stratum partition — shuffles (id, strata)
+    only; the surviving ids semi-join the full rows back so document
+    bodies never enter the shuffle.
+    """
+    from pyspark.sql import Window
+
+    order_key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(*[F.col(c) for c in strata_cols]).orderBy(
+        order_key, F.col(id_col)
+    )
+    ids = (
+        df.select(id_col, *strata_cols)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .select(id_col)
+    )
+    return df.join(ids, id_col, "left_semi")
+
+
+def classifier_score(
+    df: DataFrame,
+    weights: dict[int, float],
+    dim: int = 64,
+    bias: float = 0.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Linear text-classifier scoring (the fastText-style quality-model
+    inference step of a training-data pipeline): tokens hash into ``dim``
+    buckets, the score is the weight sum of present buckets plus bias,
+    squashed by a sigmoid.
+
+    Engine-portable feature hash: bucket = first 8 md5 hex chars mod dim
+    (identical in DuckDB, so the oracle recomputes scores bit-for-bit).
+    Pure expressions — transform + aggregate over the token array; the
+    weight table rides in the plan as a literal array (a broadcast-free
+    map-side lookup; real models at dim≤10^6 still fit a literal/broadcast).
+    """
+    wvec = [float(weights.get(i, 0.0)) for i in range(dim)]
+    warr = F.array(*[F.lit(v) for v in wvec])
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    bucket = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % dim  # noqa: E731
+    score = F.aggregate(
+        toks,
+        F.lit(float(bias)),
+        lambda acc, t: acc + F.element_at(warr, (bucket(t) + 1).cast("int")),
+    )
+    return df.withColumn("clf_score", F.lit(1.0) / (F.lit(1.0) + F.exp(-score)))

@@ -206,6 +206,56 @@ class TestAnalysis:
         assert fp[1] == fp[2] != fp[3]
 
 
+class TestDatasetMixing:
+    def test_stratified_sample_caps_and_determinism(self, spark):
+        from otel_arrow_spark.textops.analysis import stratified_sample
+
+        rows = [(i, f"t{i}", ["en", "fr"][i % 2], f"s{i % 3}") for i in range(90)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+        out = stratified_sample(df, ("lang", "source"), 4)
+        got = out.groupBy("lang", "source").count().collect()
+        assert all(r["count"] <= 4 for r in got) and len(got) == 6
+        # deterministic across runs (hash order, not rand())
+        ids1 = {r.doc_id for r in out.collect()}
+        ids2 = {r.doc_id for r in stratified_sample(df, ("lang", "source"), 4).collect()}
+        assert ids1 == ids2
+        # python oracle: md5-of-id order per stratum
+        import hashlib
+        from collections import defaultdict
+
+        strata = defaultdict(list)
+        for i, _, la, so in rows:
+            strata[(la, so)].append(i)
+        want = set()
+        for members in strata.values():
+            members.sort(key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+            want.update(members[:4])
+        assert ids1 == want
+
+    def test_classifier_score_vs_python(self, spark):
+        import hashlib
+        import math
+
+        from otel_arrow_spark.textops.analysis import classifier_score
+
+        weights = {i: (i % 7 - 3) / 5.0 for i in range(32)}
+        rows = [(1, "alpha beta gamma"), (2, "alpha alpha"), (3, "")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r.clf_score
+               for r in classifier_score(df, weights, dim=32, bias=0.1).collect()}
+
+        def oracle(text):
+            toks = dict.fromkeys(text.strip().lower().split())
+            s = 0.1
+            for t in toks or [""]:
+                b = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 32
+                s += weights.get(b, 0.0)
+            return 1.0 / (1.0 + math.exp(-s))
+
+        for doc_id, text in rows:
+            assert abs(got[doc_id] - oracle(text)) < 1e-12, doc_id
+
+
 class TestConnectedComponents:
     def test_matches_union_find_oracle(self, spark):
         """Min-label propagation == a Python union-find on a random graph
