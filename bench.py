@@ -45,6 +45,11 @@ HEADLINE_QUERIES = [
     "span_links",
     "hist_star",
     "exp_hist_merge",
+    "exp_hist_star",
+    "summary_reagg",
+    "dedup_clusters",
+    "classifier_score",
+    "resource_scope",
 ]
 
 

@@ -161,6 +161,32 @@ def test_skew_mitigation_hot_conversation_join(spark, tiny_transcripts):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
 
 
+def test_hist_star_scans_point_table_twice(spark):
+    """The star-schema histogram query must scan the data-point table (the
+    big one at scale) exactly twice: once for the single-pass mixed merge,
+    once (column-pruned) for the attrs rollup — the round-3 fix that
+    replaced the 4-scan two-operator shape."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["hist_star"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert plan.count("histogram_dp.parquet]") == 2, plan.count("histogram_dp.parquet]")
+
+
+def test_span_links_single_output_aggregate(spark):
+    """span_links must resolve targets with ONE join branch and aggregate
+    once: spans scanned exactly twice (source filter + target resolution),
+    link attrs pre-aggregated per link."""
+    import re
+
+    import __spark_entry__ as entry
+
+    df = entry.queries()["span_links"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert plan.count("/spans.parquet]") == 2, plan.count("/spans.parquet]")
+    assert len(re.findall(r"Scan parquet", plan)) == 4
+
+
 def test_partition_pruning_on_routed_sink(spark, tiny_transcripts, workdir):
     res = run_pipeline(
         spark, PipelineConfig(input_path=tiny_transcripts, output_dir=f"{workdir}/pp")
