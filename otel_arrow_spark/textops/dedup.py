@@ -549,20 +549,22 @@ def connected_components(
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("comp")
     )
-    for _ in range(max_iter):
+    def propagate(lbl: DataFrame) -> DataFrame:
         nbr = (
-            edges.join(labels, edges.src == labels.id)
+            edges.join(lbl, edges.src == lbl.id)
             .groupBy("dst")
             .agg(F.min("comp").alias("nmin"))
         )
-        new = (
-            labels.join(nbr, labels.id == nbr.dst, "left")
-            .select(
-                labels.id.alias("id"),
-                F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
-            )
-            .localCheckpoint()
+        return lbl.join(nbr, lbl.id == nbr.dst, "left").select(
+            lbl.id.alias("id"),
+            F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
         )
+
+    # two propagation steps per convergence check: the check is a count
+    # action (a full job), so checking every step doubles the job count for
+    # graphs that converge in a handful of rounds
+    for _ in range(max(1, max_iter // 2)):
+        new = propagate(propagate(labels)).localCheckpoint()
         changed = (
             new.join(labels.withColumnRenamed("comp", "old"), "id")
             .filter(F.col("comp") != F.col("old"))
