@@ -1022,8 +1022,12 @@ def q_fork_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     publish_topic(by_type.unionByName(by_hour), "fork_demo")
-    out = subscribe_topic(spark, "fork_demo")
-    return out.select("branch", "key", "n", "metric")
+    out = subscribe_topic(spark, "fork_demo").select("branch", "key", "n", "metric")
+    # fork's contract: the caller unpersists after wiring the consumers —
+    # otherwise the rebatched frame pins storage memory for the session
+    # (the driver runs 50+ queries in one session)
+    base.unpersist()
+    return out
 
 
 def q_partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

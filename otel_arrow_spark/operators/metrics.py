@@ -150,12 +150,18 @@ def histogram_mixed_reaggregate(
     """
     w = F.window(F.col(ts_col), period)
     is_delta_row = F.col(type_col) == "delta"
+    # bounds ride in the latest-wins struct: a cumulative stream that
+    # re-registers with different bounds mid-window must emit the LATEST
+    # point's bounds next to its bucket_counts (first() could pair old
+    # bounds with new counts); delta streams require constant bounds per
+    # stream (OTel data model), so first() is exact there
     point = F.struct(
         F.col(ts_col).alias("ts"),
         F.col("h_count").alias("h_count"),
         F.col("h_sum").alias("h_sum"),
         F.col("h_min").alias("h_min"),
         F.col("h_max").alias("h_max"),
+        F.col("bounds").alias("bounds"),
         F.col("bucket_counts").alias("bucket_counts"),
     )
     g = df.groupBy(w.alias("w"), *keys, type_col).agg(
@@ -163,7 +169,7 @@ def histogram_mixed_reaggregate(
         F.sum("h_sum").alias("_ds"),
         F.min("h_min").alias("_dmin"),
         F.max("h_max").alias("_dmax"),
-        F.first("bounds").alias("bounds"),
+        F.first("bounds").alias("_dbounds"),
         F.collect_list(F.when(is_delta_row, F.col("bucket_counts"))).alias("_bcs"),
         F.max_by(point, F.col(ts_col)).alias("_pt"),
     )
@@ -181,7 +187,7 @@ def histogram_mixed_reaggregate(
         F.when(is_delta, F.col("_ds")).otherwise(F.col("_pt.h_sum")).alias("h_sum"),
         F.when(is_delta, F.col("_dmin")).otherwise(F.col("_pt.h_min")).alias("h_min"),
         F.when(is_delta, F.col("_dmax")).otherwise(F.col("_pt.h_max")).alias("h_max"),
-        "bounds",
+        F.when(is_delta, F.col("_dbounds")).otherwise(F.col("_pt.bounds")).alias("bounds"),
         F.when(is_delta, folded).otherwise(F.col("_pt.bucket_counts")).alias("bucket_counts"),
     )
 
@@ -367,14 +373,10 @@ def _exp_merge_native(
     )
 
     def side(off_col: str, counts_col: str, out_off: str, out_counts: str) -> DataFrame:
-        e = (
-            pts.select(
-                *gk, "_shift", F.col(off_col).alias("_off"),
-                F.posexplode_outer(counts_col).alias("_pos", "_c"),
-            )
-            .filter(F.col("_c").isNotNull())
-            .withColumn("_idx", F.expr("shiftright(_off + _pos, _shift)"))
-        )
+        e = pts.select(
+            *gk, "_shift", F.col(off_col).alias("_off"),
+            F.posexplode(counts_col).alias("_pos", "_c"),
+        ).withColumn("_idx", F.expr("shiftright(_off + _pos, _shift)"))
         per_idx = e.groupBy(*gk, "_idx").agg(F.sum("_c").alias("_c"))
         dense = per_idx.groupBy(*gk).agg(
             F.min("_idx").alias("_lo"),

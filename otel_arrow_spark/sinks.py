@@ -223,10 +223,28 @@ def kafka_sink(
             .save()
         )
     except Exception as ex:  # noqa: BLE001
+        if not _is_missing_package(ex):
+            raise  # broker/producer/runtime failures keep their real cause
         raise RuntimeError(
             "kafka sink requires the spark-sql-kafka-0-10 package "
             "(--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>)"
         ) from ex
+
+
+def _is_missing_package(ex: BaseException) -> bool:
+    """True only for classpath/data-source-resolution failures — the gated
+    helpers must rebrand ONLY those, never broker/SQL/runtime errors."""
+    msg = str(ex)
+    return any(
+        marker in msg
+        for marker in (
+            "Failed to find data source",
+            "Failed to find the data source",
+            "ClassNotFoundException",
+            "NoClassDefFoundError",
+            "DATA_SOURCE_NOT_FOUND",
+        )
+    )
 
 
 def clickhouse_options(
@@ -263,6 +281,8 @@ def clickhouse_sink(df: DataFrame, url: str, table: str, mode: str = "append", *
             mode
         ).save()
     except Exception as ex:  # noqa: BLE001
+        if not _is_missing_package(ex):
+            raise  # SQL/constraint/connectivity failures keep their real cause
         raise RuntimeError(
             "clickhouse sink requires the ClickHouse JDBC driver on the "
             "classpath (--jars clickhouse-jdbc-<ver>-all.jar)"

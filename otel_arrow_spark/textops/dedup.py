@@ -30,36 +30,19 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     thousands of splits and this is a no-op; the condition (not a blind
     repartition) is what keeps it from adding a full-corpus shuffle there.
 
-    The probe is metadata-only (no plan-to-RDD conversion, no job): file
-    count first — at scale that alone clears the bar — then, for small
-    local parquet inputs, footer row-group counts, because a Parquet scan
-    yields at most one non-empty task per row group regardless of split
-    sizing. In-memory relations are left alone (they already parallelize).
+    The probe is metadata-only (no plan-to-RDD conversion, no job):
+    ``scanmeta.estimated_scan_tasks`` replays Spark's own split sizing
+    (maxSplitBytes + FilePartition packing) capped by parquet row-group
+    counts — a parquet scan yields at most one non-empty task per row
+    group regardless of byte splits. In-memory relations are left alone
+    (they already parallelize).
     """
+    from otel_arrow_spark.scanmeta import estimated_scan_tasks
+
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    files = df.inputFiles()
-    if not files:
+    est = estimated_scan_tasks(df, target)
+    if est is None or est >= target:
         return df
-    if len(files) >= target:
-        return df
-    import os
-    from urllib.parse import unquote, urlparse
-
-    splits = 0
-    for uri in files:
-        parsed = urlparse(uri)
-        path = unquote(parsed.path) if parsed.scheme in ("file", "") else None
-        if path and path.endswith(".parquet") and os.path.exists(path):
-            try:
-                import pyarrow.parquet as pq
-
-                splits += pq.ParquetFile(path).metadata.num_row_groups
-            except Exception:
-                splits += 1
-        else:
-            splits += 1
-        if splits >= target:
-            return df
     return df.repartition(target)
 
 
@@ -563,6 +546,7 @@ def connected_components(
     # two propagation steps per convergence check: the check is a count
     # action (a full job), so checking every step doubles the job count for
     # graphs that converge in a handful of rounds
+    changed = None
     for _ in range(max(1, max_iter // 2)):
         new = propagate(propagate(labels)).localCheckpoint()
         changed = (
@@ -573,6 +557,15 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    if changed:
+        # returning silently-partial labels would let duplicates survive
+        # dedup_cluster_representatives as fake "representatives"
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            "propagation steps (component diameter exceeds the budget); "
+            "raise max_iter or use an alternating large-star/small-star "
+            "variant for long-chain graphs"
+        )
     return labels
 
 

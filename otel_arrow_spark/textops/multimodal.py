@@ -67,23 +67,18 @@ def media_repartition(
 
     Sizing never scans the data: the caller may pass ``total_bytes``
     (e.g. from a catalog), otherwise the scan's input files are stat'ed
-    from filesystem metadata — binary payloads dominate the file bytes and
-    barely compress, so file size is a faithful estimate. When neither is
-    available (in-memory relation) the default parallelism is used. No
+    from filesystem metadata — local files via os.stat, remote schemes
+    (s3a/hdfs/abfs/…) via the Hadoop FileSystem metadata RPC
+    (scanmeta.input_file_sizes) — binary payloads dominate the file bytes
+    and barely compress, so file size is a faithful estimate. When neither
+    is available (in-memory relation) the default parallelism is used. No
     Spark job runs either way; the byte-sum aggregate this replaces was a
     full extra pass over the heaviest column.
     """
     if total_bytes is None:
-        import os
-        from urllib.parse import unquote, urlparse
+        from otel_arrow_spark.scanmeta import input_file_sizes
 
-        total_bytes = 0
-        for uri in df.inputFiles():  # metadata-only: reads the file index
-            parsed = urlparse(uri)
-            if parsed.scheme in ("file", ""):
-                path = unquote(parsed.path or uri)
-                if os.path.exists(path):
-                    total_bytes += os.path.getsize(path)
+        total_bytes = sum(s for _, s in input_file_sizes(df))
     if total_bytes > 0:
         n = max(1, int(total_bytes // target_partition_bytes) + 1)
     else:

@@ -154,6 +154,27 @@ class TestDeltaHistogram:
         assert "EvalPython" not in plan
         assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 2
 
+    def test_mixed_reaggregate_bounds_follow_latest_point(self, spark):
+        """A cumulative stream that re-registers with different bounds
+        mid-window must emit the LATEST point's bounds with its counts —
+        first() could pair stale bounds with new bucket arrays."""
+        from otel_arrow_spark.operators.metrics import histogram_mixed_reaggregate
+
+        rows = [
+            ("m", "cumulative", ts(5), 10, 10.0, 1.0, 9.0, [5.0, 25.0], [4, 4, 2]),
+            ("m", "cumulative", ts(40), 20, 30.0, 1.0, 9.0,
+             [5.0, 25.0, 125.0], [8, 6, 4, 2]),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "metric_name string, temporality string, ts timestamp, "
+            "h_count long, h_sum double, h_min double, h_max double, "
+            "bounds array<double>, bucket_counts array<long>",
+        )
+        out = histogram_mixed_reaggregate(df, "60 seconds", keys=("metric_name",)).collect()[0]
+        assert out.bounds == [5.0, 25.0, 125.0]
+        assert out.bucket_counts == [8, 6, 4, 2] and out.h_count == 20
+
     def test_points_to_histogram_bucket_rule(self, spark):
         df = spark.createDataFrame(
             [(0.5,), (1.0,), (3.0,), (5.0,), (7.0,)], "v double"

@@ -380,6 +380,29 @@ class TestMultimodal:
         mem = spark.createDataFrame([(1, "a")], "doc_id long, text string")
         assert ensure_parallelism(mem) is mem
 
+    def test_ensure_parallelism_tiny_file_many_row_groups(self, spark, workdir):
+        """A small file with MANY row groups still yields one Spark scan
+        task (openCostInBytes-sized splits) — the probe must repartition
+        it, not mistake footer row-group count for attained parallelism."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from otel_arrow_spark.textops.dedup import ensure_parallelism
+
+        path = f"{workdir}/many_rg/part.parquet"
+        import os
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(
+            pa.table({"doc_id": list(range(128)), "text": [f"d{i}" for i in range(128)]}),
+            path,
+            row_group_size=16,  # 8 row groups, a few KB of bytes
+        )
+        df = spark.read.parquet(path)
+        target = spark.sparkContext.defaultParallelism
+        out = ensure_parallelism(df)
+        assert out.rdd.getNumPartitions() == target
+
     def test_frame_sample_plan(self, spark):
         from otel_arrow_spark.textops.multimodal import frame_sample_plan
 
