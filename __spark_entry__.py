@@ -1276,6 +1276,55 @@ def q_transcripts_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_aggregate(routed, keys=("signal_class", "conv_id", "tool", "severity_text"))
 
 
+def _paragraph_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.textops.paragraphs import write_paragraph_corpus
+
+    sf = next((k for k in _SF_TURNS if f"sf{k}" in sf_dir), "0.01")
+    n = {"0.001": 2_000, "0.01": 20_000, "0.1": 100_000}[sf]
+    path = write_paragraph_corpus(
+        os.path.join(_REPO, ".cache", "paragraphs", f"n{n}"), n
+    )
+    return spark.read.parquet(path)
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style corpus-wide keep-first paragraph dedup over a
+    generated multi-paragraph corpus; the oracle replays the keep-first
+    rule with a DuckDB window over md5 paragraph hashes and re-stitches
+    text with string_agg (textops/paragraphs.py docstring has the scale
+    analysis: algebraic min keeper, no all-pairs, skew-proof)."""
+    from otel_arrow_spark.textops.paragraphs import paragraph_dedup
+
+    return paragraph_dedup(_paragraph_corpus(spark, sf_dir))
+
+
+def q_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the REAL flagship pipeline (plans/pipeline.py run_pipeline:
+    observe()-counter lineage riding the routed-sink write — perf-exporter
+    analog, exporters/perf_exporter/mod.rs:4-15) and emit its manifest
+    metrics as rows; the oracle independently re-parses the identical
+    corpus bytes in DuckDB and recomputes every counter. This turns the
+    internal-telemetry/lineage path (previously pytest-only) into a
+    driver-gated row: rows in / parsed / unparsed plus routed-per-class."""
+    from otel_arrow_spark.operators.route import SIGNAL_CLASSES
+    from otel_arrow_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    sf = next((k for k in _SF_TURNS if f"sf{k}" in sf_dir), "0.01")
+    n = _SF_TURNS[sf]
+    _transcripts(spark, sf_dir)  # ensure the corpus exists
+    cfg = PipelineConfig(
+        input_path=os.path.join(_REPO, ".cache", "transcripts", f"n{n}"),
+        output_dir=os.path.join(_REPO, ".cache", "lineage_out", f"n{n}"),
+    )
+    m = run_pipeline(spark, cfg).manifest["metrics"]
+    rows = [
+        ("rows_in", "_all", int(m["rows_in"])),
+        ("rows_parsed", "_all", int(m["rows_parsed"])),
+        ("rows_unparsed", "_all", int(m["rows_unparsed"])),
+    ] + [("routed", c, int(m[f"routed_{c}"])) for c in SIGNAL_CLASSES]
+    return spark.createDataFrame(rows, "metric string, signal_class string, n long")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_events": q_parse_events,
@@ -1334,6 +1383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh": q_similarity_lsh,
         "transcripts_routed": q_transcripts_routed,
         "transcripts_agg": q_transcripts_agg,
+        "paragraph_dedup": q_paragraph_dedup,
+        "lineage_metrics": q_lineage_metrics,
     }
 
 
@@ -2153,6 +2204,63 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_turns,
                    min(ts) AS ts_min, max(ts) AS ts_max
             FROM p GROUP BY 1, 2, 3, 4
+        """,
+        "paragraph_dedup": f"""
+            WITH raw AS (
+                SELECT doc_id, string_split(text, chr(10) || chr(10)) AS parts
+                FROM read_parquet('{_REPO}/.cache/paragraphs/n20000/*.parquet')),
+            x AS (
+                SELECT doc_id, unnest(parts) AS para,
+                       generate_subscripts(parts, 1) - 1 AS pos
+                FROM raw),
+            p AS (
+                SELECT doc_id, pos, para, md5(para) AS phash
+                FROM x WHERE trim(para) <> ''),
+            s AS (
+                SELECT doc_id, pos, para FROM (
+                    SELECT p.*, row_number() OVER (
+                        PARTITION BY phash ORDER BY doc_id, pos) AS rn FROM p)
+                WHERE rn = 1),
+            kept AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                       string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text_dedup
+                FROM s GROUP BY 1),
+            tot AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras FROM p GROUP BY 1)
+            SELECT tot.doc_id, n_paras,
+                   coalesce(n_kept, CAST(0 AS BIGINT)) AS n_kept,
+                   coalesce(text_dedup, '') AS text_dedup
+            FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id
+        """,
+        "lineage_metrics": f"""
+            WITH p AS (
+                SELECT NULLIF(regexp_extract(text,
+                           '^(TRACE|DEBUG|INFO|WARN|ERROR|FATAL) \\[([a-z]+)\\] ([\\s\\S]*)$', 1), '') AS severity_text,
+                       NULLIF(regexp_extract(text,
+                           '^CALL tool=(\\w+) args_len=(\\d+) status=(\\w+) dur_ms=(\\d+)$', 1), '') AS tool_called,
+                       NULLIF(regexp_extract(text,
+                           '^span trace=([0-9a-f]{{32}}) span=([0-9a-f]{{16}}) event=(\\w+\\.\\w+)$', 1), '') AS trace_id
+                FROM read_parquet('{_REPO}/.cache/transcripts/n100000/*.parquet')),
+            c AS (
+                SELECT CASE WHEN severity_text IN ('ERROR','FATAL') THEN 'error'
+                            WHEN severity_text = 'WARN' THEN 'warn'
+                            WHEN tool_called IS NOT NULL THEN 'tool_call'
+                            WHEN trace_id IS NOT NULL THEN 'span'
+                            ELSE 'chat' END AS signal_class,
+                       (severity_text IS NOT NULL OR tool_called IS NOT NULL
+                        OR trace_id IS NOT NULL) AS is_parsed
+                FROM p)
+            SELECT 'rows_in' AS metric, '_all' AS signal_class,
+                   CAST(count(*) AS BIGINT) AS n FROM c
+            UNION ALL
+            SELECT 'rows_parsed', '_all',
+                   CAST(sum(CASE WHEN is_parsed THEN 1 ELSE 0 END) AS BIGINT) FROM c
+            UNION ALL
+            SELECT 'rows_unparsed', '_all',
+                   CAST(sum(CASE WHEN is_parsed THEN 0 ELSE 1 END) AS BIGINT) FROM c
+            UNION ALL
+            SELECT 'routed', signal_class, CAST(count(*) AS BIGINT)
+            FROM c GROUP BY 1, 2
         """,
         "syslog_parse": f"""
             WITH d AS (

@@ -453,3 +453,81 @@ class TestIVF:
         approx2 = ivf_topk(idx, queries, cents, k=10, nprobe=4, pre_assigned=True)
         ap2 = {(r.query_id, r.vec_id) for r in approx2.collect()}
         assert ap2 == ap
+
+
+class TestParagraphDedup:
+    """C4-style keep-first paragraph dedup (textops/paragraphs.py)."""
+
+    @pytest.fixture(scope="class")
+    def pd_out(self, spark):
+        from otel_arrow_spark.textops.paragraphs import paragraph_dedup
+
+        rows = [
+            ("d1", "alpha one\n\nshared boiler\n\n   \n\nbeta two"),
+            ("d2", "shared boiler\n\ngamma three"),
+            ("d3", "shared boiler"),
+            ("d4", "alpha one\n\nshared boiler"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        out = paragraph_dedup(df)
+        return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+    def test_keep_first_and_reconstruct(self, pd_out):
+        # d1 is first in (doc_id, pos) order: keeps all three non-blank
+        # paragraphs; the whitespace-only paragraph is dropped entirely.
+        assert pd_out["d1"]["n_paras"] == 3
+        assert pd_out["d1"]["n_kept"] == 3
+        assert pd_out["d1"]["text_dedup"] == "alpha one\n\nshared boiler\n\nbeta two"
+
+    def test_later_duplicates_dropped(self, pd_out):
+        assert pd_out["d2"]["n_kept"] == 1
+        assert pd_out["d2"]["text_dedup"] == "gamma three"
+
+    def test_fully_duplicated_doc_survives_with_zero(self, pd_out):
+        assert pd_out["d3"] == {
+            "doc_id": "d3", "n_paras": 1, "n_kept": 0, "text_dedup": ""}
+        assert pd_out["d4"]["n_kept"] == 0
+
+    def test_no_window_in_plan(self, spark):
+        # Keep-first must be the algebraic groupBy-min, not a window over
+        # phash — a window would funnel a billion-row boilerplate group
+        # through one task (module docstring).
+        from otel_arrow_spark.textops.paragraphs import paragraph_dedup
+
+        df = spark.createDataFrame([("d", "a\n\nb")], "doc_id string, text string")
+        plan = paragraph_dedup(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+
+    def test_generated_corpus_matches_duckdb(self, spark, tmp_path):
+        from otel_arrow_spark.textops.paragraphs import (
+            paragraph_dedup, write_paragraph_corpus)
+
+        path = write_paragraph_corpus(str(tmp_path / "paras"), 300)
+        got = paragraph_dedup(spark.read.parquet(path))
+        res = {r["doc_id"]: (r["n_paras"], r["n_kept"], r["text_dedup"])
+               for r in got.collect()}
+        con = duckdb.connect()
+        exp = con.execute(f"""
+            WITH raw AS (
+                SELECT doc_id, string_split(text, chr(10) || chr(10)) AS parts
+                FROM read_parquet('{path}/*.parquet')),
+            x AS (SELECT doc_id, unnest(parts) AS para,
+                         generate_subscripts(parts, 1) - 1 AS pos FROM raw),
+            p AS (SELECT doc_id, pos, para, md5(para) AS phash
+                  FROM x WHERE trim(para) <> ''),
+            s AS (SELECT doc_id, pos, para FROM (
+                      SELECT p.*, row_number() OVER (
+                          PARTITION BY phash ORDER BY doc_id, pos) AS rn FROM p)
+                  WHERE rn = 1),
+            kept AS (SELECT doc_id, count(*) AS n_kept,
+                            string_agg(para, chr(10) || chr(10) ORDER BY pos) AS t
+                     FROM s GROUP BY 1),
+            tot AS (SELECT doc_id, count(*) AS n_paras FROM p GROUP BY 1)
+            SELECT tot.doc_id, n_paras, coalesce(n_kept, 0), coalesce(t, '')
+            FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id
+        """).fetchall()
+        assert len(exp) == 300
+        for doc_id, n_paras, n_kept, text in exp:
+            assert res[doc_id] == (n_paras, n_kept, text), doc_id
+        # duplication actually exercised: some paragraphs were dropped
+        assert sum(np - nk for _, np, nk, _ in exp) > 50
