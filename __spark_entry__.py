@@ -1325,6 +1325,64 @@ def q_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "metric string, signal_class string, n long")
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (union-window formulation, zero join operators,
+    one shuffle — operators/temporal_join.py): each error event picks up
+    the latest preceding view event of the same user; the oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    from otel_arrow_spark.operators.temporal_join import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    right = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts",
+        F.col("event_id").alias("vid"), F.col("value").alias("vval"),
+    )
+    return asof_join(left, right, by=["user_id"], on="ts",
+                     right_cols=["vid", "vval"]).select(
+        "event_id", "user_id", "asof_vid", "asof_vval")
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join via bucketed equi-join — no nested-loop
+    (operators/temporal_join.py): clicks landing within 30 minutes after
+    each error event of the same user, aggregated per interval; zero-match
+    intervals kept via a left join back onto the interval table."""
+    from otel_arrow_spark.operators.temporal_join import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    intervals = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("ivl_id"), "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    points = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    matched = interval_join(points, intervals, by=["user_id"], bucket_seconds=600)
+    counts = matched.groupBy("ivl_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    return intervals.select("ivl_id").join(counts, "ivl_id", "left").select(
+        "ivl_id",
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization (operators/sessionize.py — lag +
+    running sum in one window stage, one shuffle): 30-minute-gap sessions
+    per user over events; the oracle replays the identical window algebra
+    in DuckDB."""
+    from otel_arrow_spark.operators.sessionize import session_summaries
+
+    ev = _t(spark, sf_dir, "events")
+    return session_summaries(ev, ["user_id"], gap_seconds=1800).select(
+        "user_id", "session_idx", "n_events",
+        F.round("duration_sec", 3).alias("duration_sec"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_events": q_parse_events,
@@ -1385,6 +1443,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_agg": q_transcripts_agg,
         "paragraph_dedup": q_paragraph_dedup,
         "lineage_metrics": q_lineage_metrics,
+        "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
+        "sessionize": q_sessionize,
     }
 
 
@@ -2204,6 +2265,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_turns,
                    min(ts) AS ts_min, max(ts) AS ts_max
             FROM p GROUP BY 1, 2, 3, 4
+        """,
+        "sessionize": """
+            WITH f AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+                            THEN 0 ELSE 1 END AS new_s
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (
+                SELECT user_id, ts,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+                FROM f)
+            SELECT user_id, session_idx,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(epoch(max(ts) - min(ts)), 3) AS duration_sec
+            FROM s GROUP BY 1, 2
+        """,
+        "asof_join": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'error'),
+            r AS (SELECT user_id, ts, event_id AS vid, value AS vval
+                  FROM events WHERE event_type = 'view')
+            SELECT l.event_id, l.user_id,
+                   r.vid AS asof_vid, r.vval AS asof_vval
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "interval_join": """
+            WITH i AS (SELECT event_id AS ivl_id, user_id, ts AS start_ts,
+                              ts + INTERVAL 30 MINUTE AS end_ts
+                       FROM events WHERE event_type = 'error'),
+            p AS (SELECT user_id, ts, value FROM events
+                  WHERE event_type = 'click')
+            SELECT ivl_id, CAST(count(p.ts) AS BIGINT) AS n_clicks,
+                   round(coalesce(sum(p.value), 0), 4) AS sum_value
+            FROM i LEFT JOIN p
+              ON p.user_id = i.user_id
+             AND p.ts >= i.start_ts AND p.ts <= i.end_ts
+            GROUP BY 1
         """,
         "paragraph_dedup": f"""
             WITH raw AS (

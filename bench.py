@@ -50,6 +50,10 @@ HEADLINE_QUERIES = [
     "dedup_clusters",
     "classifier_score",
     "resource_scope",
+    "paragraph_dedup",
+    "asof_join",
+    "interval_join",
+    "sessionize",
 ]
 
 

@@ -37,3 +37,8 @@ from otel_arrow_spark.textops.scrub import (  # noqa: F401
     redact_pii,
     repetition_stats,
 )
+from otel_arrow_spark.textops.paragraphs import (  # noqa: F401
+    paragraph_dedup,
+    split_paragraphs,
+    write_paragraph_corpus,
+)

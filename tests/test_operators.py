@@ -204,3 +204,156 @@ class TestFlow:
         outs = fork(df, [lambda d: d.filter("x=1"), lambda d: d.filter("x>=1")])
         assert [o.count() for o in outs] == [1, 2]
         df.unpersist()
+
+
+class TestTemporalJoin:
+    """As-of + interval joins (operators/temporal_join.py) vs DuckDB
+    ASOF JOIN / brute-force containment oracles."""
+
+    @pytest.fixture(scope="class")
+    def ev(self, spark):
+        return spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+    def test_asof_matches_duckdb(self, spark, ev):
+        import duckdb
+
+        from otel_arrow_spark.operators.temporal_join import asof_join
+
+        left = ev.where(F.col("event_type") == "error").select(
+            "event_id", "user_id", "ts")
+        right = ev.where(F.col("event_type") == "view").select(
+            "user_id", "ts", F.col("event_id").alias("vid"),
+            F.col("value").alias("vval"))
+        got = asof_join(left, right, by=["user_id"], on="ts")  # default cols
+        got2 = asof_join(left, right, by=["user_id"], on="ts",
+                         right_cols=["vid", "vval"])
+        rows = {r["event_id"]: (r["asof_vid"], r["asof_vval"])
+                for r in got2.collect()}
+        con = duckdb.connect()
+        exp = con.execute("""
+            WITH e AS (SELECT * FROM read_parquet(
+                '/root/testdata/sf0.001/events.parquet')),
+            l AS (SELECT event_id, user_id, ts FROM e WHERE event_type='error'),
+            r AS (SELECT user_id, ts, event_id AS vid, value AS vval
+                  FROM e WHERE event_type='view')
+            SELECT l.event_id, r.vid, r.vval
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """).fetchall()
+        assert len(exp) == len(rows) > 0
+        for eid, vid, vval in exp:
+            assert rows[eid] == (vid, vval), eid
+        assert got.columns == got2.columns  # default right_cols == explicit
+
+    def test_asof_strict_excludes_equal_ts(self, spark):
+        from otel_arrow_spark.operators.temporal_join import asof_join
+
+        left = spark.createDataFrame(
+            [("k", 10, "l1")], "k string, ts long, lv string")
+        right = spark.createDataFrame(
+            [("k", 10, "r10"), ("k", 5, "r5")], "k string, ts long, rv string")
+        incl = asof_join(left, right, by=["k"], on="ts").collect()[0]
+        strict = asof_join(left, right, by=["k"], on="ts", strict=True).collect()[0]
+        assert incl["asof_rv"] == "r10"
+        assert strict["asof_rv"] == "r5"
+
+    def test_interval_join_matches_bruteforce(self, spark, ev):
+        from otel_arrow_spark.operators.temporal_join import interval_join
+
+        intervals = (
+            ev.where(F.col("event_type") == "error")
+            .select(F.col("event_id").alias("ivl_id"), "user_id",
+                    F.col("ts").alias("start_ts"),
+                    (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"))
+        )
+        points = ev.where(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("event_id").alias("pt_id"))
+        got = interval_join(points, intervals, by=["user_id"],
+                            bucket_seconds=613)  # non-divisor width
+        got_pairs = {(r["ivl_id"], r["pt_id"]) for r in got.collect()}
+        exp = points.alias("p").join(
+            intervals.alias("i"),
+            (F.col("p.user_id") == F.col("i.user_id"))
+            & (F.col("p.ts") >= F.col("i.start_ts"))
+            & (F.col("p.ts") <= F.col("i.end_ts")),
+        ).select("ivl_id", "pt_id").collect()
+        assert got_pairs == {(r["ivl_id"], r["pt_id"]) for r in exp}
+        assert len(got_pairs) > 0
+
+    def test_interval_join_plan_has_no_nested_loop(self, spark, ev):
+        from otel_arrow_spark.operators.temporal_join import interval_join
+
+        intervals = ev.limit(100).select(
+            F.col("event_id").alias("ivl_id"), "user_id",
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("end_ts"))
+        points = ev.select("user_id", "ts", F.col("event_id").alias("pt_id"))
+        plan = interval_join(points, intervals, by=["user_id"])._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+    def test_asof_plan_single_shuffle_no_join(self, spark, ev):
+        from otel_arrow_spark.operators.temporal_join import asof_join
+
+        left = ev.select("event_id", "user_id", "ts")
+        right = ev.select("user_id", "ts", F.col("value").alias("rv"))
+        plan = asof_join(left, right, by=["user_id"], right_cols=["rv"])._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "Join" not in plan  # union-window formulation: no join operator
+        assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestSessionize:
+    """Batch gap sessionization (operators/sessionize.py) vs a DuckDB
+    window-replay oracle."""
+
+    def test_session_boundaries(self, spark):
+        from otel_arrow_spark.operators.sessionize import sessionize
+
+        rows = [("u", 0), ("u", 100), ("u", 2000), ("u", 2100), ("v", 50)]
+        df = spark.createDataFrame(
+            [(k, s) for k, s in rows], "k string, secs long"
+        ).withColumn("ts", F.timestamp_seconds(F.col("secs")))
+        got = {(r["k"], r["secs"]): r["session_idx"]
+               for r in sessionize(df, ["k"], gap_seconds=600).collect()}
+        assert got == {("u", 0): 0, ("u", 100): 0, ("u", 2000): 1,
+                       ("u", 2100): 1, ("v", 50): 0}
+
+    def test_summaries_match_duckdb(self, spark):
+        import duckdb
+
+        from otel_arrow_spark.operators.sessionize import session_summaries
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        got = session_summaries(ev, ["user_id"], gap_seconds=1800).select(
+            "user_id", "session_idx", "n_events",
+            F.round("duration_sec", 3).alias("duration_sec"))
+        res = {(r["user_id"], r["session_idx"]): (r["n_events"], r["duration_sec"])
+               for r in got.collect()}
+        con = duckdb.connect()
+        exp = con.execute("""
+            WITH e AS (SELECT user_id, ts FROM read_parquet(
+                '/root/testdata/sf0.001/events.parquet')),
+            f AS (SELECT user_id, ts,
+                         CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+                              THEN 0 ELSE 1 END AS new_s
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (SELECT user_id, ts,
+                         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+                  FROM f)
+            SELECT user_id, session_idx, count(*) AS n,
+                   round(epoch(max(ts) - min(ts)), 3) AS dur
+            FROM s GROUP BY 1, 2
+        """).fetchall()
+        assert len(exp) == len(res) > 100
+        for uid, sidx, n, dur in exp:
+            assert res[(uid, sidx)] == (n, dur), (uid, sidx)
+
+    def test_single_exchange(self, spark):
+        from otel_arrow_spark.operators.sessionize import sessionize
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        plan = sessionize(ev, ["user_id"])._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
