@@ -155,6 +155,38 @@ def main() -> None:
         )
     )
 
+    from otel_arrow_spark.operators.temporal_join import asof_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sections.append(
+        (
+            "As-of join (union-window formulation)",
+            "Expected: NO join operator at all — `Union` of the tagged sides, "
+            "ONE `Exchange hashpartitioning(user_id)`, one `Sort`, one "
+            "`Window` computing the running `last(_r_*, ignorenulls)`; the "
+            "non-equi temporal predicate never becomes a "
+            "BroadcastNestedLoopJoin.",
+            asof_join(
+                ev.select("event_id", "user_id", "ts"),
+                ev.select("user_id", "ts", F.col("value").alias("rv")),
+                by=["user_id"],
+            ),
+        )
+    )
+
+    from otel_arrow_spark.textops.paragraphs import paragraph_dedup
+
+    sections.append(
+        (
+            "Paragraph dedup keeper (algebraic, skew-proof)",
+            "Expected: the keep-first keeper is a partial+final "
+            "`HashAggregate` pair over `min(struct(doc_id, pos))` — NOT a "
+            "`Window` over phash, which would funnel a billion-row "
+            "boilerplate group through one task.",
+            paragraph_dedup(docs.select("doc_id", "text")),
+        )
+    )
+
     out = [HEADER]
     for title, expect, df in sections:
         plan = df._jdf.queryExecution().explainString(
