@@ -1369,6 +1369,27 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (textops/packing.py): contiguous greedy
+    assignment of documents to 512-token training bins within
+    (source, lang) pack groups — one running-sum window per group; the
+    oracle replays the identical cumulative-sum algebra in DuckDB."""
+    from otel_arrow_spark.textops import token_stats
+    from otel_arrow_spark.textops.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    t = token_stats(d).select(
+        "doc_id", "source", "lang", F.col("n_tokens_ws").alias("n_tokens")
+    )
+    packed = pack_sequences(t, ["source", "lang"], "doc_id", "n_tokens", seq_len=512)
+    return packed.select(
+        "doc_id", "source", "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("bin_idx").cast("long").alias("bin_idx"),
+        F.col("bin_offset").cast("long").alias("bin_offset"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch gap-based sessionization (operators/sessionize.py — lag +
     running sum in one window stage, one shuffle): 30-minute-gap sessions
@@ -1446,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
         "sessionize": q_sessionize,
+        "token_pack": q_token_pack,
     }
 
 
@@ -2265,6 +2287,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_turns,
                    min(ts) AS ts_min, max(ts) AS ts_max
             FROM p GROUP BY 1, 2, 3, 4
+        """,
+        "token_pack": """
+            WITH t AS (
+                SELECT doc_id, source, lang,
+                       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                            END AS BIGINT) AS n_tokens
+                FROM documents),
+            c AS (
+                SELECT doc_id, source, lang, n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (
+                           PARTITION BY source, lang ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS BIGINT) AS prev
+                FROM t)
+            SELECT doc_id, source, lang, n_tokens,
+                   CAST(floor(prev / 512) AS BIGINT) AS bin_idx,
+                   CAST(prev % 512 AS BIGINT) AS bin_offset
+            FROM c
         """,
         "sessionize": """
             WITH f AS (

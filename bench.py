@@ -54,6 +54,7 @@ HEADLINE_QUERIES = [
     "asof_join",
     "interval_join",
     "sessionize",
+    "token_pack",
 ]
 
 

@@ -531,3 +531,31 @@ class TestParagraphDedup:
             assert res[doc_id] == (n_paras, n_kept, text), doc_id
         # duplication actually exercised: some paragraphs were dropped
         assert sum(np - nk for _, np, nk, _ in exp) > 50
+
+
+class TestPacking:
+    """Sequence packing (textops/packing.py)."""
+
+    def test_bin_assignment(self, spark):
+        from otel_arrow_spark.textops.packing import pack_sequences, packing_summary
+
+        rows = [("g", "a", 300), ("g", "b", 300), ("g", "c", 300), ("h", "x", 50)]
+        df = spark.createDataFrame(rows, "grp string, doc string, n long")
+        got = {r["doc"]: (r["bin_idx"], r["bin_offset"])
+               for r in pack_sequences(df, ["grp"], "doc", "n", seq_len=512).collect()}
+        # a: starts at 0; b: starts at 300 (same bin); c: starts at 600 → bin 1
+        assert got == {"a": (0, 0), "b": (0, 300), "c": (1, 88), "x": (0, 0)}
+        s = {r["grp"]: (r["n_bins"], r["fill_ratio"]) for r in packing_summary(
+            pack_sequences(df, ["grp"], "doc", "n", seq_len=512),
+            ["grp"], "n", seq_len=512).collect()}
+        assert s["g"][0] == 2 and abs(s["g"][1] - 900 / 1024) < 1e-6
+        assert s["h"][0] == 1
+
+    def test_partition_invariance(self, spark):
+        from otel_arrow_spark.textops.packing import pack_sequences
+
+        rows = [("g", f"d{i:03d}", (i * 37) % 200 + 1) for i in range(500)]
+        df = spark.createDataFrame(rows, "grp string, doc string, n long")
+        a = pack_sequences(df, ["grp"], "doc", "n", 256).collect()
+        b = pack_sequences(df.repartition(13), ["grp"], "doc", "n", 256).collect()
+        assert {tuple(r) for r in a} == {tuple(r) for r in b}
