@@ -1369,6 +1369,31 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_opl_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The widened KQL summarize surface (plans/opl.py _AGG_FUNCTIONS:
+    dcount/countif/sumif/percentile/stdev beyond the reference's
+    count/sum/avg/min/max) compiled from OPL text; DuckDB recomputes each
+    aggregate natively (quantile_cont == Spark's exact interpolated
+    percentile)."""
+    from otel_arrow_spark.plans.opl import run_opl
+
+    ev = _t(spark, sf_dir, "events")
+    r = run_opl(
+        "events | summarize d = dcount(event_type), "
+        "errs = countif(event_type == 'error'), "
+        "csum = sumif(value, event_type == 'click'), "
+        "p95 = percentile(value, 95), "
+        "sd = stdev(value) by user_id",
+        {"events": ev},
+    )
+    return r.default.select(
+        "user_id", "d", "errs",
+        F.round("csum", 4).alias("csum"),
+        F.round("p95", 6).alias("p95"),
+        F.round("sd", 6).alias("sd"),
+    )
+
+
 def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (textops/packing.py): contiguous greedy
     assignment of documents to 512-token training bins within
@@ -1468,6 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "sessionize": q_sessionize,
         "token_pack": q_token_pack,
+        "opl_aggregates": q_opl_aggregates,
     }
 
 
@@ -2287,6 +2313,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_turns,
                    min(ts) AS ts_min, max(ts) AS ts_max
             FROM p GROUP BY 1, 2, 3, 4
+        """,
+        "opl_aggregates": """
+            SELECT user_id,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS d,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS errs,
+                   round(sum(CASE WHEN event_type = 'click' THEN value END), 4)
+                       AS csum,
+                   round(quantile_cont(value, 0.95), 6) AS p95,
+                   round(stddev_samp(value), 6) AS sd
+            FROM events GROUP BY 1
         """,
         "token_pack": """
             WITH t AS (

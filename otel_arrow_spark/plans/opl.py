@@ -159,7 +159,7 @@ class RouteToStage:
 
 @dataclass
 class SummarizeStage:
-    aggs: list  # [(alias, fn_name, arg_expr|None)]
+    aggs: list  # [(alias, fn_name, [arg_exprs])]
     keys: list[str]
 
 
@@ -658,7 +658,7 @@ class _Parser:
         call = self.atom()
         if not isinstance(call, Call):
             raise OplSyntaxError("summarize expects alias = fn(...)")
-        return (alias, call.name, call.args[0] if call.args else None)
+        return (alias, call.name, list(call.args))
 
 
 _ESCAPES = {"'": "'", '"': '"', "\\": "\\", "n": "\n", "t": "\t", "r": "\r"}
@@ -793,12 +793,26 @@ _FUNCTIONS = {
 }
 
 _AGG_FUNCTIONS = {
-    # KQL summarize surface (aggregate_expressions.rs:58-80)
-    "count": lambda _: F.count(F.lit(1)),
+    # KQL summarize surface (aggregate_expressions.rs:58-80) …
+    "count": lambda: F.count(F.lit(1)),
     "sum": F.sum,
     "avg": F.avg,
     "min": F.min,
     "max": F.max,
+    # … plus the wider KQL aggregate set (exceeds the reference, same
+    # policy as the scalar-function table). dcount is the EXACT tier —
+    # KQL's is approximate (HLL), but exactness is within its contract
+    # and keeps results engine-reproducible.
+    "dcount": F.count_distinct,
+    "countif": lambda p: F.sum(p.cast("long")),
+    "sumif": lambda c, p: F.sum(F.when(p, c)),
+    "avgif": lambda c, p: F.avg(F.when(p, c)),
+    # KQL percentile(expr, P) with P in 0..100; Spark percentile is exact
+    # (linear interpolation), matching DuckDB quantile_cont
+    "percentile": lambda c, p: F.percentile(c, p / F.lit(100.0)),
+    "stdev": F.stddev_samp,
+    "variance": F.var_samp,
+    "make_set": lambda c: F.array_sort(F.collect_set(c)),
 }
 
 # literal back-extraction for functions whose Spark binding needs a python
@@ -1101,11 +1115,18 @@ def _apply_stages(
             df = df.limit(stage.n)
         elif isinstance(stage, SummarizeStage):
             aggs = []
-            for alias, name, arg in stage.aggs:
+            for alias, name, args in stage.aggs:
                 fn = _AGG_FUNCTIONS.get(name)
                 if fn is None:
                     raise OplSyntaxError(f"unknown aggregate {name!r}")
-                aggs.append(fn(compile_expr(arg, env) if arg else None).alias(alias))
+                cols = [compile_expr(a, env) for a in args]
+                try:
+                    agg_col = fn(*cols)
+                except TypeError as ex:
+                    raise OplSyntaxError(
+                        f"aggregate {name!r}: wrong argument count"
+                    ) from ex
+                aggs.append(agg_col.alias(alias))
             # keys: legacy plain strings or (alias, expr) tuples —
             # expression keys (bin(ts, 1h) etc.) compile + alias
             key_cols = [

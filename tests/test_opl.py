@@ -100,6 +100,30 @@ class TestExecute:
         got = {x.severity_text: (x.n, x.mx) for x in r.default.collect()}
         assert got == {"ERROR": (2, 17), "INFO": (1, 9), "WARN": (1, 13), "DEBUG": (1, 5)}
 
+    def test_summarize_extended_aggregates(self, spark, logs):
+        """The widened KQL aggregate set: dcount (exact tier), countif,
+        sumif, percentile, stdev, make_set."""
+        r = run_opl(
+            "logs | summarize d = dcount(severity_text), "
+            "errs = countif(severity_number >= 13), "
+            "esum = sumif(severity_number, severity_text == 'ERROR'), "
+            "p50 = percentile(severity_number, 50), "
+            "sets = make_set(severity_text)",
+            {"logs": logs},
+        )
+        row = r.default.collect()[0]
+        assert row.d == 4
+        assert row.errs == 3            # 17, 13, 17
+        assert row.esum == 34           # 17 + 17
+        assert row.p50 == 13.0          # exact interpolated median of 5,9,13,17,17
+        assert row.sets == ["DEBUG", "ERROR", "INFO", "WARN"]
+
+    def test_summarize_wrong_arity_raises(self, logs):
+        from otel_arrow_spark.plans.opl import OplSyntaxError
+
+        with pytest.raises(OplSyntaxError, match="argument count"):
+            run_opl("logs | summarize x = sumif(id)", {"logs": logs})
+
     def test_full_pipeline_on_transcripts(self, spark, tiny_transcripts):
         """OPL over the parsed transcript table: the reference's showcase
         shape (where → set → route_to) end-to-end."""
