@@ -1369,6 +1369,21 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-corpus cleaning pipeline (plans/corpus.py):
+    exact dedup → quality gate (rounded-ratio thresholds) → benchmark
+    decontamination → sequence packing, one declarative plan. The oracle
+    chains the per-stage SQL of the individual oracles (dedup_exact,
+    quality, decontaminate, token_pack) into one CTE pipeline — proving
+    the composition, not just the parts."""
+    from otel_arrow_spark.plans.corpus import CorpusConfig, clean_corpus_frame
+
+    cfg = CorpusConfig(
+        input_path=os.path.join(sf_dir, "documents.parquet"), output_dir="/unused"
+    )
+    return clean_corpus_frame(spark, cfg)
+
+
 def q_opl_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The widened KQL summarize surface (plans/opl.py _AGG_FUNCTIONS:
     dcount/countif/sumif/percentile/stdev beyond the reference's
@@ -1494,6 +1509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "token_pack": q_token_pack,
         "opl_aggregates": q_opl_aggregates,
+        "corpus_clean": q_corpus_clean,
     }
 
 
@@ -2313,6 +2329,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_turns,
                    min(ts) AS ts_min, max(ts) AS ts_max
             FROM p GROUP BY 1, 2, 3, 4
+        """,
+        "corpus_clean": """
+            WITH ded AS (
+                SELECT * FROM documents
+                WHERE doc_id IN (SELECT min(doc_id) FROM documents
+                                 GROUP BY md5(text))),
+            q AS (
+                SELECT *,
+                       round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                             / greatest(length(text), 1), 6) AS a,
+                       round(CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                  w -> list_contains(['the','and','of','to','a','in','is','it'], w))) AS DOUBLE)
+                             / greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1), 6) AS s
+                FROM ded),
+            keep AS (SELECT * FROM q WHERE a >= 0.8 AND s <= 0.12),
+            tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                   FROM keep),
+            bt AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
+                   FROM documents WHERE doc_id IN
+                       (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 3)),
+            bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+                       range(1, greatest(len(toks) - 6, 1)),
+                       i -> array_to_string(list_slice(toks, i, i + 7), ' ')))) AS gram
+                   FROM bt),
+            cg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(toks) - 6, 1)),
+                       i -> array_to_string(list_slice(toks, i, i + 7), ' ')))) AS gram
+                   FROM tk),
+            bad AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (gram)),
+            clean AS (SELECT k.* FROM keep k
+                      WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+            tok AS (SELECT doc_id, source, lang,
+                           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                                END AS BIGINT) AS n_tokens
+                    FROM clean),
+            c AS (SELECT *,
+                         CAST(coalesce(sum(n_tokens) OVER (
+                             PARTITION BY source, lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                             0) AS BIGINT) AS prev
+                  FROM tok)
+            SELECT doc_id, source, lang, n_tokens,
+                   CAST(floor(prev / 512) AS BIGINT) AS bin_idx,
+                   CAST(prev % 512 AS BIGINT) AS bin_offset
+            FROM c
         """,
         "opl_aggregates": """
             SELECT user_id,

@@ -55,6 +55,7 @@ HEADLINE_QUERIES = [
     "interval_join",
     "sessionize",
     "token_pack",
+    "corpus_clean",
 ]
 
 

@@ -135,3 +135,47 @@ def test_stable_order_within_sink_files(spark, result):
             pdf.reset_index(drop=True)
         )
     )
+
+
+class TestCorpusClean:
+    """Composed corpus-cleaning pipeline (plans/corpus.py): single-pass
+    lineage, sink consistency, resume."""
+
+    @pytest.fixture(scope="class")
+    def clean_run(self, spark, tmp_path_factory):
+        from otel_arrow_spark.plans.corpus import CorpusConfig, run_corpus_clean
+
+        out = str(tmp_path_factory.mktemp("clean"))
+        cfg = CorpusConfig(
+            input_path="/root/testdata/sf0.001/documents.parquet", output_dir=out
+        )
+        return cfg, run_corpus_clean(spark, cfg)
+
+    def test_lineage_funnel_monotone(self, clean_run):
+        _, m = clean_run
+        x = m["metrics"]
+        assert (x["rows_in"] >= x["after_dedup"] >= x["after_quality"]
+                >= x["after_decontaminate"] > 0)
+
+    def test_sink_rows_match_lineage(self, spark, clean_run):
+        cfg, m = clean_run
+        packed = spark.read.parquet(m["sinks"]["packed"])
+        assert packed.count() == m["metrics"]["after_decontaminate"]
+        # bin offsets stay inside the budget
+        assert packed.where(F.col("bin_offset") >= cfg.seq_len).count() == 0
+
+    def test_matches_driver_query_frame(self, spark, clean_run):
+        from otel_arrow_spark.plans.corpus import clean_corpus_frame
+
+        cfg, m = clean_run
+        frame = clean_corpus_frame(spark, cfg)
+        packed = spark.read.parquet(m["sinks"]["packed"]).select(*frame.columns)
+        assert frame.exceptAll(packed).count() == 0
+        assert packed.exceptAll(frame).count() == 0
+
+    def test_resume_returns_committed_manifest(self, spark, clean_run):
+        from otel_arrow_spark.plans.corpus import run_corpus_clean
+
+        cfg, m = clean_run
+        again = run_corpus_clean(spark, cfg, resume=True)
+        assert again["metrics"] == m["metrics"]
