@@ -357,3 +357,43 @@ class TestSessionize:
         plan = sessionize(ev, ["user_id"])._jdf.queryExecution() \
             .executedPlan().toString()
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestTemporalJoinProperties:
+    """Hypothesis property fuzz: asof_join == python brute force on random
+    inputs (the chaos-decoding analog for the temporal-join semantics)."""
+
+    def test_asof_matches_bruteforce_random(self, spark):
+        from hypothesis import given, settings, strategies as st
+
+        from otel_arrow_spark.operators.temporal_join import asof_join
+
+        key = st.integers(min_value=0, max_value=2)
+        ts = st.integers(min_value=0, max_value=40)
+
+        @settings(max_examples=8, deadline=None)
+        @given(
+            lefts=st.lists(st.tuples(key, ts), min_size=1, max_size=12),
+            rights=st.dictionaries(st.tuples(key, ts),
+                                   st.integers(min_value=0, max_value=99),
+                                   min_size=0, max_size=12),
+        )
+        def run(lefts, rights):
+            ldf = spark.createDataFrame(
+                [(k, t, i) for i, (k, t) in enumerate(lefts)],
+                "k long, ts long, lid long")
+            if rights:
+                rdf = spark.createDataFrame(
+                    [(k, t, v) for (k, t), v in rights.items()],
+                    "k long, ts long, rv long")
+            else:
+                rdf = spark.createDataFrame([], "k long, ts long, rv long")
+            got = {r["lid"]: r["asof_rv"]
+                   for r in asof_join(ldf, rdf, by=["k"], on="ts").collect()}
+            for i, (k, t) in enumerate(lefts):
+                cands = [(rt, v) for (rk, rt), v in rights.items()
+                         if rk == k and rt <= t]
+                want = max(cands)[1] if cands else None
+                assert got[i] == want, (i, k, t)
+
+        run()
