@@ -2344,18 +2344,26 @@ def oracle_sql() -> dict[str, str]:
                              / greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1), 6) AS s
                 FROM ded),
             keep AS (SELECT * FROM q WHERE a >= 0.8 AND s <= 0.12),
-            tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+            tk AS (SELECT doc_id, list_transform(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)
+                            % 9007199254740881) AS th
                    FROM keep),
-            bt AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
+            bt AS (SELECT list_transform(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)
+                            % 9007199254740881) AS th
                    FROM documents WHERE doc_id IN
                        (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 3)),
             bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
-                       range(1, greatest(len(toks) - 6, 1)),
-                       i -> array_to_string(list_slice(toks, i, i + 7), ' ')))) AS gram
+                       range(1, greatest(len(th) - 6, 1)),
+                       i -> list_reduce(list_slice(th, i, i + 7),
+                           (acc, x) -> (acc * 128 + x) % 9007199254740881)))) AS gram
                    FROM bt),
             cg AS (SELECT doc_id, unnest(list_distinct(list_transform(
-                       range(1, greatest(len(toks) - 6, 1)),
-                       i -> array_to_string(list_slice(toks, i, i + 7), ' ')))) AS gram
+                       range(1, greatest(len(th) - 6, 1)),
+                       i -> list_reduce(list_slice(th, i, i + 7),
+                           (acc, x) -> (acc * 128 + x) % 9007199254740881)))) AS gram
                    FROM tk),
             bad AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (gram)),
             clean AS (SELECT k.* FROM keep k

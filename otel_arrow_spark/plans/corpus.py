@@ -52,7 +52,7 @@ def build_flagged(docs: DataFrame, cfg: CorpusConfig) -> DataFrame:
     the identical round-then-compare).
     """
     from otel_arrow_spark.textops import quality_score
-    from otel_arrow_spark.textops.scrub import benchmark_ngrams, flag_contaminated
+    from otel_arrow_spark.textops.dedup import token_ngram_hashes
 
     fp = F.md5(F.col("text"))
     keepers = (
@@ -71,9 +71,28 @@ def build_flagged(docs: DataFrame, cfg: CorpusConfig) -> DataFrame:
         (F.round("alpha_ratio", 6) >= F.lit(cfg.alpha_min))
         & (F.round("stopword_ratio", 6) <= F.lit(cfg.stopword_max)),
     )
+    # Contamination is per-doc and independent of the other gates, so the
+    # n-gram posting branch explodes the RAW scan (id + text only), not
+    # the flagged frame (which would re-execute the dedup shuffle join
+    # inside the explode branch); grams are ROLLING HASHES, not strings —
+    # the string-gram posting alone cost 2.9 s of the 3.8 s total at
+    # sf0.1 (token_ngram_hashes docstring has the arithmetic contract).
     bench = docs.orderBy("doc_id").limit(cfg.bench_docs).select("text")
-    return flag_contaminated(
-        d, benchmark_ngrams(bench, n=cfg.ngram), n=cfg.ngram
+    bench_grams = bench.select(
+        F.explode(token_ngram_hashes(F.col("text"), cfg.ngram)).alias("gram")
+    ).distinct()
+    posting = docs.select(
+        "doc_id", F.explode(token_ngram_hashes(F.col("text"), cfg.ngram)).alias("gram")
+    )
+    hits = (
+        posting.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        d.join(hits, "doc_id", "left")
+        .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
+        .withColumn("is_contaminated", F.col("n_hits") > 0)
     )
 
 

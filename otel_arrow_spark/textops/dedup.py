@@ -90,6 +90,62 @@ def token_ngrams(text: Column, n: int = 3) -> Column:
     )
 
 
+# largest prime < 2^53: keeps every intermediate of the rolling-hash fold
+# (acc*128 + x < 2^60 + 2^53) inside exact int64 range in BOTH engines —
+# Spark longs would silently wrap on a wider modulus, DuckDB BIGINT would
+# raise; 2^53 space makes gram collisions negligible (~1e-4 expected
+# collisions at 2M grams)
+_GRAM_MOD = 9_007_199_254_740_881
+
+
+def token_ngram_hashes(text: Column, n: int = 8) -> Column:
+    """Distinct word-n-gram ROLLING HASHES (int64) — the allocation-free
+    sibling of :func:`token_ngrams` for joins that only test equality.
+
+    Materializing 8-word gram strings costs ~50 bytes each (measured 2.9 s
+    for 1.9M grams at sf0.1 — the whole decontamination stage's budget).
+    Split of work here follows the simhash recipe (simhash_col): one
+    md5-derived long per TOKEN computed JVM-side, then ONE numpy pandas
+    UDF folds the n-windows with ``acc*128 + x mod 2^53-prime``. The
+    window fold must NOT be a nested JVM higher-order expression
+    (``transform(…, i -> aggregate(slice(th, i, n), …))``): Spark inlines
+    the whole token-hash transform into every per-gram lambda invocation
+    — O(tokens × grams) md5 evaluations, measured 5x SLOWER than the
+    string grams it was meant to beat. The UDF argument is referenced
+    once, so the hashes materialize once per row.
+
+    Bit-equal DuckDB replay: ``list_reduce(list_slice(th, i, i+n-1),
+    (acc, x) -> (acc*128 + x) % 9007199254740881)`` — list_reduce seeds
+    with the first element, which equals our fold because
+    ``0*128 + x1 == x1``; every intermediate stays under 2^60 (exact in
+    int64 for Spark/numpy and BIGINT for DuckDB)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    toks = F.split(F.trim(text), r"\s+")
+    th = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        % _GRAM_MOD,
+    )
+
+    def _grams(hs):
+        def one(h):
+            if h is None or len(h) < n:
+                return []
+            t = np.asarray(h, dtype=np.int64)
+            window = t[: len(t) - n + 1].copy()
+            for j in range(1, n):
+                window = (window * 128 + t[j : j + len(window)]) % _GRAM_MOD
+            return np.unique(window).tolist()
+
+        return hs.map(one)
+
+    _grams.__annotations__ = {"hs": pd.Series, "return": pd.Series}
+    return pandas_udf("array<long>")(_grams)(th)
+
+
 def minhash_signature(shingles: Column, n_hashes: int = 64) -> Column:
     """MinHash signature: for seed i, min over shingles of murmur3(s, i).
 

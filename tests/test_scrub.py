@@ -95,3 +95,33 @@ class TestRepetition:
         assert out[3].dup_line_frac == 0.0
         # mean word length: "unique words only here" → (6+5+4+4)/4
         assert abs(out[3].mean_word_len - 19 / 4) < 1e-9
+
+
+class TestHashedGrams:
+    def test_hashed_grams_flag_same_docs_as_string_grams(self, spark):
+        """token_ngram_hashes is a drop-in for token_ngrams in equality
+        joins: identical contamination verdicts on a corpus with planted
+        overlaps (collisions are ~2^-53 per pair)."""
+        from pyspark.sql import functions as F
+
+        from otel_arrow_spark.textops.dedup import token_ngram_hashes, token_ngrams
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        bench = docs.orderBy("doc_id").limit(3).select("text")
+
+        def flagged(gram_fn):
+            bg = bench.select(F.explode(gram_fn(F.col("text"), 8)).alias("g")).distinct()
+            pg = docs.select("doc_id", F.explode(gram_fn(F.col("text"), 8)).alias("g"))
+            return {r["doc_id"] for r in pg.join(bg, "g").select("doc_id").distinct().collect()}
+
+        a, b = flagged(token_ngrams), flagged(token_ngram_hashes)
+        assert a == b and len(a) >= 3  # bench docs flag themselves
+
+    def test_short_doc_has_no_grams(self, spark):
+        from pyspark.sql import functions as F
+
+        from otel_arrow_spark.textops.dedup import token_ngram_hashes
+
+        df = spark.createDataFrame([("a b c",), ("",)], "text string")
+        out = df.select(F.size(token_ngram_hashes(F.col("text"), 8)).alias("n")).collect()
+        assert [r["n"] for r in out] == [0, 0]
