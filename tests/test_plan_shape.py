@@ -195,3 +195,33 @@ def test_partition_pruning_on_routed_sink(spark, tiny_transcripts, workdir):
     plan = plan_of(df)
     pf = plan.split("PartitionFilters:")[1].splitlines()[0] if "PartitionFilters:" in plan else ""
     assert "signal_class" in pf, f"partition filter missing: {plan[:400]}"
+
+
+def test_corpus_clean_plan_shape(spark):
+    """The composed cleaning funnel (plans/corpus.py): gram hashing is
+    Arrow-vectorized (never row-Python), the benchmark gram join is a
+    broadcast, and no stage degenerates to a nested-loop join."""
+    from otel_arrow_spark.plans.corpus import CorpusConfig, clean_corpus_frame
+
+    cfg = CorpusConfig(
+        input_path="/root/testdata/sf0.001/documents.parquet", output_dir="/unused"
+    )
+    plan = plan_of(clean_corpus_frame(spark, cfg))
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_join_plan_has_no_join_operator(spark):
+    """asof_join (operators/temporal_join.py) must stay the union-window
+    formulation: one hash Exchange, zero join operators."""
+    from otel_arrow_spark.operators.temporal_join import asof_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = plan_of(asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        ev.select("user_id", "ts", F.col("value").alias("rv")),
+        by=["user_id"],
+    ))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -187,6 +187,27 @@ def main() -> None:
         )
     )
 
+    from otel_arrow_spark.plans.corpus import CorpusConfig, clean_corpus_frame
+
+    sections.append(
+        (
+            "Corpus cleaning funnel (dedup → quality → decontaminate → pack)",
+            "Expected: ONE declarative plan — fingerprint `HashAggregate` "
+            "partial+final pair for the dedup keeper, quality gates folded "
+            "into a `Project`, the hashed-gram posting through a single "
+            "`ArrowEvalPython` (never BatchEvalPython) into a "
+            "`BroadcastHashJoin` against the benchmark grams, and one "
+            "window stage for packing. No nested-loop joins anywhere.",
+            clean_corpus_frame(
+                spark,
+                CorpusConfig(
+                    input_path="/root/testdata/sf0.001/documents.parquet",
+                    output_dir="/unused",
+                ),
+            ),
+        )
+    )
+
     out = [HEADER]
     for title, expect, df in sections:
         plan = df._jdf.queryExecution().explainString(
