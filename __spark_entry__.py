@@ -1369,6 +1369,23 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_sort_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL sort/take stages compiled from query text (plans/opl.py
+    SortStage/TakeStage — orderBy+limit plans as TakeOrderedAndProject:
+    per-partition top-N + one N-row merge, never a global sort); explicit
+    (value desc, event_id asc) tie-break keeps the result deterministic."""
+    from otel_arrow_spark.plans.opl import run_opl
+
+    ev = _t(spark, sf_dir, "events")
+    r = run_opl(
+        "events | where event_type == 'click' "
+        "| sort by value desc, event_id asc | take 50 "
+        "| project event_id, value",
+        {"events": ev},
+    )
+    return r.default
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSED training-corpus cleaning pipeline (plans/corpus.py):
     exact dedup → quality gate (rounded-ratio thresholds) → benchmark
@@ -1510,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_pack": q_token_pack,
         "opl_aggregates": q_opl_aggregates,
         "corpus_clean": q_corpus_clean,
+        "kql_sort_top": q_kql_sort_top,
     }
 
 
@@ -2329,6 +2347,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_turns,
                    min(ts) AS ts_min, max(ts) AS ts_max
             FROM p GROUP BY 1, 2, 3, 4
+        """,
+        "kql_sort_top": """
+            SELECT event_id, value FROM events
+            WHERE event_type = 'click'
+            ORDER BY value DESC, event_id LIMIT 50
         """,
         "corpus_clean": """
             WITH ded AS (

@@ -207,6 +207,23 @@ class TakeStage:
 
 
 @dataclass
+class SortStage:
+    keys: list  # [(ast, descending: bool)]
+
+
+@dataclass
+class TopStage:
+    n: int
+    key: object  # ast
+    descending: bool
+
+
+@dataclass
+class DistinctStage:
+    columns: list | None  # None == distinct *
+
+
+@dataclass
 class FuncDef:
     """``let f = (x: type [, ...]) { [let y = expr;]* expr };`` — a scalar
     user-defined function (kql.pest:373-378); inlined at compile time."""
@@ -561,6 +578,35 @@ class _Parser:
             if n.kind != "num":
                 raise OplSyntaxError("take expects a number")
             return TakeStage(int(n.text))
+        if t.text in ("sort", "order"):
+            # KQL `sort by expr [asc|desc], ...` — KQL defaults DESCENDING
+            if not self.at("by"):
+                raise OplSyntaxError("sort expects 'by'")
+            self.next()
+            keys = [self._sort_key()]
+            while self.at(","):
+                self.next()
+                keys.append(self._sort_key())
+            return SortStage(keys)
+        if t.text == "top":
+            # KQL `top N by expr [asc|desc]`
+            n = self.next()
+            if n.kind != "num":
+                raise OplSyntaxError("top expects a number")
+            if not self.at("by"):
+                raise OplSyntaxError("top expects 'by'")
+            self.next()
+            key, desc = self._sort_key()
+            return TopStage(int(n.text), key, desc)
+        if t.text == "distinct":
+            if self.at("*"):
+                self.next()
+                return DistinctStage(None)
+            cols = [self.next().text]
+            while self.at(","):
+                self.next()
+                cols.append(self.next().text)
+            return DistinctStage(cols)
         if t.text == "extend":
             # KQL extend == OPL set (same IR in the reference)
             assignments = [self._assignment()]
@@ -595,6 +641,16 @@ class _Parser:
                     keys.append(self._group_key(len(keys)))
             return SummarizeStage(aggs, keys)
         raise OplSyntaxError(f"unknown stage {t.text!r}")
+
+    def _sort_key(self):
+        node = self.expr()
+        desc = True  # the KQL default
+        if self.at("asc"):
+            self.next()
+            desc = False
+        elif self.at("desc"):
+            self.next()
+        return (node, desc)
 
     def _group_key(self, idx: int):
         """``by`` list entry (kql.pest group_by_expression): a bare column,
@@ -1113,6 +1169,27 @@ def _apply_stages(
             df = df.select(*stage.columns)
         elif isinstance(stage, TakeStage):
             df = df.limit(stage.n)
+        elif isinstance(stage, SortStage):
+            df = df.orderBy(
+                *[
+                    compile_expr(k, env).desc() if d else compile_expr(k, env).asc()
+                    for k, d in stage.keys
+                ]
+            )
+        elif isinstance(stage, TopStage):
+            # orderBy + limit: Catalyst plans TakeOrderedAndProject — a
+            # per-partition top-N plus a single-partition merge of N-row
+            # partials, never a global sort
+            key = compile_expr(stage.key, env)
+            df = df.orderBy(key.desc() if stage.descending else key.asc()).limit(
+                stage.n
+            )
+        elif isinstance(stage, DistinctStage):
+            df = (
+                df.distinct()
+                if stage.columns is None
+                else df.select(*stage.columns).distinct()
+            )
         elif isinstance(stage, SummarizeStage):
             aggs = []
             for alias, name, args in stage.aggs:

@@ -124,6 +124,26 @@ class TestExecute:
         with pytest.raises(OplSyntaxError, match="argument count"):
             run_opl("logs | summarize x = sumif(id)", {"logs": logs})
 
+    def test_sort_top_distinct_stages(self, spark, logs):
+        """KQL sort by (default DESC) / top N by / distinct; top compiles
+        to TakeOrderedAndProject (per-partition top-N, no global sort)."""
+        r = run_opl("logs | sort by severity_number desc, id asc | take 3",
+                    {"logs": logs})
+        assert [x.id for x in r.default.collect()] == [1, 4, 3]
+        r = run_opl("logs | sort by severity_number | take 1", {"logs": logs})
+        assert r.default.collect()[0].severity_number == 17  # KQL default desc
+        top = run_opl("logs | top 2 by severity_number", {"logs": logs}).default
+        assert sorted(x.id for x in top.collect()) == [1, 4]
+        assert "TakeOrdered" in top._jdf.queryExecution().executedPlan().toString()
+        d = run_opl("logs | distinct severity_text", {"logs": logs}).default
+        assert sorted(x.severity_text for x in d.collect()) == [
+            "DEBUG", "ERROR", "INFO", "WARN"]
+        # distinct * after projecting away the map column (Spark cannot
+        # run set operations over MAP types — documented engine limit)
+        assert run_opl(
+            "logs | project id, severity_text | distinct *", {"logs": logs}
+        ).default.count() == 5
+
     def test_full_pipeline_on_transcripts(self, spark, tiny_transcripts):
         """OPL over the parsed transcript table: the reference's showcase
         shape (where → set → route_to) end-to-end."""
