@@ -1386,6 +1386,33 @@ def q_kql_sort_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.default
 
 
+_KQL_Q3 = """lineitem
+| where l_shipdate > datetime('1995-03-15')
+| extend o_orderkey = l_orderkey
+| join kind=inner (orders) on o_orderkey
+| where o_orderdate < datetime('1995-03-15')
+| extend c_custkey = o_custkey
+| join kind=inner (customer) on c_custkey
+| where c_mktsegment == 'BUILDING'
+| extend rev = l_extendedprice * (1.0 - l_discount)
+| summarize revenue = sum(rev) by l_orderkey, o_orderdate, o_orderpriority
+| extend revenue = round(revenue, 2)
+| sort by revenue desc, l_orderkey asc
+| take 10
+| project l_orderkey, o_orderdate, o_orderpriority, revenue"""
+
+
+def q_kql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 expressed ENTIRELY in KQL text (joins, filters, summarize,
+    sort, take — plans/opl.py JoinStage et al.); Catalyst pushes the
+    where-filters below the text-ordered joins, so the physical plan
+    matches the hand-built q_tpch_q3. Same oracle SQL."""
+    from otel_arrow_spark.plans.opl import run_opl
+
+    src = {n: _t(spark, sf_dir, n) for n in ("lineitem", "orders", "customer")}
+    return run_opl(_KQL_Q3, src).default
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSED training-corpus cleaning pipeline (plans/corpus.py):
     exact dedup → quality gate (rounded-ratio thresholds) → benchmark
@@ -1528,6 +1555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "opl_aggregates": q_opl_aggregates,
         "corpus_clean": q_corpus_clean,
         "kql_sort_top": q_kql_sort_top,
+        "kql_q3": q_kql_q3,
     }
 
 
@@ -2352,6 +2380,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, value FROM events
             WHERE event_type = 'click'
             ORDER BY value DESC, event_id LIMIT 50
+        """,
+        "kql_q3": """
+            SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+                   round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1995-03-15'
+              AND l.l_shipdate  > TIMESTAMP '1995-03-15'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
         """,
         "corpus_clean": """
             WITH ded AS (

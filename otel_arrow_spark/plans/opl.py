@@ -224,6 +224,18 @@ class DistinctStage:
 
 
 @dataclass
+class JoinStage:
+    kind: str          # inner/leftouter/rightouter/fullouter/leftsemi/leftanti
+    source: str        # named source DataFrame
+    on: list[str]      # equi-join columns
+
+
+@dataclass
+class UnionStage:
+    source: str
+
+
+@dataclass
 class FuncDef:
     """``let f = (x: type [, ...]) { [let y = expr;]* expr };`` — a scalar
     user-defined function (kql.pest:373-378); inlined at compile time."""
@@ -578,6 +590,34 @@ class _Parser:
             if n.kind != "num":
                 raise OplSyntaxError("take expects a number")
             return TakeStage(int(n.text))
+        if t.text == "join":
+            # KQL `join kind=<k> (source) on c1, c2` — equi-join against a
+            # named source; kinds map 1:1 onto Spark join types
+            kind = "inner"
+            if self.at("kind"):
+                self.next()
+                self.expect("=")
+                kind = self.next().text
+            self.expect("(")
+            other = self.next()
+            if other.kind != "ident":
+                raise OplSyntaxError("join expects a source name")
+            self.expect(")")
+            if not self.at("on"):
+                raise OplSyntaxError("join expects 'on'")
+            self.next()
+            cols = [self.next().text]
+            while self.at(","):
+                self.next()
+                cols.append(self.next().text)
+            return JoinStage(kind, other.text, cols)
+        if t.text == "union":
+            self.expect("(")
+            other = self.next()
+            if other.kind != "ident":
+                raise OplSyntaxError("union expects a source name")
+            self.expect(")")
+            return UnionStage(other.text)
         if t.text in ("sort", "order"):
             # KQL `sort by expr [asc|desc], ...` — KQL defaults DESCENDING
             if not self.at("by"):
@@ -772,6 +812,15 @@ _FUNCTIONS = {
     "bin": _kql_bin,
     "now": lambda: F.current_timestamp(),
     "datetime": lambda s: F.to_timestamp(s),
+    # KQL math surface (scalar_functions math group)
+    "round": lambda c, s=None: F.round(c, _lit_int(s)) if s is not None else F.round(c),
+    "floor": _kql_bin,  # KQL floor(x, roundTo) is an alias of bin
+    "ceiling": F.ceil,
+    "abs": F.abs,
+    "sqrt": F.sqrt,
+    "exp": F.exp,
+    "log": F.log,
+    "pow": F.pow,
     "contains": lambda a, b: fns.contains(a, b),
     "matches": lambda a, b: a.rlike(_lit_str(b)),
     "starts_with": lambda a, b: F.startswith(a, b),
@@ -1011,6 +1060,7 @@ def _apply_stages(
     stages: list,
     ports: dict[str, DataFrame],
     env: dict | None = None,
+    sources: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     for stage in stages:
         if isinstance(stage, WhereStage):
@@ -1069,11 +1119,11 @@ def _apply_stages(
             from otel_arrow_spark.operators.flow import conditional_branches
 
             branches = [
-                (compile_expr(pred, env), (lambda d, ss=ss: _apply_stages(d, ss, ports, env)))
+                (compile_expr(pred, env), (lambda d, ss=ss: _apply_stages(d, ss, ports, env, sources)))
                 for pred, ss in stage.branches
             ]
             otherwise = (
-                (lambda d, ss=stage.otherwise: _apply_stages(d, ss, ports, env))
+                (lambda d, ss=stage.otherwise: _apply_stages(d, ss, ports, env, sources))
                 if stage.otherwise is not None
                 else (lambda d: d)
             )
@@ -1130,7 +1180,7 @@ def _apply_stages(
             # duplicate the stream into each branch pipeline, union the
             # results (fork.rs:25-31: "results are then unioned back") —
             # route_to inside a branch still diverts to its port
-            outs = [_apply_stages(df, ss, ports, env) for ss in stage.branches]
+            outs = [_apply_stages(df, ss, ports, env, sources) for ss in stage.branches]
             df = outs[0]
             for o in outs[1:]:
                 df = df.unionByName(o, allowMissingColumns=True)
@@ -1190,6 +1240,14 @@ def _apply_stages(
                 if stage.columns is None
                 else df.select(*stage.columns).distinct()
             )
+        elif isinstance(stage, JoinStage):
+            if not sources or stage.source not in sources:
+                raise OplSyntaxError(f"unknown join source {stage.source!r}")
+            df = df.join(sources[stage.source], on=stage.on, how=stage.kind)
+        elif isinstance(stage, UnionStage):
+            if not sources or stage.source not in sources:
+                raise OplSyntaxError(f"unknown union source {stage.source!r}")
+            df = df.unionByName(sources[stage.source])
         elif isinstance(stage, SummarizeStage):
             aggs = []
             for alias, name, args in stage.aggs:
@@ -1237,7 +1295,7 @@ def run_opl(query: str, sources: dict[str, DataFrame]) -> OplResult:
         env: dict[str, Column] = {}
         for name, ast in q.let_scalars or []:
             env[name] = compile_expr(ast, env)
-        df = _apply_stages(sources[q.source], q.stages, ports, env or None)
+        df = _apply_stages(sources[q.source], q.stages, ports, env or None, sources)
         return OplResult(default=df, ports=ports)
     finally:
         _USER_FUNCS.pop()

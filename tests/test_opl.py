@@ -144,6 +144,41 @@ class TestExecute:
             "logs | project id, severity_text | distinct *", {"logs": logs}
         ).default.count() == 5
 
+    def test_join_and_union_stages(self, spark):
+        """KQL join kind=... (source) on cols / union (source)."""
+        orders = spark.createDataFrame(
+            [(1, 10, "A"), (2, 20, "B"), (3, 10, "C")], "oid int, cust int, f string")
+        cust = spark.createDataFrame([(10, "alice"), (20, "bob")],
+                                     "cust int, name string")
+        r = run_opl("orders | join kind=inner (cust) on cust | project oid, name",
+                    {"orders": orders, "cust": cust})
+        assert sorted((x.oid, x.name) for x in r.default.collect()) == [
+            (1, "alice"), (2, "bob"), (3, "alice")]
+        r = run_opl("orders | join kind=leftanti (cust) on cust",
+                    {"orders": orders, "cust": cust.filter("cust = 10")})
+        assert [x.oid for x in r.default.collect()] == [2]
+        more = spark.createDataFrame([(9, 99, "Z")], "oid int, cust int, f string")
+        r = run_opl("orders | union (more) | summarize n = count()",
+                    {"orders": orders, "more": more})
+        assert r.default.collect()[0].n == 4
+        from otel_arrow_spark.plans.opl import OplSyntaxError
+        with pytest.raises(OplSyntaxError, match="unknown join source"):
+            run_opl("orders | join (nope) on cust", {"orders": orders})
+
+    def test_tpch_q3_in_kql_text_matches_dataframe_version(self, spark):
+        """The full Q3 shape — three-way join, filters, summarize, sort,
+        take — written as KQL TEXT produces exactly the hand-built
+        DataFrame plan's rows (Catalyst pushes the filters through the
+        text-ordered joins)."""
+        import __spark_entry__ as entry
+
+        sf = "/root/testdata/sf0.001"
+        a = {tuple(sorted(r.asDict().items()))
+             for r in entry.q_kql_q3(spark, sf).collect()}
+        b = {tuple(sorted(r.asDict().items()))
+             for r in entry.q_tpch_q3(spark, sf).collect()}
+        assert a == b and len(a) == 10
+
     def test_full_pipeline_on_transcripts(self, spark, tiny_transcripts):
         """OPL over the parsed transcript table: the reference's showcase
         shape (where → set → route_to) end-to-end."""
