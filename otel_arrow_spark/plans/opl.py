@@ -236,6 +236,11 @@ class UnionStage:
 
 
 @dataclass
+class MvExpandStage:
+    column: str
+
+
+@dataclass
 class FuncDef:
     """``let f = (x: type [, ...]) { [let y = expr;]* expr };`` — a scalar
     user-defined function (kql.pest:373-378); inlined at compile time."""
@@ -611,6 +616,18 @@ class _Parser:
                 self.next()
                 cols.append(self.next().text)
             return JoinStage(kind, other.text, cols)
+        if t.text == "mv" and self.peek() and self.peek().text == "-":
+            # KQL `mv-expand col` — explode an array column (one output row
+            # per element) or a map/property-bag column (one row per entry,
+            # as a {key, value} struct in the same column)
+            self.next()
+            kw = self.next()
+            if kw.text != "expand":
+                raise OplSyntaxError("expected mv-expand")
+            col = self.next()
+            if col.kind != "ident":
+                raise OplSyntaxError("mv-expand expects a column name")
+            return MvExpandStage(col.text)
         if t.text == "union":
             self.expect("(")
             other = self.next()
@@ -1248,6 +1265,24 @@ def _apply_stages(
             if not sources or stage.source not in sources:
                 raise OplSyntaxError(f"unknown union source {stage.source!r}")
             df = df.unionByName(sources[stage.source])
+        elif isinstance(stage, MvExpandStage):
+            from pyspark.sql import types as _T
+
+            dt = df.schema[stage.column].dataType
+            if isinstance(dt, _T.ArrayType):
+                df = df.withColumn(stage.column, F.explode_outer(stage.column))
+            elif isinstance(dt, _T.MapType):
+                others = [c for c in df.columns if c != stage.column]
+                df = df.select(
+                    *others,
+                    F.explode_outer(stage.column).alias("_k", "_v"),
+                ).withColumn(
+                    stage.column, F.struct(F.col("_k").alias("key"), F.col("_v").alias("value"))
+                ).drop("_k", "_v")
+            else:
+                raise OplSyntaxError(
+                    f"mv-expand expects an array or map column, got {dt.simpleString()}"
+                )
         elif isinstance(stage, SummarizeStage):
             aggs = []
             for alias, name, args in stage.aggs:

@@ -173,3 +173,67 @@ def stream_temporal_reaggregation(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_interval_join(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "20 minutes",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream-stream temporal correlation: tool calls landing within
+    ``window`` after an error in the same conversation, as a watermarked
+    event-time range join.
+
+    The batch counterpart is operators/temporal_join.py interval_join
+    (parity-tested); in streaming, Spark's stream-stream join keeps both
+    sides' state bounded by the watermark + the range condition — the
+    state-retention story the reference's windowed processors get from
+    wall-clock flushes. Both sides derive from ONE source stream
+    (self-join), so a single scan feeds the correlation.
+    """
+    stream = stream_transcripts_source(spark, input_dir)
+    routed = build_stream_routed(spark, stream).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    errors = (
+        routed.where(F.col("signal_class") == "error")
+        .select(
+            F.col("conv_id").alias("err_conv"),
+            F.col("ts").alias("err_ts"),
+            F.col("turn_idx").alias("err_turn"),
+        )
+        .withWatermark("err_ts", watermark)
+    )
+    calls = (
+        routed.where(F.col("signal_class") == "tool_call")
+        .select(
+            F.col("conv_id").alias("call_conv"),
+            F.col("ts").alias("call_ts"),
+            F.col("turn_idx").alias("call_turn"),
+            "tool_called",
+        )
+        .withWatermark("call_ts", watermark)
+    )
+    joined = errors.join(
+        calls,
+        F.expr(
+            f"err_conv = call_conv AND call_ts >= err_ts "
+            f"AND call_ts <= err_ts + interval {window}"
+        ),
+        "inner",
+    ).select(
+        F.col("err_conv").alias("conv_id"),
+        "err_turn", "call_turn", "tool_called", "err_ts", "call_ts",
+    )
+    writer = (
+        joined.writeStream.format("parquet")
+        .option("path", f"{output_dir}/correlated")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -179,6 +179,21 @@ class TestExecute:
              for r in entry.q_tpch_q3(spark, sf).collect()}
         assert a == b and len(a) == 10
 
+    def test_mv_expand(self, spark):
+        """KQL mv-expand: arrays one row per element (outer — empty arrays
+        keep the row with null), maps one row per {key, value} entry."""
+        df = spark.createDataFrame(
+            [(1, ["a", "b"], {"x": "1", "y": "2"}), (2, [], None)],
+            "id int, tags array<string>, attrs map<string,string>")
+        r = run_opl("t | mv-expand tags", {"t": df})
+        assert sorted((x.id, x.tags) for x in r.default.collect()) == [
+            (1, "a"), (1, "b"), (2, None)]
+        r = run_opl("t | mv-expand attrs | where id == 1", {"t": df})
+        got = sorted((x.attrs.key, x.attrs.value) for x in r.default.collect())
+        assert got == [("x", "1"), ("y", "2")]
+        with pytest.raises(OplSyntaxError, match="array or map"):
+            run_opl("t | mv-expand id", {"t": df})
+
     def test_full_pipeline_on_transcripts(self, spark, tiny_transcripts):
         """OPL over the parsed transcript table: the reference's showcase
         shape (where → set → route_to) end-to-end."""

@@ -153,3 +153,38 @@ def test_sessionize_conversations(spark, tiny_transcripts, workdir):
         assert w[conv] == vals, f"session mismatch for {conv}: {vals} vs {w[conv]}"
     # the vast majority of conversations close before the final watermark
     assert len(g) >= 0.8 * len(w)
+
+
+def test_stream_interval_join_matches_batch(spark, tiny_transcripts, workdir):
+    """Watermarked stream-stream range self-join == the batch
+    interval_join over the same corpus (tool calls within 10 min after an
+    error in the same conversation)."""
+    from otel_arrow_spark.operators.enrich import enrich
+    from otel_arrow_spark.operators.parse import parse_transcripts
+    from otel_arrow_spark.operators.route import with_signal_class
+    from otel_arrow_spark.operators.temporal_join import interval_join
+    from otel_arrow_spark.streaming.jobs import stream_interval_join
+
+    out = f"{workdir}/sij_out"
+    q = stream_interval_join(
+        spark, tiny_transcripts, out, f"{workdir}/sij_ckpt", available_now=True
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(f"{out}/correlated")
+    got_pairs = {(r["conv_id"], r["err_turn"], r["call_turn"])
+                 for r in got.collect()}
+
+    routed = with_signal_class(
+        enrich(parse_transcripts(spark.read.parquet(tiny_transcripts)), spark)
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    intervals = routed.where(F.col("signal_class") == "error").select(
+        "conv_id", F.col("turn_idx").alias("err_turn"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end_ts"))
+    points = routed.where(F.col("signal_class") == "tool_call").select(
+        "conv_id", "ts", F.col("turn_idx").alias("call_turn"))
+    exp = interval_join(points, intervals, by=["conv_id"], bucket_seconds=600)
+    exp_pairs = {(r["conv_id"], r["err_turn"], r["call_turn"])
+                 for r in exp.collect()}
+    assert got_pairs == exp_pairs
+    assert len(got_pairs) > 0
