@@ -2647,12 +2647,16 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": _emb_neardup_oracle_sql(),
         "dedup_ngram": """
             WITH t AS (
-                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                SELECT doc_id, list_transform(
+                    regexp_split_to_array(trim(text), '\\s+'),
+                    tk -> CAST('0x' || substring(md5(tk), 1, 15) AS BIGINT)
+                          % 9007199254740881) AS th
                 FROM documents),
             g AS (
                 SELECT doc_id, list_distinct(list_transform(
-                    range(1, greatest(len(toks) - 1, 1)),
-                    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS gr
+                    range(1, greatest(len(th) - 1, 1)),
+                    i -> list_reduce(list_slice(th, i, i + 2),
+                        (acc, x) -> (acc * 128 + x) % 9007199254740881))) AS gr
                 FROM t)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    round(CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)

@@ -318,8 +318,12 @@ def ngram_jaccard_pairs(
     every shared gram is ultra-common can be missed — the standard,
     documented trade; leave ``None`` for the exact mode at small scale.
     """
+    # grams are ROLLING HASHES (token_ngram_hashes), not strings: the
+    # posting shuffle and the gram-equality self-join ship 8-byte longs
+    # instead of ~n*6-byte gram strings; Jaccard over the hashed distinct
+    # sets equals the string-gram Jaccard up to ~2^-53 collisions
     grams = ensure_parallelism(df).select(
-        F.col(id_col), token_ngrams(F.col(text_col), n).alias("_g")
+        F.col(id_col), token_ngram_hashes(F.col(text_col), n).alias("_g")
     )
     posting = grams.select(id_col, F.explode("_g").alias("gram"))
     if max_df is not None:
