@@ -595,6 +595,9 @@ class _Parser:
             if n.kind != "num":
                 raise OplSyntaxError("take expects a number")
             return TakeStage(int(n.text))
+        if t.text == "count" and (self.peek() is None or self.at("|")):
+            # bare KQL `| count` — row count as a single `Count` column
+            return SummarizeStage([("Count", "count", [])], [])
         if t.text == "join":
             # KQL `join kind=<k> (source) on c1, c2` — equi-join against a
             # named source; kinds map 1:1 onto Spark join types

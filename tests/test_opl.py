@@ -179,6 +179,10 @@ class TestExecute:
              for r in entry.q_tpch_q3(spark, sf).collect()}
         assert a == b and len(a) == 10
 
+    def test_bare_count_stage(self, spark, logs):
+        r = run_opl("logs | where severity_number >= 13 | count", {"logs": logs})
+        assert r.default.collect() == [__import__("pyspark").sql.Row(Count=3)]
+
     def test_mv_expand(self, spark):
         """KQL mv-expand: arrays one row per element (outer — empty arrays
         keep the row with null), maps one row per {key, value} entry."""
