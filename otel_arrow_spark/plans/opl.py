@@ -938,6 +938,9 @@ _AGG_FUNCTIONS = {
     "stdev": F.stddev_samp,
     "variance": F.var_samp,
     "make_set": lambda c: F.array_sort(F.collect_set(c)),
+    # KQL arg_max/arg_min(ordering_expr, return_expr) — latest-wins lookups
+    "arg_max": lambda o, r: F.max_by(r, o),
+    "arg_min": lambda o, r: F.min_by(r, o),
 }
 
 # literal back-extraction for functions whose Spark binding needs a python

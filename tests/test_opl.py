@@ -118,6 +118,16 @@ class TestExecute:
         assert row.p50 == 13.0          # exact interpolated median of 5,9,13,17,17
         assert row.sets == ["DEBUG", "ERROR", "INFO", "WARN"]
 
+    def test_arg_max_min(self, spark, logs):
+        r = run_opl(
+            "logs | summarize worst = arg_max(severity_number, body), "
+            "best = arg_min(severity_number, body)",
+            {"logs": logs},
+        )
+        row = r.default.collect()[0]
+        assert row.worst in ("disk failure on /dev/sda", "oom killed")  # sev 17 tie
+        assert row.best == "tick"                                       # sev 5
+
     def test_summarize_wrong_arity_raises(self, logs):
         from otel_arrow_spark.plans.opl import OplSyntaxError
 
