@@ -129,13 +129,25 @@ def _parse_pandas(df: DataFrame, text_col: str) -> DataFrame:
     # NOTE: hints must be real classes (not `from __future__ import
     # annotations` strings) for pandas_udf eval-type inference, so the
     # wrapped function is defined via exec-free local binding here.
+    # Literal prefixes gate each family's regex (the same short-circuit the
+    # native engine uses, and the reference's format auto-detection,
+    # parser/mod.rs:46-104): each regex runs only on its candidate rows —
+    # notably the severity regex (whose [\s\S]* capture must scan the whole
+    # message) never touches CALL/span rows. A prefixed-but-malformed row
+    # still fails its full regex → all-null, identical semantics.
+    sev_prefixes = tuple(f"{k} [" for k in SEVERITY_NUMBER)
+
     def _parse_batch(text):
         # Compiled once per Arrow batch stream; Series.str.extract is the
         # vectorized-pandas analog of the reference's per-format parsers.
         text = text.fillna("")
-        sev = text.str.extract(SEVERITY_RE)
-        call = text.str.extract(CALL_RE)
-        span = text.str.extract(SPAN_RE)
+        idx = text.index
+        sev = text[text.str.startswith(sev_prefixes)].str.extract(
+            SEVERITY_RE).reindex(idx)
+        call = text[text.str.startswith("CALL tool=")].str.extract(
+            CALL_RE).reindex(idx)
+        span = text[text.str.startswith("span trace=")].str.extract(
+            SPAN_RE).reindex(idx)
         return pd.DataFrame(
             {
                 "severity_text": sev[0],
