@@ -397,3 +397,43 @@ class TestTemporalJoinProperties:
                 assert got[i] == want, (i, k, t)
 
         run()
+
+
+class TestIntervalJoinProperties:
+    """Hypothesis fuzz: interval_join == brute-force containment on random
+    inputs, across bucket widths that do and don't divide the data range."""
+
+    def test_interval_join_matches_bruteforce_random(self, spark):
+        from hypothesis import given, settings, strategies as st
+
+        from otel_arrow_spark.operators.temporal_join import interval_join
+
+        key = st.integers(min_value=0, max_value=2)
+        sec = st.integers(min_value=0, max_value=5000)
+
+        @settings(max_examples=8, deadline=None)
+        @given(
+            points=st.lists(st.tuples(key, sec), min_size=1, max_size=10),
+            ivls=st.lists(st.tuples(key, sec, st.integers(min_value=0, max_value=2000)),
+                          min_size=1, max_size=8),
+            width=st.sampled_from([1, 7, 600, 4096]),
+        )
+        def run(points, ivls, width):
+            p = spark.createDataFrame(
+                [(k, s, i) for i, (k, s) in enumerate(points)],
+                "k long, secs long, pid long",
+            ).selectExpr("k", "timestamp_seconds(secs) AS ts", "pid")
+            iv = spark.createDataFrame(
+                [(k, s, s + d, j) for j, (k, s, d) in enumerate(ivls)],
+                "k long, s long, e long, iid long",
+            ).selectExpr("k", "timestamp_seconds(s) AS start_ts",
+                         "timestamp_seconds(e) AS end_ts", "iid")
+            got = {(r["iid"], r["pid"]) for r in interval_join(
+                p, iv, by=["k"], bucket_seconds=width).collect()}
+            want = {(j, i)
+                    for j, (ik, s, d) in enumerate(ivls)
+                    for i, (pk, ps) in enumerate(points)
+                    if pk == ik and s <= ps <= s + d}
+            assert got == want
+
+        run()
