@@ -1428,6 +1428,28 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_corpus_frame(spark, cfg)
 
 
+def q_pack_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pack-group packing stats (textops/packing.py packing_summary):
+    bins used and fill ratio under the 512-token contiguous greedy fill;
+    pure algebraic aggregates, oracle recomputes from token counts."""
+    from otel_arrow_spark.textops import token_stats
+    from otel_arrow_spark.textops.packing import pack_sequences, packing_summary
+
+    d = _t(spark, sf_dir, "documents")
+    t = token_stats(d).select(
+        "doc_id", "source", "lang", F.col("n_tokens_ws").alias("n_tokens")
+    )
+    packed = pack_sequences(t, ["source", "lang"], "doc_id", "n_tokens", seq_len=512)
+    s = packing_summary(packed, ["source", "lang"], "n_tokens", seq_len=512)
+    return s.select(
+        "source", "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_bins").cast("long").alias("n_bins"),
+        F.round("fill_ratio", 6).alias("fill_ratio"),
+    )
+
+
 def q_opl_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The widened KQL summarize surface (plans/opl.py _AGG_FUNCTIONS:
     dcount/countif/sumif/percentile/stdev beyond the reference's
@@ -1556,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "kql_sort_top": q_kql_sort_top,
         "kql_q3": q_kql_q3,
+        "pack_summary": q_pack_summary,
     }
 
 
@@ -2447,6 +2470,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(prev / 512) AS BIGINT) AS bin_idx,
                    CAST(prev % 512 AS BIGINT) AS bin_offset
             FROM c
+        """,
+        "pack_summary": """
+            WITH t AS (
+                SELECT source, lang,
+                       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                            END AS BIGINT) AS n_tokens
+                FROM documents)
+            SELECT source, lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(ceil(sum(n_tokens) / 512.0) AS BIGINT) AS n_bins,
+                   round(sum(n_tokens) /
+                         (ceil(sum(n_tokens) / 512.0) * 512.0), 6) AS fill_ratio
+            FROM t GROUP BY 1, 2
         """,
         "opl_aggregates": """
             SELECT user_id,
