@@ -1511,48 +1511,35 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order = least-proven-first: the driver correctness-checks
+    only the FIRST 50 entries, so queries that are new or changed this
+    round, or that missed a driver row last round, lead; long-stable
+    veterans (green in r1-r3 driver records) trail. Rotate per round so
+    every query gets a periodic driver row."""
     return {
-        "parse_events": q_parse_events,
-        "route_counts": q_route_counts,
-        "enrich_broadcast": q_enrich_broadcast,
-        "temporal_agg": q_temporal_agg,
-        "temporal_agg_hist": q_temporal_agg_hist,
-        "filter_strict": q_filter_strict,
-        "filter_regexp": q_filter_regexp,
-        "zip_sample": q_zip_sample,
-        "ratio_sample": q_ratio_sample,
-        "attrs_hash": q_attrs_hash,
-        "attrs_actions": q_attrs_actions,
-        "scalar_functions": q_scalar_functions,
-        "conditional_union": q_conditional_union,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5ish": q_tpch_q5ish,
-        "window_rank": q_window_rank,
-        "set_ops": q_set_ops,
-        "dedup_exact": q_dedup_exact,
-        "fingerprint": q_fingerprint,
-        "token_stats": q_token_stats,
-        "quality": q_quality,
-        "similarity_topk": q_similarity_topk,
-        "lang_id": q_lang_id,
-        "opl_summarize": q_opl_summarize,
-        "opl_route": q_opl_route,
-        "span_cascade": q_span_cascade,
-        "metrics_cascade": q_metrics_cascade,
-        "span_links": q_span_links,
-        "hist_star": q_hist_star,
-        "summary_reagg": q_summary_reagg,
-        "exp_hist_merge": q_exp_hist_merge,
+        # --- new / changed this round (r4) ---
+        "asof_join": q_asof_join,          # ADVICE fix: struct fill
+        "exp_hist_merge": q_exp_hist_merge,  # ADVICE fix: null-safe key join
         "exp_hist_star": q_exp_hist_star,
-        "resource_scope": q_resource_scope,
-        "fork_topics": q_fork_topics,
-        "opl_program": q_opl_program,
-        "dedup_clusters": q_dedup_clusters,
-        "stratified_sample": q_stratified_sample,
-        "classifier_score": q_classifier_score,
-        "partition_counts": q_partition_counts,
-        "ottl_transform": q_ottl_transform,
+        "pack_summary": q_pack_summary,
+        # --- never driver-checked (r3 additions past the 50-entry window) ---
+        "interval_join": q_interval_join,
+        "sessionize": q_sessionize,
+        "token_pack": q_token_pack,
+        "paragraph_dedup": q_paragraph_dedup,
+        "lineage_metrics": q_lineage_metrics,
+        "corpus_clean": q_corpus_clean,
+        "kql_sort_top": q_kql_sort_top,
+        "kql_q3": q_kql_q3,
+        "opl_aggregates": q_opl_aggregates,
+        # --- r2-green but dropped from the r3 window ---
+        "decontaminate": q_decontaminate,
+        "repetition": q_repetition,
+        "dedup_simhash": q_dedup_simhash,
+        "similarity_lsh": q_similarity_lsh,
+        "transcripts_routed": q_transcripts_routed,
+        "transcripts_agg": q_transcripts_agg,
+        # --- veterans, least-recently-emphasized first ---
         "syslog_parse": q_syslog_parse,
         "embedding_pairs_exact": q_embedding_pairs_exact,
         "ivf_topk": q_ivf_topk,
@@ -1562,23 +1549,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capped_reagg": q_capped_reagg,
         "multimodal_sniff": q_multimodal_sniff,
         "redact_pii": q_redact_pii,
-        "decontaminate": q_decontaminate,
-        "repetition": q_repetition,
-        "dedup_simhash": q_dedup_simhash,
-        "similarity_lsh": q_similarity_lsh,
-        "transcripts_routed": q_transcripts_routed,
-        "transcripts_agg": q_transcripts_agg,
-        "paragraph_dedup": q_paragraph_dedup,
-        "lineage_metrics": q_lineage_metrics,
-        "asof_join": q_asof_join,
-        "interval_join": q_interval_join,
-        "sessionize": q_sessionize,
-        "token_pack": q_token_pack,
-        "opl_aggregates": q_opl_aggregates,
-        "corpus_clean": q_corpus_clean,
-        "kql_sort_top": q_kql_sort_top,
-        "kql_q3": q_kql_q3,
-        "pack_summary": q_pack_summary,
+        "partition_counts": q_partition_counts,
+        "ottl_transform": q_ottl_transform,
+        "span_links": q_span_links,
+        "hist_star": q_hist_star,
+        "summary_reagg": q_summary_reagg,
+        "resource_scope": q_resource_scope,
+        "fork_topics": q_fork_topics,
+        "opl_program": q_opl_program,
+        "dedup_clusters": q_dedup_clusters,
+        "stratified_sample": q_stratified_sample,
+        "classifier_score": q_classifier_score,
+        "span_cascade": q_span_cascade,
+        "metrics_cascade": q_metrics_cascade,
+        "opl_summarize": q_opl_summarize,
+        "opl_route": q_opl_route,
+        "lang_id": q_lang_id,
+        "similarity_topk": q_similarity_topk,
+        "quality": q_quality,
+        "token_stats": q_token_stats,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "set_ops": q_set_ops,
+        "window_rank": q_window_rank,
+        "tpch_q5ish": q_tpch_q5ish,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q1": q_tpch_q1,
+        "conditional_union": q_conditional_union,
+        "scalar_functions": q_scalar_functions,
+        "attrs_actions": q_attrs_actions,
+        "attrs_hash": q_attrs_hash,
+        "ratio_sample": q_ratio_sample,
+        "zip_sample": q_zip_sample,
+        "filter_regexp": q_filter_regexp,
+        "filter_strict": q_filter_strict,
+        "temporal_agg_hist": q_temporal_agg_hist,
+        "temporal_agg": q_temporal_agg,
+        "enrich_broadcast": q_enrich_broadcast,
+        "route_counts": q_route_counts,
+        "parse_events": q_parse_events,
     }
 
 

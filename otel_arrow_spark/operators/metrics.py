@@ -358,8 +358,14 @@ def _exp_merge_native(
     has_neg = "neg_counts" in df.columns
 
     w = F.window(F.col(ts_col), period)
-    keyed = df.withColumn("_w", w)
-    gk = ["_w", *keys]
+    # The whole group key travels as ONE struct: struct equality treats
+    # null fields as equal, so the points⋈scalars equi-joins below are
+    # null-safe (a NULL key column keeps its group, matching the pandas
+    # engine's groupBy) while Catalyst still extracts a hash-joinable key.
+    keyed = df.withColumn("_w", w).withColumn(
+        "_gkey", F.struct(F.col("_w"), *[F.col(k) for k in keys])
+    )
+    gk = ["_gkey"]
 
     scalars = keyed.groupBy(*gk).agg(
         F.sum("e_count").alias("e_count"),
@@ -403,9 +409,9 @@ def _exp_merge_native(
         )
     empty = F.array().cast("array<long>")
     return out.select(
-        F.col("_w.start").cast("timestamp_ntz").alias("window_start"),
-        F.col("_w.end").cast("timestamp_ntz").alias("window_end"),
-        *keys,
+        F.col("_gkey._w.start").cast("timestamp_ntz").alias("window_start"),
+        F.col("_gkey._w.end").cast("timestamp_ntz").alias("window_end"),
+        *[F.col(f"_gkey.{k}").alias(k) for k in keys],
         F.col("e_count").cast("long").alias("e_count"),
         F.col("e_sum").cast("double").alias("e_sum"),
         F.col("tscale").cast("int").alias("scale"),

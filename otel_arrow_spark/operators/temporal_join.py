@@ -57,23 +57,30 @@ def asof_join(
         if right_cols is not None
         else [c for c in right.columns if c not in by and c != on]
     )
+    if not right_cols:
+        return left
     l_struct = F.struct(*[F.col(c) for c in left.columns]).alias("_lrow")
+    # All right columns travel as ONE struct populated only on right-side
+    # rows: `last(_rrow, ignorenulls)` then fills whole rows, so a matched
+    # right row with a legitimate NULL in one column keeps that NULL rather
+    # than having the column backfilled from an older right row (per-column
+    # fills would mix values across right rows — DuckDB ASOF JOIN, the
+    # oracle, never does that).
+    r_struct = F.struct(*[F.col(c) for c in right_cols]).alias("_rrow")
+    r_struct_type = right.select(r_struct).schema["_rrow"].dataType
     lhs = left.select(
         *by,
         F.col(on).alias("_ts"),
         F.lit(1).alias("_is_left"),
         l_struct,
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-            for c in right_cols
-        ],
+        F.lit(None).cast(r_struct_type).alias("_rrow"),
     )
     rhs = right.select(
         *by,
         F.col(on).alias("_ts"),
         F.lit(0).alias("_is_left"),
         F.lit(None).cast(left.select(l_struct).schema["_lrow"].dataType).alias("_lrow"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        r_struct,
     )
     # At equal timestamps the right row must be visible to the left row for
     # inclusive (<=) semantics → right sorts first (0 < 1); strict flips it.
@@ -88,13 +95,11 @@ def asof_join(
     filled = lhs.unionByName(rhs).select(
         "_is_left",
         "_lrow",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
-            for c in right_cols
-        ],
+        F.last("_rrow", ignorenulls=True).over(w).alias("_asof"),
     )
     return filled.where(F.col("_is_left") == 1).select(
-        "_lrow.*", *[f"{prefix}{c}" for c in right_cols]
+        "_lrow.*",
+        *[F.col(f"_asof.{c}").alias(f"{prefix}{c}") for c in right_cols],
     )
 
 

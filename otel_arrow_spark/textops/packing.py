@@ -51,8 +51,10 @@ def pack_sequences(
 def packing_summary(
     packed: DataFrame, group_cols: list[str], tokens_col: str, seq_len: int = 2048
 ) -> DataFrame:
-    """Per-group packing stats: docs, tokens, bins used, fill ratio of
-    the non-final bins' budget actually covered by tokens."""
+    """Per-group packing stats: docs, tokens, bins used, and fill ratio =
+    fraction of the total allocated bin budget (ALL bins, including the
+    final partial one) covered by tokens — 1.0 only when tokens exactly
+    fill every bin."""
     return packed.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(tokens_col).alias("n_tokens"),

@@ -325,6 +325,33 @@ class TestExpHistogram:
         pan = canon(exp_histogram_delta_merge(df, keys=("metric_name",), engine="pandas"))
         assert nat == pan and len(nat) > 5
 
+    def test_null_group_key_kept_both_engines(self, spark):
+        """A NULL key column must keep its group (the native engine joins
+        points back to scalars — that join must be null-safe, matching the
+        pandas engine's groupBy which retains null keys)."""
+        df = spark.createDataFrame(
+            [
+                (None, ts(1), 2, 1.0, 1, 0, 0, [1, 1]),
+                (None, ts(2), 3, 2.0, 0, 1, 0, [2]),
+                ("m", ts(3), 1, 1.0, 0, 0, 0, [5]),
+            ],
+            "metric_name string, ts timestamp, e_count long, e_sum double, "
+            "scale int, zero_count long, pos_offset int, pos_counts array<long>",
+        )
+        for engine in ("native", "pandas"):
+            rows = {
+                r.metric_name: r
+                for r in exp_histogram_delta_merge(
+                    df, "600 seconds", keys=("metric_name",), engine=engine
+                ).collect()
+            }
+            assert set(rows) == {None, "m"}, engine
+            nul = rows[None]
+            assert nul.e_count == 5 and nul.scale == 0, engine
+            # scale-1 [1,1] at offset 0 folds to idx {0} sum 2 → plus the
+            # scale-0 [2] at idx 0 → [4]
+            assert nul.pos_counts == [4], (engine, nul)
+
     def test_native_plan_is_jvm_only_partial_final(self, spark):
         """The native engine must stay whole-stage JVM: no Python eval
         nodes, and every aggregate partial+final."""

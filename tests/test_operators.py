@@ -257,6 +257,28 @@ class TestTemporalJoin:
         assert incl["asof_rv"] == "r10"
         assert strict["asof_rv"] == "r5"
 
+    def test_asof_null_right_column_not_backfilled(self, spark):
+        """A matched right row with a legitimate NULL in one column must
+        keep that NULL — per-column last(ignorenulls) would wrongly mix in
+        the value from an OLDER right row (DuckDB ASOF never does)."""
+        from otel_arrow_spark.operators.temporal_join import asof_join
+
+        left = spark.createDataFrame(
+            [("k", 20, "l1")], "k string, ts long, lv string")
+        right = spark.createDataFrame(
+            [("k", 5, "old_a", "old_b"), ("k", 10, None, "new_b")],
+            "k string, ts long, a string, b string")
+        row = asof_join(left, right, by=["k"], on="ts").collect()[0]
+        assert row["asof_b"] == "new_b"
+        assert row["asof_a"] is None  # NOT "old_a"
+
+    def test_asof_empty_right_cols_returns_left(self, spark):
+        from otel_arrow_spark.operators.temporal_join import asof_join
+
+        left = spark.createDataFrame([("k", 1, "x")], "k string, ts long, v string")
+        right = spark.createDataFrame([("k", 1)], "k string, ts long")
+        assert asof_join(left, right, by=["k"], on="ts").collect() == left.collect()
+
     def test_interval_join_matches_bruteforce(self, spark, ev):
         from otel_arrow_spark.operators.temporal_join import interval_join
 

@@ -2,7 +2,8 @@
 entry and its oracle_sql() side-by-side at a given sf, compare row count,
 column names, and an order-insensitive value hash.
 
-Usage: python tools/check_oracles.py [sf_dir]
+Usage: python tools/check_oracles.py [sf_dir] [query_name ...]
+(with query names given, only those entries are checked)
 """
 
 from __future__ import annotations
@@ -45,7 +46,7 @@ def value_hash(rows, colnames):
     return h.hexdigest()[:16]
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     from otel_arrow_spark.session import get_spark
 
     spark = get_spark(master="local[8]")
@@ -57,6 +58,12 @@ def main(sf_dir: str) -> int:
         )
 
     qs = entrymod.queries()
+    if only:
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            print(f"unknown query names: {unknown}")
+            return 1
+        qs = {n: qs[n] for n in only}
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
@@ -105,4 +112,9 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    sys.exit(
+        main(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+            sys.argv[2:] or None,
+        )
+    )
