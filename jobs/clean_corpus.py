@@ -27,12 +27,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="corpus clean + pack pipeline")
-    ap.add_argument("--input", required=True, help="documents table path")
-    ap.add_argument("--output", required=True, help="output directory")
-    ap.add_argument("--seq-len", type=int, default=512)
+    ap.add_argument("--config", default=None,
+                    help="YAML/JSON pipeline spec (kind: corpus_clean); "
+                         "--input/--output override its source/sink paths")
+    ap.add_argument("--input", default=None, help="documents table path")
+    ap.add_argument("--output", default=None, help="output directory")
+    ap.add_argument("--seq-len", type=int, default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
+    if not args.config and not (args.input and args.output):
+        ap.error("either --config or both --input and --output are required")
 
     from otel_arrow_spark.plans.corpus import CorpusConfig, run_corpus_clean
     from otel_arrow_spark.session import get_spark
@@ -43,13 +48,27 @@ def main(argv: list[str] | None = None) -> int:
         from pyspark.sql import SparkSession
 
         spark = SparkSession.builder.appName("corpus-clean").getOrCreate()
-    manifest = run_corpus_clean(
-        spark,
-        CorpusConfig(
-            input_path=args.input, output_dir=args.output, seq_len=args.seq_len
-        ),
-        resume=args.resume,
-    )
+    if args.config:
+        from otel_arrow_spark.plans.config import run_from_spec
+
+        overrides = {}
+        if args.input:
+            overrides["input_path"] = args.input
+        if args.output:
+            overrides["output_dir"] = args.output
+        if args.seq_len is not None:
+            overrides["seq_len"] = args.seq_len
+        manifest = run_from_spec(spark, args.config, resume=args.resume,
+                                 overrides=overrides)
+    else:
+        manifest = run_corpus_clean(
+            spark,
+            CorpusConfig(
+                input_path=args.input, output_dir=args.output,
+                seq_len=args.seq_len if args.seq_len is not None else 512,
+            ),
+            resume=args.resume,
+        )
     print(json.dumps(manifest, indent=2, sort_keys=True, default=str))
     return 0
 

@@ -27,14 +27,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="parse→enrich→route→aggregate pipeline")
-    ap.add_argument("--input", required=True, help="transcript table path")
-    ap.add_argument("--output", required=True, help="output directory (sinks + manifest)")
+    ap.add_argument("--config", default=None,
+                    help="YAML/JSON pipeline spec (kind: telemetry_pipeline); "
+                         "--input/--output override its source/sink paths")
+    ap.add_argument("--input", default=None, help="transcript table path")
+    ap.add_argument("--output", default=None, help="output directory (sinks + manifest)")
     ap.add_argument("--resume", action="store_true", help="skip committed steps")
-    ap.add_argument("--engine", default="pandas", choices=["pandas", "native"])
+    ap.add_argument("--engine", default=None, choices=["pandas", "native"])
     ap.add_argument("--salted", action="store_true",
                     help="two-phase salted aggregation (non-algebraic aggs only)")
     ap.add_argument("--master", default=None, help="override master (default: spark-submit's)")
     args = ap.parse_args(argv)
+    if not args.config and not (args.input and args.output):
+        ap.error("either --config or both --input and --output are required")
 
     from otel_arrow_spark.plans.pipeline import PipelineConfig, run_pipeline
     from otel_arrow_spark.session import get_spark
@@ -46,17 +51,32 @@ def main(argv: list[str] | None = None) -> int:
         from pyspark.sql import SparkSession
 
         spark = SparkSession.builder.appName("transcript-pipeline").getOrCreate()
-    res = run_pipeline(
-        spark,
-        PipelineConfig(
-            input_path=args.input,
-            output_dir=args.output,
-            parse_engine=args.engine,
-            salted=args.salted,
-        ),
-        resume=args.resume,
-    )
-    print(json.dumps(res.manifest, indent=2, sort_keys=True, default=str))
+    if args.config:
+        from otel_arrow_spark.plans.config import run_from_spec
+
+        overrides = {}
+        if args.input:
+            overrides["input_path"] = args.input
+        if args.output:
+            overrides["output_dir"] = args.output
+        if args.engine:
+            overrides["parse_engine"] = args.engine
+        if args.salted:
+            overrides["salted"] = True
+        manifest = run_from_spec(spark, args.config, resume=args.resume,
+                                 overrides=overrides)
+    else:
+        manifest = run_pipeline(
+            spark,
+            PipelineConfig(
+                input_path=args.input,
+                output_dir=args.output,
+                parse_engine=args.engine or "pandas",
+                salted=args.salted,
+            ),
+            resume=args.resume,
+        ).manifest
+    print(json.dumps(manifest, indent=2, sort_keys=True, default=str))
     return 0
 
 

@@ -6,5 +6,6 @@ the DAG, this layer owns sinks, lineage manifests, and resume.
 """
 
 from otel_arrow_spark.plans.pipeline import PipelineConfig, run_pipeline  # noqa: F401
+from otel_arrow_spark.plans.config import load_spec, run_from_spec, spec_to_config  # noqa: F401
 from otel_arrow_spark.plans.opl import run_kql, run_opl  # noqa: F401
 from otel_arrow_spark.plans.ottl import run_ottl  # noqa: F401

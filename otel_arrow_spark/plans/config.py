@@ -1,0 +1,185 @@
+"""Config-driven pipeline front-end: a YAML/JSON spec file declares a
+pipeline (source, processors, sink) and runs it through the same
+entry points the Python API uses.
+
+Reference analog: the df_engine deployment path — a YAML/JSON
+``OtelDataflowSpec`` is parsed and handed to the controller
+(rust/otap-dataflow/src/main.rs:247-295); an ops user declares the DAG in
+config, never in code. Here the spec maps onto the two composed plans this
+repo ships (the flagship telemetry pipeline and the corpus-cleaning
+funnel); Catalyst still owns the physical DAG, so the spec stays at the
+level the reference's spec does — which nodes, which options — not
+execution hints.
+
+Spec shape (YAML or JSON; JSON is a YAML subset so one loader serves both)::
+
+    kind: telemetry_pipeline        # or: corpus_clean
+    source:
+      path: /data/transcripts       # parquet directory / table path
+    parse:
+      engine: pandas                # pandas (Arrow-vectorized, default) | native
+    aggregate:
+      keys: [conv_id, tool, severity_text]
+      salted: false                 # two-phase salted agg (non-algebraic only)
+      n_salts: 16
+    sink:
+      output_dir: /data/out
+
+    kind: corpus_clean
+    source: {path: /data/documents}
+    quality: {alpha_min: 0.8, stopword_max: 0.12}
+    decontaminate: {bench_docs: 3, ngram: 8}
+    pack: {seq_len: 512}
+    sink: {output_dir: /data/clean}
+
+Unknown keys are ERRORS, not warnings — a typo'd option silently falling
+back to a default is the classic config footgun (the reference's serde
+spec parsing is strict the same way).
+
+The contract (tests/test_config_front_end.py): a spec-driven run produces
+the SAME manifest as the equivalent API-driven run — metrics, sinks, and
+routed rows identical; only wall-clock timings may differ.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from otel_arrow_spark.plans.corpus import CorpusConfig, run_corpus_clean
+from otel_arrow_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+
+class SpecError(ValueError):
+    """Invalid pipeline spec (unknown key, missing field, bad type)."""
+
+
+_KINDS = ("telemetry_pipeline", "corpus_clean")
+
+
+def load_spec(path: str) -> dict:
+    """Read a YAML or JSON spec file into a dict (strictly a mapping)."""
+    with open(path) as f:
+        text = f.read()
+    if path.endswith(".json"):
+        spec = json.loads(text)
+    else:
+        import yaml
+
+        spec = yaml.safe_load(text)
+    if not isinstance(spec, dict):
+        raise SpecError(f"spec root must be a mapping, got {type(spec).__name__}")
+    return spec
+
+
+def _section(spec: dict, name: str, allowed: dict[str, type | tuple],
+             required: tuple[str, ...] = ()) -> dict:
+    """Extract + strictly validate one spec section."""
+    sec = spec.get(name, {})
+    if sec is None:
+        sec = {}
+    if not isinstance(sec, dict):
+        raise SpecError(f"section '{name}' must be a mapping")
+    unknown = sorted(set(sec) - set(allowed))
+    if unknown:
+        raise SpecError(
+            f"unknown key(s) {unknown} in section '{name}' "
+            f"(allowed: {sorted(allowed)})"
+        )
+    for k in required:
+        if k not in sec:
+            raise SpecError(f"section '{name}' requires key '{k}'")
+    for k, v in sec.items():
+        want = allowed[k]
+        if not isinstance(v, want):
+            want_name = (
+                "/".join(t.__name__ for t in want)
+                if isinstance(want, tuple)
+                else want.__name__
+            )
+            raise SpecError(
+                f"'{name}.{k}' must be {want_name}, got {type(v).__name__}"
+            )
+    return sec
+
+
+def _check_sections(spec: dict, allowed: set[str]) -> None:
+    unknown = sorted(set(spec) - allowed)
+    if unknown:
+        raise SpecError(f"unknown top-level key(s) {unknown} (allowed: {sorted(allowed)})")
+
+
+def spec_to_config(spec: dict) -> PipelineConfig | CorpusConfig:
+    """Validate a spec dict and build the matching plan config."""
+    kind = spec.get("kind")
+    if kind not in _KINDS:
+        raise SpecError(f"'kind' must be one of {_KINDS}, got {kind!r}")
+
+    if kind == "telemetry_pipeline":
+        _check_sections(spec, {"kind", "source", "parse", "aggregate", "sink"})
+        source = _section(spec, "source", {"path": str}, required=("path",))
+        parse = _section(spec, "parse", {"engine": str})
+        agg = _section(
+            spec, "aggregate", {"keys": list, "salted": bool, "n_salts": int}
+        )
+        sink = _section(spec, "sink", {"output_dir": str}, required=("output_dir",))
+        engine = parse.get("engine", "pandas")
+        if engine not in ("pandas", "native"):
+            raise SpecError(f"parse.engine must be pandas|native, got {engine!r}")
+        keys = agg.get("keys", ["conv_id", "tool", "severity_text"])
+        if not all(isinstance(k, str) for k in keys):
+            raise SpecError("aggregate.keys must be a list of column names")
+        return PipelineConfig(
+            input_path=source["path"],
+            output_dir=sink["output_dir"],
+            parse_engine=engine,
+            agg_keys=tuple(keys),
+            salted=agg.get("salted", False),
+            n_salts=agg.get("n_salts", 16),
+        )
+
+    _check_sections(
+        spec, {"kind", "source", "quality", "decontaminate", "pack", "sink"}
+    )
+    source = _section(spec, "source", {"path": str}, required=("path",))
+    quality = _section(
+        spec, "quality", {"alpha_min": (int, float), "stopword_max": (int, float)}
+    )
+    decon = _section(spec, "decontaminate", {"bench_docs": int, "ngram": int})
+    pack = _section(spec, "pack", {"seq_len": int})
+    sink = _section(spec, "sink", {"output_dir": str}, required=("output_dir",))
+    return CorpusConfig(
+        input_path=source["path"],
+        output_dir=sink["output_dir"],
+        seq_len=pack.get("seq_len", 512),
+        alpha_min=float(quality.get("alpha_min", 0.8)),
+        stopword_max=float(quality.get("stopword_max", 0.12)),
+        bench_docs=decon.get("bench_docs", 3),
+        ngram=decon.get("ngram", 8),
+    )
+
+
+def run_from_spec(
+    spark: SparkSession,
+    spec: str | dict,
+    resume: bool = False,
+    overrides: dict[str, Any] | None = None,
+) -> dict:
+    """Load (if a path), validate, build, and run; returns the manifest.
+
+    ``overrides`` replaces config fields AFTER spec validation — the CLI
+    escape hatch (--input/--output flags beat the file, like spark-submit
+    --conf beats a properties file).
+    """
+    if isinstance(spec, str):
+        spec = load_spec(spec)
+    cfg = spec_to_config(spec)
+    for k, v in (overrides or {}).items():
+        if not hasattr(cfg, k):
+            raise SpecError(f"unknown override field {k!r} for {type(cfg).__name__}")
+        setattr(cfg, k, v)
+    if isinstance(cfg, PipelineConfig):
+        return run_pipeline(spark, cfg, resume=resume).manifest
+    return run_corpus_clean(spark, cfg, resume=resume)

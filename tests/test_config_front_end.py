@@ -1,0 +1,194 @@
+"""Config-driven front-end contract: a YAML/JSON spec run reproduces the
+API-driven run exactly (metrics, routed rows, sink layout — only
+wall-clock timings may differ), and spec validation is strict.
+
+Reference analog: the YAML/JSON OtelDataflowSpec deployment path
+(rust/otap-dataflow/src/main.rs:247-295) — config declares the DAG, a
+typo is a parse error, and the resulting pipeline is the same one the
+programmatic API builds.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from otel_arrow_spark.plans.config import (
+    SpecError,
+    load_spec,
+    run_from_spec,
+    spec_to_config,
+)
+from otel_arrow_spark.plans.corpus import CorpusConfig, run_corpus_clean
+from otel_arrow_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _comparable(manifest: dict, out_dir: str) -> dict:
+    """Manifest minus wall-clock + with sink paths made relative."""
+    m = json.loads(json.dumps({k: v for k, v in manifest.items()
+                               if k not in ("timings_sec", "manifest_path")}))
+    m["sinks"] = {k: v.replace(out_dir, "<out>") for k, v in m["sinks"].items()}
+    m["config"] = {k: ("<out>" if isinstance(v, str) and out_dir in v else v)
+                   for k, v in m.get("config", {}).items()}
+    return m
+
+
+class TestTelemetrySpec:
+    def test_spec_run_matches_api_run(self, spark, tiny_transcripts, workdir, tmp_path):
+        api_out = f"{workdir}/cfg_api_out"
+        spec_out = f"{workdir}/cfg_spec_out"
+        api = run_pipeline(
+            spark, PipelineConfig(input_path=tiny_transcripts, output_dir=api_out)
+        ).manifest
+
+        spec_file = tmp_path / "pipe.yaml"
+        spec_file.write_text(
+            "kind: telemetry_pipeline\n"
+            f"source: {{path: {tiny_transcripts}}}\n"
+            "parse: {engine: pandas}\n"
+            "aggregate:\n  keys: [conv_id, tool, severity_text]\n"
+            f"sink: {{output_dir: {spec_out}}}\n"
+        )
+        got = run_from_spec(spark, str(spec_file))
+
+        # byte-for-byte modulo output prefix + wall-clock
+        assert json.dumps(_comparable(got, spec_out), sort_keys=True) == json.dumps(
+            _comparable(api, api_out), sort_keys=True
+        )
+        # and the routed rows themselves are identical
+        a = spark.read.parquet(f"{api_out}/routed")
+        b = spark.read.parquet(f"{spec_out}/routed")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    def test_json_spec_equivalent_to_yaml(self, tmp_path):
+        y = tmp_path / "p.yaml"
+        y.write_text(
+            "kind: telemetry_pipeline\nsource: {path: /in}\nsink: {output_dir: /out}\n"
+        )
+        j = tmp_path / "p.json"
+        j.write_text(json.dumps({
+            "kind": "telemetry_pipeline",
+            "source": {"path": "/in"},
+            "sink": {"output_dir": "/out"},
+        }))
+        assert spec_to_config(load_spec(str(y))) == spec_to_config(load_spec(str(j)))
+
+    def test_defaults_match_dataclass_defaults(self):
+        cfg = spec_to_config({
+            "kind": "telemetry_pipeline",
+            "source": {"path": "/in"},
+            "sink": {"output_dir": "/out"},
+        })
+        ref = PipelineConfig(input_path="/in", output_dir="/out")
+        assert cfg == ref
+
+
+class TestCorpusSpec:
+    def test_spec_run_matches_api_run(self, spark, workdir, tmp_path):
+        api_out = f"{workdir}/corpus_api_out"
+        spec_out = f"{workdir}/corpus_spec_out"
+        api = run_corpus_clean(
+            spark, CorpusConfig(input_path=DOCS, output_dir=api_out)
+        )
+        spec_file = tmp_path / "corpus.yaml"
+        spec_file.write_text(
+            "kind: corpus_clean\n"
+            f"source: {{path: {DOCS}}}\n"
+            "quality: {alpha_min: 0.8, stopword_max: 0.12}\n"
+            "decontaminate: {bench_docs: 3, ngram: 8}\n"
+            "pack: {seq_len: 512}\n"
+            f"sink: {{output_dir: {spec_out}}}\n"
+        )
+        got = run_from_spec(spark, str(spec_file))
+        assert got["metrics"] == api["metrics"]
+        assert got["config"] == api["config"] or (
+            {k: v for k, v in got["config"].items() if k != "input"}
+            == {k: v for k, v in api["config"].items() if k != "input"}
+        )
+
+    def test_overrides_beat_file(self, tmp_path):
+        cfg = spec_to_config({
+            "kind": "corpus_clean",
+            "source": {"path": "/in"},
+            "pack": {"seq_len": 128},
+            "sink": {"output_dir": "/out"},
+        })
+        assert cfg.seq_len == 128
+        with pytest.raises(SpecError, match="unknown override"):
+            from pyspark.sql import SparkSession  # noqa: F401
+
+            run_from_spec(None, {
+                "kind": "corpus_clean",
+                "source": {"path": "/in"},
+                "sink": {"output_dir": "/out"},
+            }, overrides={"nope": 1})
+
+
+class TestSpecValidation:
+    BASE = {
+        "kind": "telemetry_pipeline",
+        "source": {"path": "/in"},
+        "sink": {"output_dir": "/out"},
+    }
+
+    def test_unknown_top_level_key_rejected(self):
+        with pytest.raises(SpecError, match="unknown top-level"):
+            spec_to_config({**self.BASE, "aggregte": {}})  # typo'd section
+
+    def test_unknown_section_key_rejected(self):
+        with pytest.raises(SpecError, match="unknown key"):
+            spec_to_config({**self.BASE, "parse": {"engin": "pandas"}})
+
+    def test_bad_kind_rejected(self):
+        with pytest.raises(SpecError, match="'kind' must be"):
+            spec_to_config({**self.BASE, "kind": "magic"})
+
+    def test_missing_required_rejected(self):
+        with pytest.raises(SpecError, match="requires key 'path'"):
+            spec_to_config({"kind": "telemetry_pipeline", "source": {},
+                            "sink": {"output_dir": "/out"}})
+
+    def test_wrong_type_rejected(self):
+        with pytest.raises(SpecError, match="must be"):
+            spec_to_config({**self.BASE, "aggregate": {"keys": "conv_id"}})
+
+    def test_bad_engine_rejected(self):
+        with pytest.raises(SpecError, match="pandas|native"):
+            spec_to_config({**self.BASE, "parse": {"engine": "turbo"}})
+
+    def test_non_mapping_root_rejected(self, tmp_path):
+        f = tmp_path / "bad.yaml"
+        f.write_text("- just\n- a list\n")
+        with pytest.raises(SpecError, match="mapping"):
+            load_spec(str(f))
+
+
+class TestJobCli:
+    def test_run_pipeline_config_flag(self, spark, tiny_transcripts, workdir,
+                                      tmp_path, capsys):
+        import jobs.run_pipeline as job
+
+        out = f"{workdir}/cli_cfg_out"
+        spec_file = tmp_path / "cli.yaml"
+        spec_file.write_text(
+            "kind: telemetry_pipeline\n"
+            "source: {path: WILL_BE_OVERRIDDEN}\n"
+            f"sink: {{output_dir: {out}}}\n"
+        )
+        rc = job.main([
+            "--config", str(spec_file),
+            "--input", tiny_transcripts,  # CLI override beats the file
+            "--master", "local[4]",
+        ])
+        assert rc == 0
+        manifest = json.loads(capsys.readouterr().out)
+        assert manifest["metrics"]["rows_in"] == 4000
+
+    def test_run_pipeline_requires_config_or_paths(self):
+        import jobs.run_pipeline as job
+
+        with pytest.raises(SystemExit):
+            job.main(["--input", "/only/input"])
