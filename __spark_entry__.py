@@ -809,18 +809,35 @@ def q_summary_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "15 minutes",
         keys=("name", "stream"),
     )
-    return out.select(
-        "name",
-        "stream",
-        "window_start",
-        "s_count",
-        F.round("s_sum", 3).alias("s_sum_r"),
-        F.array_join(
-            F.transform(
-                "values", lambda v: F.round(v * 1000).cast("long").cast("string")
-            ),
-            ",",
-        ).alias("values_milli_s"),
+    # SUMMARY_DP_ATTRS rollup rides the same window key (the hist_star
+    # n_attrs pattern — the attrs table is scanned column-pruned to
+    # parent_id only, then counted per reaggregation group).
+    sattrs = spark.read.parquet(f"{p}/summary_dp_attrs.parquet").select("parent_id")
+    at = (
+        sattrs.join(
+            named.select(F.col("id").alias("parent_id"), "name", "stream", "ts"),
+            "parent_id",
+        )
+        .groupBy("name", "stream", F.window("ts", "15 minutes").start.alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n_attrs"))
+    )
+    return (
+        out.join(at, ["name", "stream", "window_start"], "left")
+        .withColumn("n_attrs", F.coalesce("n_attrs", F.lit(0)))
+        .select(
+            "name",
+            "stream",
+            "window_start",
+            "s_count",
+            F.round("s_sum", 3).alias("s_sum_r"),
+            F.array_join(
+                F.transform(
+                    "values", lambda v: F.round(v * 1000).cast("long").cast("string")
+                ),
+                ",",
+            ).alias("values_milli_s"),
+            "n_attrs",
+        )
     )
 
 
@@ -1510,6 +1527,78 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exemplar_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HISTOGRAM_DP_EXEMPLARS / EXP_HISTOGRAM_DP_EXEMPLARS
+    (data_model.md:191-199, 228-236): exemplars hang off their point
+    tables, one level below the metric — roll each instance up to
+    (metric name, stream): how many exemplars, the largest exemplified
+    value, and how many distinct traces they point at. Both point-type
+    instances ride one plan via a cheap union of two small cascades;
+    metric names broadcast."""
+    p = _metrics_dir(sf_dir)
+    metrics = spark.read.parquet(f"{p}/metrics.parquet")
+
+    def side(dp_file: str, ex_file: str, types: list[int], label: str) -> DataFrame:
+        dps = spark.read.parquet(f"{p}/{dp_file}").select(
+            F.col("id").alias("dp_id"), "parent_id", "stream"
+        )
+        ex = spark.read.parquet(f"{p}/{ex_file}").select(
+            F.col("parent_id").alias("dp_id"), "double_value", "trace_id"
+        )
+        named = dps.join(
+            F.broadcast(
+                metrics.where(F.col("metric_type").isin(types)).select(
+                    F.col("id").alias("parent_id"), "name"
+                )
+            ),
+            "parent_id",
+        )
+        return (
+            ex.join(named, "dp_id")
+            .groupBy("name", "stream")
+            .agg(
+                F.count(F.lit(1)).alias("n_exemplars"),
+                F.round(F.max("double_value"), 3).alias("max_value_r"),
+                F.countDistinct("trace_id").alias("n_traces"),
+            )
+            .withColumn("point_type", F.lit(label))
+        )
+
+    return side("histogram_dp.parquet", "histogram_dp_exemplars.parquet",
+                [2, 3], "histogram").unionByName(
+        side("exp_histogram_dp.parquet", "exp_histogram_dp_exemplars.parquet",
+             [5], "exp_histogram")
+    )
+
+
+def q_scope_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCOPE_ATTRS (data_model.md:357-366): spans carry a scope_id naming
+    the instrumentation scope; the attrs table is keyed by it. Pivot the
+    scope attrs to (library, sdk) and roll spans up per instrumentation
+    library — the scope-level analog of q_resource_scope's resource
+    filter; the scope dimension broadcasts."""
+    p = _spans_dir(sf_dir)
+    spans = spark.read.parquet(f"{p}/spans.parquet")
+    sattrs = spark.read.parquet(f"{p}/scope_attrs.parquet")
+
+    lib = sattrs.where(F.col("key") == "otel.library.name").select(
+        F.col("parent_id").alias("scope_id"), F.col("str").alias("library")
+    )
+    sdk = sattrs.where(F.col("key") == "telemetry.sdk.language").select(
+        F.col("parent_id").alias("scope_id"), F.col("str").alias("sdk_lang")
+    )
+    dim = lib.join(sdk, "scope_id")
+    return (
+        spans.join(F.broadcast(dim), "scope_id")
+        .groupBy("library", "sdk_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("status_code") == 2).cast("long")).alias("n_errors"),
+            F.round(F.avg("duration_ms"), 4).alias("avg_dur_r"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = least-proven-first: the driver correctness-checks
     only the FIRST 50 entries, so queries that are new or changed this
@@ -1518,10 +1607,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every query gets a periodic driver row."""
     return {
         # --- new / changed this round (r4) ---
+        "exemplar_star": q_exemplar_star,
+        "scope_attrs": q_scope_attrs,
         "asof_join": q_asof_join,          # ADVICE fix: struct fill
         "exp_hist_merge": q_exp_hist_merge,  # ADVICE fix: null-safe key join
         "exp_hist_star": q_exp_hist_star,
         "pack_summary": q_pack_summary,
+        "summary_reagg": q_summary_reagg,  # r4: summary_dp_attrs rollup added
         # --- never driver-checked (r3 additions past the 50-entry window) ---
         "interval_join": q_interval_join,
         "sessionize": q_sessionize,
@@ -1553,7 +1645,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ottl_transform": q_ottl_transform,
         "span_links": q_span_links,
         "hist_star": q_hist_star,
-        "summary_reagg": q_summary_reagg,
         "resource_scope": q_resource_scope,
         "fork_topics": q_fork_topics,
         "opl_program": q_opl_program,
@@ -2108,6 +2199,52 @@ def oracle_sql() -> dict[str, str]:
             FROM u LEFT JOIN at ON u.name = at.name AND u.stream = at.stream
                                 AND u.window_start = at.window_start
         """,
+        "exemplar_star": f"""
+            WITH m AS (
+                SELECT id, name, metric_type
+                FROM read_parquet('{_REPO}/.cache/metrics/n20000/metrics.parquet')),
+            h AS (
+                SELECT e.double_value, e.trace_id, m.name, d.stream
+                FROM read_parquet('{_REPO}/.cache/metrics/n20000/histogram_dp_exemplars.parquet') e
+                JOIN read_parquet('{_REPO}/.cache/metrics/n20000/histogram_dp.parquet') d
+                  ON e.parent_id = d.id
+                JOIN m ON d.parent_id = m.id AND m.metric_type IN (2, 3)),
+            x AS (
+                SELECT e.double_value, e.trace_id, m.name, d.stream
+                FROM read_parquet('{_REPO}/.cache/metrics/n20000/exp_histogram_dp_exemplars.parquet') e
+                JOIN read_parquet('{_REPO}/.cache/metrics/n20000/exp_histogram_dp.parquet') d
+                  ON e.parent_id = d.id
+                JOIN m ON d.parent_id = m.id AND m.metric_type = 5)
+            SELECT name, stream, CAST(count(*) AS BIGINT) AS n_exemplars,
+                   round(CAST(max(double_value) AS DOUBLE), 3) AS max_value_r,
+                   CAST(count(DISTINCT trace_id) AS BIGINT) AS n_traces,
+                   'histogram' AS point_type
+            FROM h GROUP BY name, stream
+            UNION ALL
+            SELECT name, stream, CAST(count(*) AS BIGINT) AS n_exemplars,
+                   round(CAST(max(double_value) AS DOUBLE), 3) AS max_value_r,
+                   CAST(count(DISTINCT trace_id) AS BIGINT) AS n_traces,
+                   'exp_histogram' AS point_type
+            FROM x GROUP BY name, stream
+        """,
+        "scope_attrs": f"""
+            WITH lib AS (
+                SELECT parent_id AS scope_id, str AS library
+                FROM read_parquet('{_REPO}/.cache/spans/n20000/scope_attrs.parquet')
+                WHERE key = 'otel.library.name'),
+            sdk AS (
+                SELECT parent_id AS scope_id, str AS sdk_lang
+                FROM read_parquet('{_REPO}/.cache/spans/n20000/scope_attrs.parquet')
+                WHERE key = 'telemetry.sdk.language')
+            SELECT lib.library, sdk.sdk_lang,
+                   CAST(count(*) AS BIGINT) AS n_spans,
+                   CAST(sum(CASE WHEN s.status_code = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+                   round(CAST(avg(s.duration_ms) AS DOUBLE), 4) AS avg_dur_r
+            FROM read_parquet('{_REPO}/.cache/spans/n20000/spans.parquet') s
+            JOIN lib ON s.scope_id = lib.scope_id
+            JOIN sdk ON s.scope_id = sdk.scope_id
+            GROUP BY 1, 2
+        """,
         "summary_reagg": f"""
             WITH m AS (
                 SELECT id, name
@@ -2117,14 +2254,23 @@ def oracle_sql() -> dict[str, str]:
                 SELECT s.*, m.name,
                        time_bucket(INTERVAL '15 minutes', s.ts) AS window_start
                 FROM read_parquet('{_REPO}/.cache/metrics/n20000/summary_dp.parquet') s
-                JOIN m ON s.parent_id = m.id)
-            SELECT name, stream, window_start,
-                   CAST(sum(s_count) AS BIGINT) AS s_count,
-                   round(CAST(sum(s_sum) AS DOUBLE), 3) AS s_sum_r,
-                   array_to_string(
-                       list_transform(arg_max("values", ts),
-                                      v -> CAST(round(v * 1000) AS BIGINT)), ',') AS values_milli_s
-            FROM d GROUP BY 1, 2, 3
+                JOIN m ON s.parent_id = m.id),
+            at AS (
+                SELECT d.name, d.stream, d.window_start,
+                       CAST(count(*) AS BIGINT) AS n_attrs
+                FROM read_parquet('{_REPO}/.cache/metrics/n20000/summary_dp_attrs.parquet') a
+                JOIN d ON a.parent_id = d.id GROUP BY 1, 2, 3),
+            u AS (
+                SELECT name, stream, window_start,
+                       CAST(sum(s_count) AS BIGINT) AS s_count,
+                       round(CAST(sum(s_sum) AS DOUBLE), 3) AS s_sum_r,
+                       array_to_string(
+                           list_transform(arg_max("values", ts),
+                                          v -> CAST(round(v * 1000) AS BIGINT)), ',') AS values_milli_s
+                FROM d GROUP BY 1, 2, 3)
+            SELECT u.*, coalesce(at.n_attrs, 0) AS n_attrs
+            FROM u LEFT JOIN at ON u.name = at.name AND u.stream = at.stream
+                                AND u.window_start = at.window_start
         """,
         "exp_hist_merge": """
             WITH pts AS (

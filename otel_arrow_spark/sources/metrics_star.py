@@ -49,8 +49,9 @@ SUMMARY_QUANTILES = [0.5, 0.9, 0.99]
 
 
 def generate_metrics_tables(n_dps: int, seed: int = 42) -> dict[str, pd.DataFrame]:
-    """Generate {metrics, number_data_points, number_dp_attrs,
-    number_dp_exemplars} frames with parent_id-keyed ancestry."""
+    """Generate the metrics star-schema frames (METRICS plus the
+    number/histogram/summary/exp-histogram point tables and their
+    attrs/exemplar children) with parent_id-keyed ancestry."""
     rng = np.random.RandomState(seed)
 
     all_metrics = METRIC_NAMES + HIST_METRICS + SUMMARY_METRICS + EXPH_METRICS
@@ -228,6 +229,48 @@ def generate_metrics_tables(n_dps: int, seed: int = 42) -> dict[str, pd.DataFram
         }
     )
 
+    # ---- remaining per-point-type child instances (HISTOGRAM_DP_EXEMPLARS
+    # data_model.md:191-199, EXP_HISTOGRAM_DP_EXEMPLARS :228-236,
+    # SUMMARY_DP_ATTRS :152-160): same machinery as the number-point
+    # children, keyed to their own point tables. Drawn strictly after all
+    # v3 tables so those stay byte-identical at the same seed.
+    def _exemplars(parent_ids: np.ndarray, parent_t_us: np.ndarray,
+                   frac: float) -> pd.DataFrame:
+        has = rng.random_sample(len(parent_ids)) < frac
+        pids = parent_ids[has]
+        kk = len(pids)
+        tr = np.array(["".join(r) for r in digits[rng.randint(0, 16, size=(kk, 32))]],
+                      dtype=object)
+        sp = np.array(["".join(r) for r in digits[rng.randint(0, 16, size=(kk, 16))]],
+                      dtype=object)
+        return pd.DataFrame(
+            {
+                "id": np.arange(kk, dtype=np.int64),
+                "parent_id": pids,
+                "ts": EPOCH + parent_t_us[has].astype("timedelta64[us]"),
+                "double_value": np.round(rng.exponential(50.0, size=kk), 3),
+                "trace_id": tr,
+                "span_id_hex": sp,
+            }
+        )
+
+    histogram_dp_exemplars = _exemplars(h_id, h_t_us, 0.25)
+    exp_histogram_dp_exemplars = _exemplars(
+        np.arange(n_e, dtype=np.int64), e_t_us, 0.25
+    )
+
+    s_ids = np.arange(n_s, dtype=np.int64)
+    n_sa = rng.randint(1, 3, size=n_s)
+    sa_parent = np.repeat(s_ids, n_sa)
+    sm = len(sa_parent)
+    sa_keys = np.array(DP_ATTR_KEYS, dtype=object)[rng.randint(0, len(DP_ATTR_KEYS), sm)]
+    sa_vals = np.array(["200", "500", "GET", "POST", "svc-a", "svc-b", "h1", "h2"],
+                       dtype=object)[rng.randint(0, 8, size=sm)]
+    summary_dp_attrs = pd.DataFrame(
+        {"parent_id": sa_parent, "key": sa_keys,
+         "type": np.full(sm, 1, dtype=np.int32), "str": sa_vals}
+    )
+
     return {
         "metrics": metrics,
         "number_data_points": number_data_points,
@@ -237,17 +280,21 @@ def generate_metrics_tables(n_dps: int, seed: int = 42) -> dict[str, pd.DataFram
         "histogram_dp_attrs": histogram_dp_attrs,
         "summary_dp": summary_dp,
         "exp_histogram_dp": exp_histogram_dp,
+        "histogram_dp_exemplars": histogram_dp_exemplars,
+        "exp_histogram_dp_exemplars": exp_histogram_dp_exemplars,
+        "summary_dp_attrs": summary_dp_attrs,
     }
 
 
 def write_metrics_parquet(out_dir: str, n_dps: int, seed: int = 42) -> str:
-    """Write the four tables as parquet under ``out_dir`` (idempotent)."""
+    """Write all star tables as parquet under ``out_dir`` (idempotent)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     # v2: histogram_dp / histogram_dp_attrs / summary_dp added; v3:
-    # exp_histogram_dp. Versioned marker forces stale caches to regenerate.
-    marker = os.path.join(out_dir, f"_SUCCESS.{n_dps}.{seed}.v3")
+    # exp_histogram_dp; v4: histogram/exp-histogram exemplars +
+    # summary_dp_attrs. Versioned marker forces stale caches to regenerate.
+    marker = os.path.join(out_dir, f"_SUCCESS.{n_dps}.{seed}.v4")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)

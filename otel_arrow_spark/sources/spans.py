@@ -190,6 +190,38 @@ def generate_spans_tables(n_spans: int, seed: int = 42) -> dict[str, pd.DataFram
         }
     )
 
+    # scope attrs (SCOPE_ATTRS analog, data_model.md:357-366): spans carry
+    # a scope_id naming the instrumentation scope that produced them; the
+    # attrs table is keyed by it (library name/version/telemetry.sdk).
+    # Drawn strictly after everything above (v4).
+    n_scopes = 6
+    spans = spans.assign(
+        scope_id=rng.randint(0, n_scopes, size=n_spans).astype(np.int64)
+    )
+    lib = np.array(
+        ["io.opentelemetry.http", "io.opentelemetry.grpc", "io.opentelemetry.db",
+         "custom.tracer", "io.opentelemetry.kafka", "io.opentelemetry.redis"],
+        dtype=object,
+    )[:n_scopes]
+    lib_ver = np.array(["1.28.0", "1.29.0", "2.0.1"], dtype=object)[
+        rng.randint(0, 3, size=n_scopes)
+    ]
+    sdk = np.array(["java", "go", "python"], dtype=object)[
+        rng.randint(0, 3, size=n_scopes)
+    ]
+    scope_attrs = pd.DataFrame(
+        {
+            "parent_id": np.repeat(np.arange(n_scopes, dtype=np.int64), 3),
+            "key": np.tile(
+                np.array(["otel.library.name", "otel.library.version",
+                          "telemetry.sdk.language"], dtype=object),
+                n_scopes,
+            ),
+            "type": np.full(n_scopes * 3, 1, dtype=np.int32),
+            "str": np.stack([lib, lib_ver, sdk], axis=1).reshape(-1),
+        }
+    )
+
     return {
         "spans": spans,
         "span_attrs": span_attrs,
@@ -198,17 +230,19 @@ def generate_spans_tables(n_spans: int, seed: int = 42) -> dict[str, pd.DataFram
         "span_links": span_links,
         "span_link_attrs": span_link_attrs,
         "resource_attrs": resource_attrs,
+        "scope_attrs": scope_attrs,
     }
 
 
 def write_spans_parquet(out_dir: str, n_spans: int, seed: int = 42) -> str:
-    """Write the four tables as parquet under ``out_dir`` (idempotent)."""
+    """Write all star tables as parquet under ``out_dir`` (idempotent)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     # v2: span_links / span_link_attrs added; v3: resource_id + resource
-    # attrs. Versioned marker forces stale caches to regenerate.
-    marker = os.path.join(out_dir, f"_SUCCESS.{n_spans}.{seed}.v3")
+    # attrs; v4: scope_id + scope attrs. Versioned marker forces stale
+    # caches to regenerate.
+    marker = os.path.join(out_dir, f"_SUCCESS.{n_spans}.{seed}.v4")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)

@@ -499,6 +499,32 @@ class TestMetricsStarSchema:
         scales = {r.scale for r in edp.select("scale").distinct().collect()}
         assert len(scales) > 1, "mixed scales required to exercise alignment"
 
+    def test_exemplar_and_summary_attr_tables(self, spark, workdir):
+        """v4 instances (HISTOGRAM_DP_EXEMPLARS / EXP_HISTOGRAM_DP_EXEMPLARS
+        / SUMMARY_DP_ATTRS): ancestry resolves to their own point tables,
+        exemplar trace/span ids are well-formed hex."""
+        from otel_arrow_spark.sources.metrics_star import write_metrics_parquet
+
+        p = write_metrics_parquet(f"{workdir}/metrics_fixture", 2000)
+        for dp_name, child_name in [
+            ("histogram_dp", "histogram_dp_exemplars"),
+            ("exp_histogram_dp", "exp_histogram_dp_exemplars"),
+            ("summary_dp", "summary_dp_attrs"),
+        ]:
+            dp = spark.read.parquet(f"{p}/{dp_name}.parquet")
+            child = spark.read.parquet(f"{p}/{child_name}.parquet")
+            assert child.count() > 0, child_name
+            dp_ids = {r.id for r in dp.select("id").collect()}
+            pids = {r.parent_id
+                    for r in child.select("parent_id").distinct().collect()}
+            assert pids <= dp_ids, child_name
+        ex = spark.read.parquet(f"{p}/histogram_dp_exemplars.parquet")
+        bad = ex.filter(
+            ~F.col("trace_id").rlike("^[0-9a-f]{32}$")
+            | ~F.col("span_id_hex").rlike("^[0-9a-f]{16}$")
+        )
+        assert bad.count() == 0
+
 
 class TestCardinalityCap:
     def test_early_flush_and_exact_merge(self, spark):

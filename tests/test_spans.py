@@ -125,3 +125,22 @@ def test_cascade_matches_duckdb(spark, tables, workdir):
         tables["spans"], tables["span_events"], F.col("status_code") == 2
     )
     assert kept_events.count() == want
+
+
+def test_scope_attrs(spark, tables, workdir):
+    """v4 SCOPE_ATTRS (data_model.md:357-366): every span's scope_id
+    resolves, each scope carries the 3 library keys exactly once, and the
+    scope dimension supports a library-level rollup."""
+    p = f"{workdir}/spans_fixture"
+    spans = tables["spans"]
+    sattrs = spark.read.parquet(f"{p}/scope_attrs.parquet")
+    sids = {r.parent_id for r in sattrs.select("parent_id").distinct().collect()}
+    assert {r.scope_id for r in spans.select("scope_id").distinct().collect()} <= sids
+    per_scope = sattrs.groupBy("parent_id").agg(F.count_distinct("key").alias("nk"))
+    assert per_scope.filter(F.col("nk") != 3).count() == 0
+    lib = sattrs.filter(F.col("key") == "otel.library.name").select(
+        F.col("parent_id").alias("scope_id"), F.col("str").alias("library")
+    )
+    rolled = spans.join(F.broadcast(lib), "scope_id").groupBy("library").count()
+    assert rolled.count() == len(sids)
+    assert sum(r["count"] for r in rolled.collect()) == spans.count()
