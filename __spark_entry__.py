@@ -1018,12 +1018,15 @@ def q_fork_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     into two aggregation pipelines (the input plan executes once — fork
     persists it), handed off through an in-process topic, unioned with a
     branch tag. The oracle re-derives both branches as a UNION ALL."""
-    from otel_arrow_spark.operators.flow import fork, rebatch
+    from otel_arrow_spark.operators.flow import forked, rebatch
     from otel_arrow_spark.sources.topics import publish_topic, subscribe_topic
 
     e = _t(spark, sf_dir, "events")
     base = rebatch(e.select("event_type", "ts", "value"), 8)
-    by_type, by_hour = fork(
+    # forked owns persist/unpersist: the rebatched frame never pins
+    # storage memory past the with-block (the driver runs 50+ queries in
+    # one session)
+    with forked(
         base,
         [
             lambda d: d.groupBy(F.col("event_type").alias("key")).agg(
@@ -1037,14 +1040,9 @@ def q_fork_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.max("value"), 4).alias("metric"),
             ).withColumn("branch", F.lit("by_hour")),
         ],
-    )
-    publish_topic(by_type.unionByName(by_hour), "fork_demo")
-    out = subscribe_topic(spark, "fork_demo").select("branch", "key", "n", "metric")
-    # fork's contract: the caller unpersists after wiring the consumers —
-    # otherwise the rebatched frame pins storage memory for the session
-    # (the driver runs 50+ queries in one session)
-    base.unpersist()
-    return out
+    ) as (by_type, by_hour):
+        publish_topic(by_type.unionByName(by_hour), "fork_demo")
+    return subscribe_topic(spark, "fork_demo").select("branch", "key", "n", "metric")
 
 
 def q_partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

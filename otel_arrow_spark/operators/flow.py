@@ -12,7 +12,8 @@ Reference analogs:
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Iterator
+from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -51,10 +52,27 @@ def fork(df: DataFrame, fns: list[BranchFn]) -> list[DataFrame]:
 
     The input is persisted so the upstream plan executes once; callers
     unpersist after consuming all outputs (the fanout processor does the
-    same clone-to-N, fanout_processor/mod.rs:1).
+    same clone-to-N, fanout_processor/mod.rs:1). Prefer ``forked`` — the
+    context-manager form that owns the unpersist.
     """
     df.persist()
     return [fn(df) for fn in fns]
+
+
+@contextmanager
+def forked(df: DataFrame, fns: list[BranchFn]) -> Iterator[list[DataFrame]]:
+    """``fork`` without the caller-must-unpersist footgun: the shared
+    input is persisted on entry and unpersisted on exit, so consume (or
+    wire up) every branch inside the ``with`` block::
+
+        with forked(base, [a_fn, b_fn]) as (a, b):
+            a.write...; b.write...
+    """
+    df.persist()
+    try:
+        yield [fn(df) for fn in fns]
+    finally:
+        df.unpersist()
 
 
 def rebatch(df: DataFrame, n_partitions: int) -> DataFrame:

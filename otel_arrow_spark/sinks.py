@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import time
 from collections.abc import Callable
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -125,6 +126,108 @@ def retry_with_backoff(
                 interval = min(interval * multiplier, max_interval)
     assert last is not None
     raise last
+
+
+@dataclass
+class FanoutPort:
+    """One fan-out destination (fanout_processor README:22-62): a named
+    port whose sink is any callable(df); optional fallback routing and a
+    per-port retry budget (retry-then-fallback)."""
+
+    name: str
+    sink: Callable[[DataFrame], object]
+    primary: bool = False
+    fallback_for: str | None = None
+    max_attempts: int = 1
+
+
+class FanoutDeliveryError(IOError):
+    """Raised when the ack policy is unsatisfied; carries the per-port
+    lineage so the caller can see which ports did deliver."""
+
+    def __init__(self, msg: str, lineage: dict):
+        super().__init__(msg)
+        self.lineage = lineage
+
+
+def fanout_with_policy(
+    df: DataFrame,
+    ports: list[FanoutPort],
+    await_ack: str = "primary",
+    persist: bool = True,
+    initial_interval: float = 0.01,
+) -> dict:
+    """Fan-out with ack policies and per-port failover (fanout_processor
+    README:12-40,70-120): the SAME frame goes to every non-fallback port
+    (clone-to-N; content routing is the router's job, not fan-out's);
+    a port that fails after its retry budget falls back to the port
+    declared ``fallback_for`` it; the ack policy decides what the caller
+    sees — ``all``: every port must deliver (directly or via fallback),
+    ``primary``: only the primary port's delivery gates success,
+    ``none``: fire-and-forget, outcomes recorded but never raised.
+
+    Returns the lineage: per-port status (``ok`` / ``fell_back`` /
+    ``failed``), the port that actually received each batch
+    (``delivered_via``), attempts, and the final error text — the
+    which-port-got-it record the README's inflight tracking keeps.
+
+    Spark mapping: each delivery is a driver-side action on a persisted
+    frame (scan+parse run once); per-task retries stay Spark's own
+    spark.task.maxFailures, this layer owns sink-level (driver) failures
+    exactly like retry_with_backoff.
+    """
+    if await_ack not in ("all", "primary", "none"):
+        raise ValueError(f"await_ack must be all|primary|none, got {await_ack!r}")
+    fallbacks = {p.fallback_for: p for p in ports if p.fallback_for}
+    unknown = [f for f in fallbacks if f not in {p.name for p in ports}]
+    if unknown:
+        raise ValueError(f"fallback_for references unknown port(s): {unknown}")
+    targets = [p for p in ports if p.fallback_for is None]
+
+    if persist:
+        df = df.persist()
+    lineage: dict = {"ports": {}, "await_ack": await_ack}
+    try:
+        for port in targets:
+            record = {"status": "ok", "delivered_via": port.name,
+                      "attempts": 0, "error": None}
+
+            def _deliver(p: FanoutPort) -> BaseException | None:
+                try:
+                    retry_with_backoff(
+                        lambda: p.sink(df),
+                        max_attempts=p.max_attempts,
+                        initial_interval=initial_interval,
+                    )
+                    return None
+                except Exception as ex:  # noqa: BLE001 — sink errors are data
+                    return ex
+
+            err = _deliver(port)
+            record["attempts"] = port.max_attempts if err else 1
+            if err is not None and port.name in fallbacks:
+                fb = fallbacks[port.name]
+                fb_err = _deliver(fb)
+                if fb_err is None:
+                    record.update(status="fell_back", delivered_via=fb.name,
+                                  error=str(err))
+                else:
+                    record.update(status="failed", delivered_via=None,
+                                  error=f"{err}; fallback {fb.name}: {fb_err}")
+            elif err is not None:
+                record.update(status="failed", delivered_via=None, error=str(err))
+            lineage["ports"][port.name] = record
+    finally:
+        if persist:
+            df.unpersist()
+
+    failed = [n for n, r in lineage["ports"].items() if r["status"] == "failed"]
+    primary = next((p.name for p in targets if p.primary), None)
+    if await_ack == "all" and failed:
+        raise FanoutDeliveryError(f"undelivered port(s): {failed}", lineage)
+    if await_ack == "primary" and primary in failed:
+        raise FanoutDeliveryError(f"primary port {primary} undelivered", lineage)
+    return lineage
 
 
 def error_sink(df: DataFrame) -> None:

@@ -80,6 +80,45 @@ def stream_pipeline(
     return writer.start()
 
 
+def stream_syslog_parse(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming syslog/CEF ingestion: a text file-stream of raw lines
+    (the sandbox stand-in for the reference's live TCP/UDP listener —
+    receivers/syslog_cef_receiver/mod.rs — a log shipper tailing into a
+    directory is the same contract: lines arrive continuously, each
+    micro-batch parses the new ones) → parse_syslog → parquet sink.
+
+    The batch parser runs UNMODIFIED on the stream (the shared
+    PipelineStage property): one Arrow-batched pandas UDF per micro-batch,
+    no per-line Python. Unparseable lines degrade to format='unknown' and
+    are KEPT (parser/mod.rs:41-43) — a receiver never drops data on a
+    parse failure. Checkpoint = WAL: restart never re-parses a committed
+    batch (exactly-once file sink).
+    """
+    from otel_arrow_spark.sources.syslog import parse_syslog
+
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = reader.text(input_dir).withColumnRenamed("value", "line")
+    parsed = parse_syslog(lines)
+    writer = (
+        parsed.writeStream.format("parquet")
+        .option("path", f"{output_dir}/syslog")
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_histogram_reaggregation(
     spark: SparkSession,
     input_dir: str,

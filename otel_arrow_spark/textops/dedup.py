@@ -609,18 +609,20 @@ def connected_components(
 
     # one propagation per round, convergence checked every round: the
     # check costs one tiny job over the just-checkpointed labels (no
-    # shuffle, no join — the old label rides along), so for the common
-    # fast-converging template-family graphs total work is the minimum
-    # diameter+1 propagations (batching two steps per check was measured
-    # 1.7x slower here: it always pays 2x propagations per check)
-    changed = None
+    # shuffle, no join — the old label rides along) and short-circuits on
+    # the FIRST changed row (isEmpty scans partitions incrementally;
+    # a full count() per round was the prior version's overhead), so for
+    # the common fast-converging template-family graphs total work is the
+    # minimum diameter+1 propagations (batching two steps per check was
+    # measured 1.7x slower here: it always pays 2x propagations per check)
+    converged = False
     for _ in range(max_iter):
         new = propagate(labels).localCheckpoint()
-        changed = new.where(F.col("comp") < F.col("old")).count()
+        converged = new.where(F.col("comp") < F.col("old")).isEmpty()
         labels = new.select("id", "comp")
-        if changed == 0:
+        if converged:
             break
-    if changed:
+    if not converged:
         # returning silently-partial labels would let duplicates survive
         # dedup_cluster_representatives as fake "representatives"
         raise RuntimeError(

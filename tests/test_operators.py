@@ -459,3 +459,15 @@ class TestIntervalJoinProperties:
             assert got == want
 
         run()
+
+
+def test_forked_context_manager_unpersists(spark):
+    """forked owns the persist lifecycle: persisted inside the block,
+    unpersisted on exit — no caller-side unpersist needed."""
+    from otel_arrow_spark.operators.flow import forked
+
+    df = spark.createDataFrame([(1,), (2,), (3,)], "x long")
+    with forked(df, [lambda d: d.filter("x=1"), lambda d: d.filter("x>=2")]) as (a, b):
+        assert df.storageLevel.useMemory  # persisted inside the block
+        assert a.count() == 1 and b.count() == 2
+    assert not df.storageLevel.useMemory  # released on exit

@@ -164,3 +164,144 @@ def test_write_table_zstd_roundtrip(spark, tiny_transcripts, workdir):
         )
 
     assert size(b) < size(a)
+
+
+class TestFanoutPolicy:
+    """Fan-out ack policies + per-port failover (fanout_processor
+    README:12-40): retry-then-fallback, lineage records the port that
+    actually received each batch, ack policy decides what raises."""
+
+    @staticmethod
+    def _df(spark):
+        return spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+
+    def test_all_ports_deliver(self, spark, workdir):
+        from otel_arrow_spark.sinks import FanoutPort, fanout_with_policy, noop_sink
+
+        dest = f"{workdir}/fanout_ok"
+        lineage = fanout_with_policy(
+            self._df(spark),
+            [
+                FanoutPort("primary_export", primary=True,
+                           sink=lambda d: d.write.mode("overwrite").parquet(dest)),
+                FanoutPort("analytics_export", sink=noop_sink),
+            ],
+            await_ack="all",
+        )
+        assert {r["status"] for r in lineage["ports"].values()} == {"ok"}
+        assert lineage["ports"]["primary_export"]["delivered_via"] == "primary_export"
+        assert spark.read.parquet(dest).count() == 2
+
+    def test_fallback_receives_after_primary_nack(self, spark, workdir):
+        from otel_arrow_spark.sinks import FanoutPort, error_sink, fanout_with_policy
+
+        dest = f"{workdir}/fanout_fb"
+        lineage = fanout_with_policy(
+            self._df(spark),
+            [
+                FanoutPort("primary_export", primary=True, sink=error_sink,
+                           max_attempts=2),
+                FanoutPort("backup_export", fallback_for="primary_export",
+                           sink=lambda d: d.write.mode("overwrite").parquet(dest)),
+            ],
+            await_ack="primary",
+        )
+        rec = lineage["ports"]["primary_export"]
+        assert rec["status"] == "fell_back"
+        assert rec["delivered_via"] == "backup_export"
+        assert "error_sink" in rec["error"]
+        assert spark.read.parquet(dest).count() == 2  # the batch DID land
+
+    def test_primary_nack_without_fallback_fails_request(self, spark):
+        import pytest as _pytest
+
+        from otel_arrow_spark.sinks import (
+            FanoutDeliveryError, FanoutPort, error_sink, fanout_with_policy,
+            noop_sink,
+        )
+
+        with _pytest.raises(FanoutDeliveryError) as ei:
+            fanout_with_policy(
+                self._df(spark),
+                [
+                    FanoutPort("primary_export", primary=True, sink=error_sink),
+                    FanoutPort("analytics_export", sink=noop_sink),
+                ],
+                await_ack="primary",
+            )
+        assert ei.value.lineage["ports"]["primary_export"]["status"] == "failed"
+        assert ei.value.lineage["ports"]["analytics_export"]["status"] == "ok"
+
+    def test_secondary_nack_ignored_under_primary_policy(self, spark):
+        from otel_arrow_spark.sinks import (
+            FanoutPort, error_sink, fanout_with_policy, noop_sink,
+        )
+
+        lineage = fanout_with_policy(
+            self._df(spark),
+            [
+                FanoutPort("primary_export", primary=True, sink=noop_sink),
+                FanoutPort("flaky_export", sink=error_sink),
+            ],
+            await_ack="primary",
+        )
+        assert lineage["ports"]["flaky_export"]["status"] == "failed"
+        assert lineage["ports"]["primary_export"]["status"] == "ok"
+
+    def test_none_policy_never_raises(self, spark):
+        from otel_arrow_spark.sinks import FanoutPort, error_sink, fanout_with_policy
+
+        lineage = fanout_with_policy(
+            self._df(spark),
+            [FanoutPort("primary_export", primary=True, sink=error_sink)],
+            await_ack="none",
+        )
+        assert lineage["ports"]["primary_export"]["status"] == "failed"
+
+    def test_all_policy_raises_on_any_failure(self, spark):
+        import pytest as _pytest
+
+        from otel_arrow_spark.sinks import (
+            FanoutDeliveryError, FanoutPort, error_sink, fanout_with_policy,
+            noop_sink,
+        )
+
+        with _pytest.raises(FanoutDeliveryError, match="flaky_export"):
+            fanout_with_policy(
+                self._df(spark),
+                [
+                    FanoutPort("primary_export", primary=True, sink=noop_sink),
+                    FanoutPort("flaky_export", sink=error_sink),
+                ],
+                await_ack="all",
+            )
+
+    def test_unknown_fallback_rejected(self, spark):
+        import pytest as _pytest
+
+        from otel_arrow_spark.sinks import FanoutPort, fanout_with_policy, noop_sink
+
+        with _pytest.raises(ValueError, match="unknown port"):
+            fanout_with_policy(
+                self._df(spark),
+                [FanoutPort("backup", fallback_for="nope", sink=noop_sink)],
+            )
+
+    def test_retry_then_success_counts_attempts(self, spark):
+        from otel_arrow_spark.sinks import FanoutPort, fanout_with_policy
+
+        calls = {"n": 0}
+
+        def flaky(d):
+            calls["n"] += 1
+            if calls["n"] < 3:
+                raise IOError("transient")
+
+        lineage = fanout_with_policy(
+            self._df(spark),
+            [FanoutPort("primary_export", primary=True, sink=flaky,
+                        max_attempts=5)],
+            await_ack="primary",
+        )
+        assert calls["n"] == 3
+        assert lineage["ports"]["primary_export"]["status"] == "ok"

@@ -188,3 +188,49 @@ def test_stream_interval_join_matches_batch(spark, tiny_transcripts, workdir):
                  for r in exp.collect()}
     assert got_pairs == exp_pairs
     assert len(got_pairs) > 0
+
+
+def test_stream_syslog_matches_batch(spark, workdir):
+    """Streaming syslog ingestion == batch parse_syslog on the same lines
+    (the receiver's live-listener path vs the batch path), including
+    format='unknown' rows kept, across two micro-batch files."""
+    import os
+
+    from otel_arrow_spark.sources.syslog import generate_syslog_lines, parse_syslog
+    from otel_arrow_spark.streaming.jobs import stream_syslog_parse
+
+    indir = f"{workdir}/syslog_in"
+    os.makedirs(indir, exist_ok=True)
+    lines = generate_syslog_lines(600)
+    # two files → at least two source splits; maxFilesPerTrigger=1 forces
+    # two distinct micro-batches through the checkpoint
+    with open(f"{indir}/a.log", "w") as f:
+        f.write("\n".join(lines[:300]) + "\n")
+    with open(f"{indir}/b.log", "w") as f:
+        f.write("\n".join(lines[300:]) + "\n")
+
+    out = f"{workdir}/syslog_stream_out"
+    q = stream_syslog_parse(
+        spark, indir, out, f"{workdir}/syslog_ckpt",
+        available_now=True, max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(f"{out}/syslog")
+
+    batch = parse_syslog(spark.createDataFrame([(l,) for l in lines], "line string"))
+
+    def canon(df):
+        # MAP columns break exceptAll (Spark set-op limit) → serialize to
+        # a key-sorted json string before the order-insensitive compare
+        return df.withColumn(
+            "cef_extensions",
+            F.to_json(F.sort_array(F.map_entries("cef_extensions"))),
+        )
+
+    assert_df_equal(
+        canon(got).orderBy("line"),
+        canon(batch.select(*got.columns)).orderBy("line"),
+        "stream vs batch syslog parse",
+    )
+    fmts = {r.format for r in got.select("format").distinct().collect()}
+    assert fmts == {"rfc5424", "rfc3164", "cef", "unknown"}
