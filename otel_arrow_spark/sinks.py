@@ -46,6 +46,25 @@ def iceberg_catalog(df: DataFrame) -> str | None:
     return None
 
 
+def iceberg_write_plan(
+    catalog: str, target: str, mode: str = "overwrite"
+) -> dict:
+    """Marshal an Iceberg v2 write into its invocation plan (the
+    contract-testable half, split from the jar-gated call exactly like
+    kafka_options/clickhouse_options): the fully-qualified table name and
+    the DataFrameWriterV2 method to invoke. Partition spec and write
+    ordering belong on the table DDL in Iceberg, not the writer — the
+    writer's job is only name + mode.
+    """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"iceberg write mode must be overwrite|append, got {mode!r}")
+    qualified = target if target.startswith(f"{catalog}.") else f"{catalog}.{target}"
+    return {
+        "table": qualified,
+        "method": "createOrReplace" if mode == "overwrite" else "append",
+    }
+
+
 def write_table(
     df: DataFrame,
     target: str,
@@ -65,13 +84,22 @@ def write_table(
     """
     order = [c for c in (*partition_by, *sort_cols) if c in df.columns]
     out = df.sortWithinPartitions(*order) if order else df
-    if iceberg_catalog(df):
-        writer = out.writeTo(target)
-        if mode == "overwrite":
-            writer.createOrReplace()
-        else:
-            writer.append()
-        return target
+    catalog = iceberg_catalog(df)
+    if catalog:
+        plan = iceberg_write_plan(catalog, target, mode)
+        writer = out.writeTo(plan["table"])
+        try:
+            getattr(writer, plan["method"])()
+        except Exception as ex:
+            if _is_missing_package(ex):
+                raise RuntimeError(
+                    f"Iceberg catalog '{catalog}' is configured but the "
+                    "iceberg-spark-runtime jar is not on the classpath — "
+                    "add it via spark.jars.packages, or unset the catalog "
+                    "conf to fall back to partitioned parquet"
+                ) from ex
+            raise
+        return plan["table"]
     w = out.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)

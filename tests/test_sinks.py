@@ -305,3 +305,55 @@ class TestFanoutPolicy:
         )
         assert calls["n"] == 3
         assert lineage["ports"]["primary_export"]["status"] == "ok"
+
+
+class TestIcebergGating:
+    """Iceberg option wiring, contract-tested without the jar (the
+    kafka/clickhouse gated-sink pattern applied to the table format)."""
+
+    def test_write_plan_marshaling(self):
+        from otel_arrow_spark.sinks import iceberg_write_plan
+
+        p = iceberg_write_plan("local", "db.routed", "overwrite")
+        assert p == {"table": "local.db.routed", "method": "createOrReplace"}
+        p2 = iceberg_write_plan("local", "local.db.routed", "append")
+        assert p2 == {"table": "local.db.routed", "method": "append"}
+        with pytest.raises(ValueError, match="overwrite|append"):
+            iceberg_write_plan("local", "db.t", "merge")
+
+    def test_catalog_detection(self, spark):
+        from otel_arrow_spark.sinks import iceberg_catalog
+
+        df = spark.range(1)
+        assert iceberg_catalog(df) is None  # no catalog conf in the sandbox
+        spark.conf.set(
+            "spark.sql.catalog.local", "org.apache.iceberg.spark.SparkCatalog"
+        )
+        try:
+            assert iceberg_catalog(df) == "local"
+        finally:
+            spark.conf.unset("spark.sql.catalog.local")
+        assert iceberg_catalog(df) is None
+
+    def test_write_table_gated_with_clear_error(self, spark, workdir):
+        """With the catalog conf set but no jar, write_table fails with an
+        actionable error naming the missing runtime — never a silent
+        parquet fallback that would hide a misconfigured cluster."""
+        from otel_arrow_spark.sinks import write_table
+
+        df = spark.createDataFrame([(1, "a")], "conv_id long, text string")
+        spark.conf.set(
+            "spark.sql.catalog.local", "org.apache.iceberg.spark.SparkCatalog"
+        )
+        try:
+            with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+                write_table(df, "db.routed")
+        finally:
+            spark.conf.unset("spark.sql.catalog.local")
+
+    def test_parquet_fallback_without_catalog(self, spark, workdir):
+        from otel_arrow_spark.sinks import write_table
+
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "conv_id long, text string")
+        out = write_table(df, f"{workdir}/iceberg_fallback")
+        assert spark.read.parquet(out).count() == 2
