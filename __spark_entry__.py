@@ -1525,6 +1525,30 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_logs_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOGS star encode/decode round-trip (data_model.md:245-307; the
+    OTLP→OTAP→OTLP encode/decode core, go/pkg/otel/logs/arrow/logs.go):
+    flat parsed transcripts → {logs, log_attrs, resource_attrs,
+    scope_attrs} → decoded back → aggregate. The oracle derives the same
+    aggregate DIRECTLY from the raw corpus, so equality proves the star
+    round-trip lost nothing — the reference's batch-equivalence test as a
+    driver row."""
+    from otel_arrow_spark.operators.enrich import enrich
+    from otel_arrow_spark.operators.logs_star import (
+        decode_logs_star,
+        encode_logs_star,
+    )
+    from otel_arrow_spark.operators.parse import parse_transcripts
+
+    flat = enrich(parse_transcripts(_transcripts(spark, sf_dir)), spark)
+    back = decode_logs_star(encode_logs_star(flat))
+    return back.groupBy("severity_text", "tool", "owner").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("text")).alias("sum_len"),
+        F.countDistinct("trace_id").alias("n_traces"),
+    )
+
+
 def q_exemplar_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HISTOGRAM_DP_EXEMPLARS / EXP_HISTOGRAM_DP_EXEMPLARS
     (data_model.md:191-199, 228-236): exemplars hang off their point
@@ -1605,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every query gets a periodic driver row."""
     return {
         # --- new / changed this round (r4) ---
+        "logs_star": q_logs_star,
         "exemplar_star": q_exemplar_star,
         "scope_attrs": q_scope_attrs,
         "asof_join": q_asof_join,          # ADVICE fix: struct fill
@@ -2504,6 +2529,23 @@ def oracle_sql() -> dict[str, str]:
         # parquet under .cache/ first (the driver runs the Spark side before
         # the oracle), so DuckDB reads the identical bytes. The correctness
         # gate runs at sf=0.01 → n=100000 transcripts / n=20000 syslog lines.
+        "logs_star": f"""
+            WITH p AS (
+                SELECT tool, text,
+                       NULLIF(regexp_extract(text,
+                           '^(TRACE|DEBUG|INFO|WARN|ERROR|FATAL) \\[([a-z]+)\\] ([\\s\\S]*)$', 1), '') AS severity_text,
+                       NULLIF(regexp_extract(text,
+                           '^span trace=([0-9a-f]{{32}}) span=([0-9a-f]{{16}}) event=(\\w+\\.\\w+)$', 1), '') AS trace_id
+                FROM read_parquet('{_REPO}/.cache/transcripts/n100000/*.parquet'))
+            SELECT severity_text, tool,
+                   CASE WHEN tool IS NOT NULL THEN
+                       'team_' || CAST(CAST(substring(tool, 6, 2) AS INT) % 5 AS VARCHAR)
+                   END AS owner,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_len,
+                   CAST(count(DISTINCT trace_id) AS BIGINT) AS n_traces
+            FROM p GROUP BY 1, 2, 3
+        """,
         "transcripts_routed": f"""
             WITH p AS (
                 SELECT conv_id, turn_idx, role, tool,
