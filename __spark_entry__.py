@@ -1525,6 +1525,21 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (textops/chunking.py): overlapping
+    token-window segmentation for embedding/RAG pipelines — pure
+    expressions, zero shuffle; the oracle replays window arithmetic with
+    DuckDB lateral unnest over range()."""
+    from otel_arrow_spark.textops.chunking import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    out = chunk_documents(d, window=32, overlap=8)
+    return out.select(
+        "doc_id", "chunk_idx", "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
 def q_logs_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LOGS star encode/decode round-trip (data_model.md:245-307; the
     OTLP→OTAP→OTLP encode/decode core, go/pkg/otel/logs/arrow/logs.go):
@@ -1629,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every query gets a periodic driver row."""
     return {
         # --- new / changed this round (r4) ---
+        "chunk_docs": q_chunk_docs,
         "logs_star": q_logs_star,
         "exemplar_star": q_exemplar_star,
         "scope_attrs": q_scope_attrs,
@@ -2529,6 +2545,23 @@ def oracle_sql() -> dict[str, str]:
         # parquet under .cache/ first (the driver runs the Spark side before
         # the oracle), so DuckDB reads the identical bytes. The correctness
         # gate runs at sf=0.01 → n=100000 transcripts / n=20000 syslog lines.
+        "chunk_docs": """
+            WITH d AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents),
+            n AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+            c AS (
+                SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+                       CAST(ci * 24 AS INT) AS start,
+                       CAST(least(32, n - ci * 24) AS INT) AS n_chunk_tokens,
+                       toks
+                FROM n, unnest(range(greatest(
+                    CAST(ceil((n - 8) / 24.0) AS BIGINT), 1))) AS t(ci))
+            SELECT doc_id, chunk_idx, n_chunk_tokens,
+                   md5(array_to_string(
+                       toks[start + 1 : start + n_chunk_tokens], ' ')) AS chunk_md5
+            FROM c
+        """,
         "logs_star": f"""
             WITH p AS (
                 SELECT tool, text,
