@@ -1525,6 +1525,24 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (textops/dedup.py semantic_dedup):
+    deterministic coarse clusters bound the pairwise cosine search;
+    lower-id clustermates win. Threshold 0.42 sits just under the
+    synthetic fixture's planted near-dup band (max pairwise cosine ≈0.51)
+    so the loser path is actually exercised; the oracle replays the
+    centroid assignment (inlined literals) and the round-then-compare
+    pairwise stage in SQL."""
+    from otel_arrow_spark.textops.dedup import semantic_dedup
+    from otel_arrow_spark.textops.ivf import deterministic_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = deterministic_centroids(e, 8)
+    return semantic_dedup(e, cents, threshold=0.42).select(
+        "vec_id", F.col("cluster_id").cast("int").alias("cluster_id")
+    )
+
+
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking (textops/chunking.py): overlapping
     token-window segmentation for embedding/RAG pipelines — pure
@@ -1644,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every query gets a periodic driver row."""
     return {
         # --- new / changed this round (r4) ---
+        "semantic_dedup": q_semantic_dedup,
         "chunk_docs": q_chunk_docs,
         "logs_star": q_logs_star,
         "exemplar_star": q_exemplar_star,
@@ -1769,6 +1788,44 @@ def _ivf_oracle_sql() -> str:
                          ORDER BY round(cosine, 9) DESC, vec_id) AS rank
               FROM cand)
         SELECT query_id, vec_id, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
+    """
+
+
+def _semantic_dedup_oracle_sql(threshold: float = 0.42, k: int = 8) -> str:
+    """SemDeDup oracle: inline the deterministic centroids (first k by
+    vec_id, L2-normalized — same recipe as _ivf_oracle_sql), replay the
+    argmax assignment with the identical sim-DESC-then-cid tie-break,
+    then the within-cluster keep-first pairwise stage with the same
+    round-then-compare threshold."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_EMB_SF001, columns=["vec_id", "embedding"]).to_pandas()
+    t = t.sort_values("vec_id").head(k)
+    x = np.asarray(list(t["embedding"]), dtype=np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cent_rows = ", ".join(
+        "({}, [{}])".format(i, ", ".join(repr(float(v)) for v in x[i]))
+        for i in range(len(x))
+    )
+    return f"""
+        WITH ed AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+        cents(cid, c) AS (VALUES {cent_rows}),
+        assigned AS (
+            SELECT e.vec_id, e.v,
+                   (SELECT c2.cid FROM cents c2
+                    ORDER BY list_cosine_similarity(e.v, c2.c) DESC, c2.cid
+                    LIMIT 1) AS cluster_id
+            FROM ed e),
+        losers AS (
+            SELECT DISTINCT a.vec_id
+            FROM assigned a JOIN assigned b
+              ON a.cluster_id = b.cluster_id AND a.vec_id > b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold!r})
+        SELECT a.vec_id, CAST(a.cluster_id AS INT) AS cluster_id
+        FROM assigned a ANTI JOIN losers l ON a.vec_id = l.vec_id
     """
 
 
@@ -2909,6 +2966,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "ivf_topk": _ivf_oracle_sql(),
+        "semantic_dedup": _semantic_dedup_oracle_sql(),
         "similarity_lsh": _lsh_oracle_sql(),
         "dedup_embedding": _emb_neardup_oracle_sql(),
         "dedup_ngram": """

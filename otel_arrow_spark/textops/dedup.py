@@ -554,6 +554,61 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): coarse
+    k-means clustering bounds the pairwise search, then within each
+    cluster any document whose cosine similarity to a LOWER-id clustermate
+    meets ``threshold`` is dropped (keep-first) — semantic near-duplicates
+    that shingle/MinHash methods miss (paraphrases, translations of
+    boilerplate) collapse to one representative.
+
+    Returns survivors as (``id_col``, ``cluster_id``).
+
+    Scale shape: cluster assignment is the IVF single scan
+    (textops/ivf.py assign_clusters — BLAS matmul per Arrow batch); the
+    pairwise stage is an equi-join ON cluster_id, so each pair is scored
+    exactly once inside its own cluster — never a corpus×corpus cross
+    join. Cost is Σ|cluster|² — the SemDeDup design point: k scales with
+    corpus size to keep clusters bounded (the paper uses k=50k for LAION;
+    here k is the caller's centroid count). Losers are an ids-only
+    distinct + one left-anti join.
+
+    The threshold compares ROUNDED cosine (6 dp) so boundary pairs land
+    on the same side in any engine replaying the plan (the DuckDB oracle
+    uses the identical round-then-compare).
+    """
+    from otel_arrow_spark.textops.ivf import assign_clusters
+
+    assigned = assign_clusters(corpus, centroids, vec_col, id_col)
+    a = assigned.select(
+        F.col(id_col).alias("_ida"),
+        F.col(vec_col).cast("array<double>").alias("_va"),
+        "cluster_id",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_idb"),
+        F.col(vec_col).cast("array<double>").alias("_vb"),
+        "cluster_id",
+    )
+    losers = (
+        a.join(b, "cluster_id")
+        .where(F.col("_ida") > F.col("_idb"))
+        .where(
+            F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6)
+            >= F.lit(threshold)
+        )
+        .select(F.col("_ida").alias(id_col))
+        .distinct()
+    )
+    return assigned.select(id_col, "cluster_id").join(losers, id_col, "left_anti")
+
+
 # --- near-dup clustering (connected components) ---------------------------------
 
 

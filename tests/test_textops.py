@@ -559,3 +559,54 @@ class TestPacking:
         a = pack_sequences(df, ["grp"], "doc", "n", 256).collect()
         b = pack_sequences(df.repartition(13), ["grp"], "doc", "n", 256).collect()
         assert {tuple(r) for r in a} == {tuple(r) for r in b}
+
+
+class TestSemanticDedup:
+    def test_cluster_scoped_keep_first(self, spark):
+        """Within a cluster the lower id survives; a near-identical pair
+        SPLIT across clusters both survive (the SemDeDup design point:
+        clustering bounds the search, cross-cluster dups are accepted
+        misses)."""
+        import numpy as np
+
+        from otel_arrow_spark.textops.dedup import semantic_dedup
+
+        # two orthogonal cluster directions
+        cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+        rows = [
+            (1, [1.0, 0.05]),   # cluster 0
+            (2, [1.0, 0.06]),   # cluster 0, ~identical to 1 → dropped
+            (3, [0.05, 1.0]),   # cluster 1
+            (4, [-0.9, 0.6]),   # cluster 1 (argmax), far from 3 → kept
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {r.vec_id: r.cluster_id
+               for r in semantic_dedup(df, cents, threshold=0.9).collect()}
+        assert out == {1: 0, 3: 1, 4: 1}
+
+    def test_matches_bruteforce(self, spark):
+        import numpy as np
+
+        from otel_arrow_spark.textops.dedup import semantic_dedup
+        from otel_arrow_spark.textops.ivf import deterministic_centroids
+
+        e = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet")
+        cents = deterministic_centroids(e, 4)
+        got = {r.vec_id for r in semantic_dedup(e, cents, 0.42).collect()}
+
+        rows = e.orderBy("vec_id").collect()
+        v = np.asarray([r.embedding for r in rows], dtype=np.float64)
+        ids = [r.vec_id for r in rows]
+        vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+        cl = (vn @ cents.T).argmax(axis=1)
+        want = set(ids)
+        for i in range(len(ids)):
+            for j in range(i):
+                if cl[i] == cl[j] and round(
+                    float(np.dot(v[i], v[j])
+                          / (np.linalg.norm(v[i]) * np.linalg.norm(v[j]))), 6
+                ) >= 0.42:
+                    want.discard(ids[i])
+                    break
+        assert got == want and len(want) < len(ids)
