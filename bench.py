@@ -56,6 +56,11 @@ HEADLINE_QUERIES = [
     "sessionize",
     "token_pack",
     "corpus_clean",
+    "logs_star",
+    "chunk_docs",
+    "semantic_dedup",
+    "exemplar_star",
+    "scope_attrs",
 ]
 
 

@@ -43,14 +43,21 @@ def asof_join(
     right_cols: Sequence[str] | None = None,
     prefix: str = "asof_",
     strict: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row gains the values of the latest
-    right row with ``right.on <= left.on`` (``<`` when ``strict``) within
-    the same ``by`` key; nulls where no right row precedes.
+    """As-of join: each left row gains the values of ONE right row within
+    the same ``by`` key — ``backward`` (default): the latest right with
+    ``right.on <= left.on`` (``<`` when ``strict``); ``forward``: the
+    earliest right with ``right.on >= left.on`` (``>`` when ``strict``).
+    Nulls where no right row qualifies.
 
     Right-side (key, on) pairs should be unique for deterministic output
-    (same contract as DuckDB ASOF JOIN, the oracle).
+    (same contract as DuckDB ASOF JOIN, the oracle — DuckDB expresses
+    direction via the inequality: ``l.ts >= r.ts`` backward,
+    ``l.ts <= r.ts`` forward).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     by = list(by)
     right_cols = list(
         right_cols
@@ -82,20 +89,27 @@ def asof_join(
         F.lit(None).cast(left.select(l_struct).schema["_lrow"].dataType).alias("_lrow"),
         r_struct,
     )
-    # At equal timestamps the right row must be visible to the left row for
-    # inclusive (<=) semantics → right sorts first (0 < 1); strict flips it.
-    order = [F.col("_ts")] + (
-        [F.col("_is_left").desc()] if strict else [F.col("_is_left")]
-    )
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # At equal timestamps the right row must be visible to the left row
+    # for the inclusive form and hidden for strict. Backward scans the
+    # frame (-∞, current] with last(); forward scans [current, +∞) with
+    # first(); visibility at ties is the _is_left sort direction.
+    if direction == "backward":
+        order = [F.col("_ts")] + (
+            [F.col("_is_left").desc()] if strict else [F.col("_is_left")]
+        )
+        frame = (Window.unboundedPreceding, Window.currentRow)
+        fill = F.last("_rrow", ignorenulls=True)
+    else:
+        order = [F.col("_ts")] + (
+            [F.col("_is_left")] if strict else [F.col("_is_left").desc()]
+        )
+        frame = (Window.currentRow, Window.unboundedFollowing)
+        fill = F.first("_rrow", ignorenulls=True)
+    w = Window.partitionBy(*by).orderBy(*order).rowsBetween(*frame)
     filled = lhs.unionByName(rhs).select(
         "_is_left",
         "_lrow",
-        F.last("_rrow", ignorenulls=True).over(w).alias("_asof"),
+        fill.over(w).alias("_asof"),
     )
     return filled.where(F.col("_is_left") == 1).select(
         "_lrow.*",

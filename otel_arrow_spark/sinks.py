@@ -111,6 +111,36 @@ def write_table(
     return target
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int = 64,
+    sort_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> str:
+    """Write a catalog table hash-bucketed on ``bucket_cols`` — the
+    co-located-join layout: two tables bucketed on the same key with the
+    same bucket count join WITHOUT a shuffle (each bucket pairs with its
+    counterpart; Catalyst drops both Exchanges), and a groupBy on the
+    bucket key skips its shuffle the same way.
+
+    This is the layout to write once and join many times at 100 TB —
+    e.g. the routed turns table and a conversation-metadata table both
+    bucketed by conv_id: every downstream conv-grain join/agg saves its
+    full-corpus shuffle. Pick ``n_buckets`` ≈ cluster cores × a small
+    factor; within-bucket ``sort_cols`` presorts for merge joins.
+
+    Requires a table name (bucketing metadata lives in the catalog, not
+    parquet files — plain-path writes cannot record it).
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table, format="parquet")
+    return table
+
+
 def console_sink(df: DataFrame, n: int = 20, truncate: bool = True) -> None:
     """Debug sink (console exporter analog)."""
     df.show(n, truncate=truncate)

@@ -471,3 +471,87 @@ def test_forked_context_manager_unpersists(spark):
         assert df.storageLevel.useMemory  # persisted inside the block
         assert a.count() == 1 and b.count() == 2
     assert not df.storageLevel.useMemory  # released on exit
+
+
+class TestAsofForward:
+    def test_forward_inclusive_and_strict(self, spark):
+        from otel_arrow_spark.operators.temporal_join import asof_join
+
+        left = spark.createDataFrame([("k", 10, "l")], "k string, ts long, lv string")
+        right = spark.createDataFrame(
+            [("k", 10, "r10"), ("k", 15, "r15"), ("k", 5, "r5")],
+            "k string, ts long, rv string")
+        incl = asof_join(left, right, by=["k"], on="ts",
+                         direction="forward").collect()[0]
+        strict = asof_join(left, right, by=["k"], on="ts",
+                           direction="forward", strict=True).collect()[0]
+        assert incl["asof_rv"] == "r10"   # >= : same-ts right visible
+        assert strict["asof_rv"] == "r15"  # > : next-later right
+
+    def test_forward_matches_duckdb_asof(self, spark):
+        import duckdb
+
+        from otel_arrow_spark.operators.temporal_join import asof_join
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        left = ev.where(F.col("event_type") == "error").select(
+            "event_id", "user_id", "ts")
+        right = ev.where(F.col("event_type") == "view").select(
+            "user_id", "ts", F.col("event_id").alias("vid"))
+        got = {r["event_id"]: r["asof_vid"]
+               for r in asof_join(left, right, by=["user_id"], on="ts",
+                                  direction="forward").collect()}
+        exp = duckdb.connect().execute("""
+            WITH e AS (SELECT * FROM read_parquet(
+                '/root/testdata/sf0.001/events.parquet')),
+            l AS (SELECT event_id, user_id, ts FROM e WHERE event_type='error'),
+            r AS (SELECT user_id, ts, event_id AS vid FROM e WHERE event_type='view')
+            SELECT l.event_id, r.vid
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts <= r.ts
+        """).fetchall()
+        assert len(exp) == len(got) > 0
+        for eid, vid in exp:
+            assert got[eid] == vid, eid
+
+    def test_bad_direction_rejected(self, spark):
+        from otel_arrow_spark.operators.temporal_join import asof_join
+
+        df = spark.createDataFrame([("k", 1)], "k string, ts long")
+        with pytest.raises(ValueError, match="backward|forward"):
+            asof_join(df, df, by=["k"], direction="sideways")
+
+    def test_forward_matches_bruteforce_random(self, spark):
+        from hypothesis import given, settings, strategies as st
+
+        from otel_arrow_spark.operators.temporal_join import asof_join
+
+        key = st.integers(min_value=0, max_value=2)
+        ts = st.integers(min_value=0, max_value=40)
+
+        @settings(max_examples=6, deadline=None)
+        @given(
+            lefts=st.lists(st.tuples(key, ts), min_size=1, max_size=12),
+            rights=st.dictionaries(st.tuples(key, ts),
+                                   st.integers(0, 99), max_size=12),
+        )
+        def run(lefts, rights):
+            ldf = spark.createDataFrame(
+                [(k, t, i) for i, (k, t) in enumerate(lefts)],
+                "k long, ts long, lid long")
+            if rights:
+                rdf = spark.createDataFrame(
+                    [(k, t, v) for (k, t), v in rights.items()],
+                    "k long, ts long, rv long")
+            else:
+                rdf = spark.createDataFrame([], "k long, ts long, rv long")
+            got = {r["lid"]: r["asof_rv"]
+                   for r in asof_join(ldf, rdf, by=["k"], on="ts",
+                                      direction="forward").collect()}
+            for i, (k, t) in enumerate(lefts):
+                cands = [(rt, v) for (rk, rt), v in rights.items()
+                         if rk == k and rt >= t]
+                want = min(cands)[1] if cands else None
+                assert got[i] == want, (i, k, t)
+
+        run()

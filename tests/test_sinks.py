@@ -357,3 +357,60 @@ class TestIcebergGating:
         df = spark.createDataFrame([(1, "a"), (2, "b")], "conv_id long, text string")
         out = write_table(df, f"{workdir}/iceberg_fallback")
         assert spark.read.parquet(out).count() == 2
+
+
+class TestBucketedCoLocation:
+    """write_bucketed produces the co-located layout: same-key same-count
+    bucketed tables join AND aggregate with zero Exchange."""
+
+    def test_bucketed_join_and_agg_shuffle_free(self, spark, tiny_transcripts):
+        from otel_arrow_spark.sinks import write_bucketed
+
+        df = spark.read.parquet(tiny_transcripts)
+        write_bucketed(
+            df.select("conv_id", "turn_idx", "role"),
+            "bkt_turns", ("conv_id",), 8, sort_cols=("conv_id",),
+        )
+        write_bucketed(
+            df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns")),
+            "bkt_convs", ("conv_id",), 8, sort_cols=("conv_id",),
+        )
+        a = spark.table("bkt_turns")
+        b = spark.table("bkt_convs")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = a.join(b, "conv_id")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan  # co-located: no shuffle either side
+            agg = a.groupBy("conv_id").count()
+            agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in agg_plan  # bucket key pre-partitions the agg
+            # and the join is still correct
+            assert joined.count() == a.count()
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.sql("DROP TABLE IF EXISTS bkt_turns")
+            spark.sql("DROP TABLE IF EXISTS bkt_convs")
+
+    def test_mismatched_bucket_counts_shuffle_one_side_only(self, spark, tiny_transcripts):
+        """Documented degradation: joining n vs 4n buckets re-shuffles only
+        the mismatched side (Spark coalesces/reshuffles one side), never
+        both — still half the cost of unbucketed."""
+        from otel_arrow_spark.sinks import write_bucketed
+
+        df = spark.read.parquet(tiny_transcripts)
+        write_bucketed(df.select("conv_id", "turn_idx"), "bkt8", ("conv_id",), 8)
+        write_bucketed(df.select("conv_id", "role"), "bkt16", ("conv_id",), 16)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
+        try:
+            plan = (
+                spark.table("bkt8").join(spark.table("bkt16"), "conv_id")
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert plan.count("Exchange hashpartitioning") <= 1
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.unset("spark.sql.bucketing.coalesceBucketsInJoin.enabled")
+            spark.sql("DROP TABLE IF EXISTS bkt8")
+            spark.sql("DROP TABLE IF EXISTS bkt16")
