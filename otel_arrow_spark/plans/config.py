@@ -32,6 +32,13 @@ Spec shape (YAML or JSON; JSON is a YAML subset so one loader serves both)::
     pack: {seq_len: 512}
     sink: {output_dir: /data/clean}
 
+    kind: transform                     # transform_processor/README.md:
+    source: {path: /data/logs, table: logs}   # kql_query / ottl in YAML
+    query:
+      opl: "logs | where severity_text == 'ERROR' | summarize n = count() by tool"
+      # or kql: "...", or ottl: [list of log_statements]
+    sink: {output_dir: /data/out}
+
 Unknown keys are ERRORS, not warnings — a typo'd option silently falling
 back to a default is the classic config footgun (the reference's serde
 spec parsing is strict the same way).
@@ -44,9 +51,11 @@ routed rows identical; only wall-clock timings may differ.
 from __future__ import annotations
 
 import json
+from dataclasses import dataclass
 from typing import Any
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from otel_arrow_spark.plans.corpus import CorpusConfig, run_corpus_clean
 from otel_arrow_spark.plans.pipeline import PipelineConfig, run_pipeline
@@ -56,7 +65,25 @@ class SpecError(ValueError):
     """Invalid pipeline spec (unknown key, missing field, bad type)."""
 
 
-_KINDS = ("telemetry_pipeline", "corpus_clean")
+_KINDS = ("telemetry_pipeline", "corpus_clean", "transform")
+
+
+@dataclass
+class TransformConfig:
+    """The transform processor's query-in-config deployment path
+    (transform_processor/README.md: ``kql_query`` / ``ottl.log_statements``
+    in YAML): one query-language program applied to a table.
+
+    ``language`` ∈ {opl, kql, ottl}; for opl/kql ``query`` is the program
+    text and ``table`` the source name it references; for ottl ``query``
+    is the ordered statement list.
+    """
+
+    input_path: str
+    output_dir: str
+    language: str
+    query: str | list
+    table: str = "logs"
 
 
 def load_spec(path: str) -> dict:
@@ -111,7 +138,46 @@ def _check_sections(spec: dict, allowed: set[str]) -> None:
         raise SpecError(f"unknown top-level key(s) {unknown} (allowed: {sorted(allowed)})")
 
 
-def spec_to_config(spec: dict) -> PipelineConfig | CorpusConfig:
+def run_transform(spark: SparkSession, cfg: TransformConfig) -> dict:
+    """Execute a config-declared query program; write each output port to
+    ``{out}/<port>/`` parquet; return the manifest (rows per port counted
+    by observe() riding each write — no extra count jobs)."""
+    import json as _json
+    import os
+
+    from pyspark.sql import Observation
+
+    from otel_arrow_spark.plans.opl import run_opl
+    from otel_arrow_spark.plans.ottl import run_ottl
+
+    df = spark.read.parquet(cfg.input_path)
+    if cfg.language in ("opl", "kql"):
+        res = run_opl(cfg.query, {cfg.table: df})
+        outputs = {"default": res.default}
+        outputs.update({f"port_{name}": frame for name, frame in res.ports.items()})
+    else:
+        outputs = {"default": run_ottl(df, cfg.query)}
+
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    manifest: dict = {
+        "config": {"input": cfg.input_path, "language": cfg.language},
+        "metrics": {},
+        "sinks": {},
+    }
+    for name, frame in outputs.items():
+        path = os.path.join(cfg.output_dir, name)
+        obs = Observation(f"transform_{name}")
+        frame.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).parquet(path)
+        manifest["metrics"][f"rows_{name}"] = obs.get["rows"]
+        manifest["sinks"][name] = path
+    with open(os.path.join(cfg.output_dir, "MANIFEST.json"), "w") as f:
+        _json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest
+
+
+def spec_to_config(spec: dict) -> PipelineConfig | CorpusConfig | TransformConfig:
     """Validate a spec dict and build the matching plan config."""
     kind = spec.get("kind")
     if kind not in _KINDS:
@@ -138,6 +204,29 @@ def spec_to_config(spec: dict) -> PipelineConfig | CorpusConfig:
             agg_keys=tuple(keys),
             salted=agg.get("salted", False),
             n_salts=agg.get("n_salts", 16),
+        )
+
+    if kind == "transform":
+        _check_sections(spec, {"kind", "source", "query", "sink"})
+        source = _section(
+            spec, "source", {"path": str, "table": str}, required=("path",)
+        )
+        query = _section(
+            spec, "query", {"opl": str, "kql": str, "ottl": list}
+        )
+        sink = _section(spec, "sink", {"output_dir": str}, required=("output_dir",))
+        langs = [k for k in ("opl", "kql", "ottl") if k in query]
+        if len(langs) != 1:
+            raise SpecError(
+                f"section 'query' needs exactly one of opl|kql|ottl, got {langs}"
+            )
+        lang = langs[0]
+        return TransformConfig(
+            input_path=source["path"],
+            output_dir=sink["output_dir"],
+            language=lang,
+            query=query[lang],
+            table=source.get("table", "logs"),
         )
 
     _check_sections(
@@ -182,4 +271,6 @@ def run_from_spec(
         setattr(cfg, k, v)
     if isinstance(cfg, PipelineConfig):
         return run_pipeline(spark, cfg, resume=resume).manifest
+    if isinstance(cfg, TransformConfig):
+        return run_transform(spark, cfg)
     return run_corpus_clean(spark, cfg, resume=resume)

@@ -192,3 +192,57 @@ class TestJobCli:
 
         with pytest.raises(SystemExit):
             job.main(["--input", "/only/input"])
+
+
+class TestTransformSpec:
+    """The transform processor's query-in-config path
+    (transform_processor/README.md: kql_query / ottl in YAML)."""
+
+    def test_opl_transform_with_ports(self, spark, tiny_transcripts, workdir, tmp_path):
+        out = f"{workdir}/transform_spec_out"
+        spec_file = tmp_path / "t.yaml"
+        spec_file.write_text(
+            "kind: transform\n"
+            f"source: {{path: {tiny_transcripts}, table: logs}}\n"
+            "query:\n"
+            "  opl: \"logs | if (role == 'assistant') { route_to 'model' } "
+            "else { route_to 'other' }\"\n"
+            f"sink: {{output_dir: {out}}}\n"
+        )
+        manifest = run_from_spec(spark, str(spec_file))
+        assert set(manifest["sinks"]) == {"default", "port_model", "port_other"}
+        n_model = spark.read.parquet(manifest["sinks"]["port_model"]).count()
+        n_other = spark.read.parquet(manifest["sinks"]["port_other"]).count()
+        df = spark.read.parquet(tiny_transcripts)
+        assert n_model == df.where("role = 'assistant'").count()
+        assert n_model + n_other == df.count()
+        assert manifest["metrics"]["rows_port_model"] == n_model
+
+    def test_kql_and_ottl_forms(self, spark, tiny_transcripts, workdir):
+        kql = run_from_spec(spark, {
+            "kind": "transform",
+            "source": {"path": tiny_transcripts, "table": "logs"},
+            "query": {"kql": "logs | summarize n = count() by role"},
+            "sink": {"output_dir": f"{workdir}/transform_kql_out"},
+        })
+        assert kql["metrics"]["rows_default"] == 4  # one row per role
+        ottl = run_from_spec(spark, {
+            "kind": "transform",
+            "source": {"path": tiny_transcripts},
+            "query": {"ottl": ['set(tool, "redacted") where role == "tool"']},
+            "sink": {"output_dir": f"{workdir}/transform_ottl_out"},
+        })
+        got = spark.read.parquet(ottl["sinks"]["default"])
+        assert got.where("role = 'tool' and tool != 'redacted'").count() == 0
+        assert ottl["metrics"]["rows_default"] == 4000
+
+    def test_exactly_one_language_required(self):
+        base = {
+            "kind": "transform",
+            "source": {"path": "/in"},
+            "sink": {"output_dir": "/out"},
+        }
+        with pytest.raises(SpecError, match="exactly one"):
+            spec_to_config({**base, "query": {"opl": "a", "kql": "b"}})
+        with pytest.raises(SpecError, match="exactly one"):
+            spec_to_config({**base, "query": {}})
