@@ -582,10 +582,41 @@ def semantic_dedup(
     The threshold compares ROUNDED cosine (6 dp) so boundary pairs land
     on the same side in any engine replaying the plan (the DuckDB oracle
     uses the identical round-then-compare).
+
+    ``assigned`` (optional): a pre-materialized (id, vec, cluster_id)
+    frame — at corpus scale write the assignment ONCE with
+    ``ivf.write_ivf_index`` and pass the read-back here; the plan below
+    references the assignment three times (both join sides + the
+    survivor base), so an unmaterialized mapInPandas assignment would
+    re-run its BLAS scan per reference.
     """
+    return _semantic_dedup_on(
+        _assign_for_dedup(corpus, centroids, vec_col, id_col),
+        threshold, vec_col, id_col,
+    )
+
+
+def _assign_for_dedup(corpus, centroids, vec_col, id_col):
     from otel_arrow_spark.textops.ivf import assign_clusters
 
-    assigned = assign_clusters(corpus, centroids, vec_col, id_col)
+    return assign_clusters(corpus, centroids, vec_col, id_col)
+
+
+def semantic_dedup_on_index(
+    assigned: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``semantic_dedup`` over a pre-built IVF index frame
+    (id, vec, cluster_id) — the scale path: the assignment scan ran once
+    at index-build time (ivf.write_ivf_index), this plan only joins."""
+    return _semantic_dedup_on(assigned, threshold, vec_col, id_col)
+
+
+def _semantic_dedup_on(
+    assigned: DataFrame, threshold: float, vec_col: str, id_col: str
+) -> DataFrame:
     a = assigned.select(
         F.col(id_col).alias("_ida"),
         F.col(vec_col).cast("array<double>").alias("_va"),

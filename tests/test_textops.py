@@ -610,3 +610,22 @@ class TestSemanticDedup:
                     want.discard(ids[i])
                     break
         assert got == want and len(want) < len(ids)
+
+    def test_on_prebuilt_index_matches(self, spark, workdir):
+        """The scale path (index written once, dedup over the read-back)
+        produces the same survivors as the inline form."""
+        from otel_arrow_spark.textops.dedup import (
+            semantic_dedup, semantic_dedup_on_index,
+        )
+        from otel_arrow_spark.textops.ivf import (
+            deterministic_centroids, write_ivf_index,
+        )
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cents = deterministic_centroids(e, 4)
+        idx = write_ivf_index(e, f"{workdir}/semdedup_idx", cents)
+        via_index = semantic_dedup_on_index(spark.read.parquet(idx), 0.42)
+        inline = semantic_dedup(e, cents, 0.42)
+        assert {r.vec_id for r in via_index.collect()} == {
+            r.vec_id for r in inline.collect()
+        }
