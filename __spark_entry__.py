@@ -1525,6 +1525,71 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_quantile over merged delta buckets (operators/metrics.py):
+    p50/p90 per (metric, stream, window) from the bucket-wise merge — the
+    p99-latency query a histogram pipeline exists to answer; the oracle
+    replays the merge and the closed-form interpolation per bucket."""
+    from otel_arrow_spark.operators.filter import cascade_filter
+    from otel_arrow_spark.operators.metrics import (
+        histogram_delta_merge,
+        histogram_quantile,
+    )
+
+    p = _metrics_dir(sf_dir)
+    metrics = spark.read.parquet(f"{p}/metrics.parquet")
+    hdp = spark.read.parquet(f"{p}/histogram_dp.parquet")
+    kept, dps = cascade_filter(metrics, hdp, F.col("metric_type") == 2)
+    named = dps.join(
+        F.broadcast(kept.select(F.col("id").alias("parent_id"), "name")),
+        "parent_id",
+    )
+    merged = histogram_delta_merge(
+        named.select("name", "stream", "ts", "h_count", "h_sum", "h_min",
+                     "h_max", "bounds", "bucket_counts"),
+        "15 minutes",
+        keys=("name", "stream"),
+    )
+    out = histogram_quantile(
+        histogram_quantile(merged, 0.5, out_col="p50"), 0.9, out_col="p90"
+    )
+    return out.select(
+        "name", "stream", "window_start",
+        F.col("h_count").cast("long").alias("h_count"),
+        F.round("p50", 6).alias("p50_r"),
+        F.round("p90", 6).alias("p90_r"),
+    )
+
+
+def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """counter_rate (operators/metrics.py): PromQL-style increase/rate of
+    cumulative sums with counter-reset handling, per (metric, stream,
+    15-min window); the oracle replays the lag-window contributions."""
+    from otel_arrow_spark.operators.metrics import counter_rate
+
+    p = _metrics_dir(sf_dir)
+    metrics = spark.read.parquet(f"{p}/metrics.parquet")
+    ndp = spark.read.parquet(f"{p}/number_data_points.parquet")
+    named = ndp.join(
+        F.broadcast(
+            metrics.where(F.col("metric_type") == 1).select(
+                F.col("id").alias("parent_id"), "name"
+            )
+        ),
+        "parent_id",
+    )
+    out = counter_rate(
+        named.select("name", "stream", "ts", "double_value"),
+        "15 minutes",
+        keys=("name", "stream"),
+    )
+    return out.select(
+        "name", F.col("stream").cast("int").alias("stream"), "window_start",
+        "increase", "rate_per_sec",
+        F.col("n_points").cast("long").alias("n_points"),
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (textops/dedup.py semantic_dedup):
     deterministic coarse clusters bound the pairwise cosine search;
@@ -1662,6 +1727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every query gets a periodic driver row."""
     return {
         # --- new / changed this round (r4) ---
+        "hist_quantile": q_hist_quantile,
+        "counter_rate": q_counter_rate,
         "semantic_dedup": q_semantic_dedup,
         "chunk_docs": q_chunk_docs,
         "logs_star": q_logs_star,
@@ -2602,6 +2669,70 @@ def oracle_sql() -> dict[str, str]:
         # parquet under .cache/ first (the driver runs the Spark side before
         # the oracle), so DuckDB reads the identical bytes. The correctness
         # gate runs at sf=0.01 → n=100000 transcripts / n=20000 syslog lines.
+        "hist_quantile": f"""
+            WITH m AS (
+                SELECT id, name
+                FROM read_parquet('{_REPO}/.cache/metrics/n20000/metrics.parquet')
+                WHERE metric_type = 2),
+            d AS (
+                SELECT h.*, m.name,
+                       time_bucket(INTERVAL '15 minutes', h.ts) AS window_start
+                FROM read_parquet('{_REPO}/.cache/metrics/n20000/histogram_dp.parquet') h
+                JOIN m ON h.parent_id = m.id),
+            g AS (
+                SELECT name, stream, window_start,
+                       CAST(sum(h_count) AS BIGINT) AS h_count,
+                       CAST(sum(bucket_counts[1]) AS DOUBLE) AS b1,
+                       CAST(sum(bucket_counts[2]) AS DOUBLE) AS b2,
+                       CAST(sum(bucket_counts[3]) AS DOUBLE) AS b3,
+                       CAST(sum(bucket_counts[4]) AS DOUBLE) AS b4
+                FROM d GROUP BY 1, 2, 3)
+            SELECT name, stream, window_start, h_count,
+                   CASE WHEN b1+b2+b3+b4 = 0 THEN NULL
+                        WHEN b1 >= 0.5*(b1+b2+b3+b4)
+                            THEN round(5.0 * (0.5*(b1+b2+b3+b4)) / b1, 6)
+                        WHEN b1+b2 >= 0.5*(b1+b2+b3+b4)
+                            THEN round(5.0 + 20.0*(0.5*(b1+b2+b3+b4) - b1)/b2, 6)
+                        WHEN b1+b2+b3 >= 0.5*(b1+b2+b3+b4)
+                            THEN round(25.0 + 100.0*(0.5*(b1+b2+b3+b4) - b1 - b2)/b3, 6)
+                        ELSE 125.0 END AS p50_r,
+                   CASE WHEN b1+b2+b3+b4 = 0 THEN NULL
+                        WHEN b1 >= 0.9*(b1+b2+b3+b4)
+                            THEN round(5.0 * (0.9*(b1+b2+b3+b4)) / b1, 6)
+                        WHEN b1+b2 >= 0.9*(b1+b2+b3+b4)
+                            THEN round(5.0 + 20.0*(0.9*(b1+b2+b3+b4) - b1)/b2, 6)
+                        WHEN b1+b2+b3 >= 0.9*(b1+b2+b3+b4)
+                            THEN round(25.0 + 100.0*(0.9*(b1+b2+b3+b4) - b1 - b2)/b3, 6)
+                        ELSE 125.0 END AS p90_r
+            FROM g
+        """,
+        "counter_rate": f"""
+            WITH m AS (
+                SELECT id, name
+                FROM read_parquet('{_REPO}/.cache/metrics/n20000/metrics.parquet')
+                WHERE metric_type = 1),
+            d AS (
+                SELECT n.stream, n.ts, n.double_value, m.name
+                FROM read_parquet('{_REPO}/.cache/metrics/n20000/number_data_points.parquet') n
+                JOIN m ON n.parent_id = m.id),
+            l AS (
+                SELECT name, stream, ts, double_value,
+                       lag(double_value) OVER (
+                           PARTITION BY name, stream ORDER BY ts) AS prev
+                FROM d),
+            c AS (
+                SELECT name, CAST(stream AS INT) AS stream,
+                       time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+                       CASE WHEN prev IS NULL THEN 0.0
+                            WHEN double_value - prev >= 0 THEN double_value - prev
+                            ELSE double_value END AS contrib
+                FROM l)
+            SELECT name, stream, window_start,
+                   round(sum(contrib), 6) AS increase,
+                   round(sum(contrib) / 900.0, 6) AS rate_per_sec,
+                   CAST(count(*) AS BIGINT) AS n_points
+            FROM c GROUP BY 1, 2, 3
+        """,
         "chunk_docs": """
             WITH d AS (
                 SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks

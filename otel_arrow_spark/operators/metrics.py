@@ -32,7 +32,7 @@ Spark realization:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -456,4 +456,110 @@ def summary_merge(
         "s_sum",
         F.col("_q.quantiles").alias("quantiles"),
         F.col("_q.values").alias("values"),
+    )
+
+
+def histogram_quantile(
+    df: DataFrame,
+    q: float,
+    bounds_col: str = "bounds",
+    counts_col: str = "bucket_counts",
+    out_col: str = "quantile",
+) -> DataFrame:
+    """Estimate the q-quantile from explicit histogram buckets
+    (Prometheus ``histogram_quantile`` semantics: linear interpolation
+    inside the bucket containing the target rank; the overflow bucket
+    clamps to the last finite bound) — THE downstream query a histogram
+    pipeline exists to answer (p99 latency per stream from the merged
+    buckets histogram_delta_merge produces).
+
+    Pure expressions, no shuffle: for k+1 buckets the rank search is a
+    ``filter(sequence(...))`` whose predicate re-sums a prefix slice —
+    O(k²) arithmetic per row, bounded (OTel explicit histograms carry at
+    most a few hundred buckets) and all inside whole-stage codegen; a
+    running-sum formulation would need a second array pass anyway.
+
+    Returns ``df`` with ``out_col`` added (NULL where total count is 0).
+    """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0,1], got {q}")
+    counts = F.col(counts_col).cast("array<double>")
+    bounds = F.col(bounds_col).cast("array<double>")
+    total = F.aggregate(counts, F.lit(0.0), lambda a, x: a + x)
+    rank = F.lit(q) * total
+    k = F.size(counts)
+
+    def cum(i):  # inclusive prefix sum of buckets[0..i]
+        return F.aggregate(
+            F.slice(counts, 1, i + 1), F.lit(0.0), lambda a, x: a + x
+        )
+
+    # first bucket index whose cumulative count reaches the rank
+    idx = F.filter(
+        F.sequence(F.lit(0), k - 1), lambda i: cum(i) >= rank
+    ).getItem(0)
+    lo = F.when(idx == 0, F.lit(0.0)).otherwise(
+        F.try_element_at(bounds, idx)  # 1-based: bounds[idx-1+1]
+    )
+    hi = F.try_element_at(bounds, idx + 1)
+    prev_cum = F.when(idx == 0, F.lit(0.0)).otherwise(cum(idx - 1))
+    in_bucket = F.try_element_at(counts, idx + 1)
+    interp = lo + (hi - lo) * (rank - prev_cum) / in_bucket
+    est = (
+        F.when(total == 0, F.lit(None).cast("double"))
+        # overflow bucket has no upper bound → clamp to last finite bound
+        .when(idx >= F.size(bounds), F.element_at(bounds, -1))
+        .when(in_bucket == 0, hi)
+        .otherwise(interp)
+    )
+    return df.withColumn(out_col, est)
+
+
+def counter_rate(
+    df: DataFrame,
+    period: str = "60 seconds",
+    keys: tuple[str, ...] = ("metric_name",),
+    ts_col: str = "ts",
+    value_col: str = "double_value",
+) -> DataFrame:
+    """Per-stream per-window rate of a CUMULATIVE counter with
+    counter-reset handling (PromQL ``increase``/``rate`` semantics): the
+    increase is the sum of positive adjacent deltas, and a drop in the
+    raw value is a reset — the post-reset value IS its own contribution
+    (the counter restarted from zero).
+
+    Plan: ONE shuffle total — the lag window partitions by (keys) and the
+    groupBy re-uses that partitioning (window keys ⊇ lag keys would need
+    no second Exchange; Spark still folds these into adjacent stages with
+    AQE). Per window: rate = increase / window_seconds.
+    """
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    prev = F.lag(value_col).over(w)
+    delta = F.col(value_col) - prev
+    contrib = (
+        F.when(prev.isNull(), F.lit(0.0))  # first point: no interval
+        .when(delta >= 0, delta)
+        .otherwise(F.col(value_col))  # reset: counter restarted from ~0
+    )
+    win = F.window(F.col(ts_col), period)
+    # parquet timestamps arrive as TIMESTAMP_NTZ, which won't cast to
+    # double — go through unix_micros on a TZ-cast copy
+    period_sec = (
+        F.unix_micros(F.col("w.end").cast("timestamp"))
+        - F.unix_micros(F.col("w.start").cast("timestamp"))
+    ) / F.lit(1_000_000.0)
+    return (
+        df.withColumn("_contrib", contrib)
+        .groupBy(win.alias("w"), *keys)
+        .agg(
+            F.sum("_contrib").alias("increase"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            *keys,
+            F.round("increase", 6).alias("increase"),
+            F.round(F.col("increase") / period_sec, 6).alias("rate_per_sec"),
+            "n_points",
+        )
     )

@@ -653,3 +653,95 @@ class TestStreamingHistogram:
         g = {key(r): (r.h_sum, tuple(r.bucket_counts)) for r in got.collect()}
         w = {key(r): (r.h_sum, tuple(r.bucket_counts)) for r in closed.collect()}
         assert g == w and len(g) > 0
+
+
+class TestHistogramQuantile:
+    def test_interpolation_hand_cases(self, spark):
+        from otel_arrow_spark.operators.metrics import histogram_quantile
+
+        df = spark.createDataFrame(
+            [([5.0, 25.0, 125.0], [2, 2, 4, 2])],
+            "bounds array<double>, bucket_counts array<long>",
+        )
+        assert histogram_quantile(df, 0.5).collect()[0].quantile == 50.0
+        # rank 9.5 lands in the overflow bucket → clamp to last bound
+        assert histogram_quantile(df, 0.95).collect()[0].quantile == 125.0
+        # rank 0 → first bucket, interpolates from 0
+        assert histogram_quantile(df, 0.0).collect()[0].quantile == 0.0
+        # rank exactly at a bucket edge: cum(0)=2 == rank → inside bucket 0
+        r = histogram_quantile(df, 0.2).collect()[0].quantile
+        assert r == 5.0  # 0 + 5*(2-0)/2
+
+    def test_zero_total_is_null_and_empty_bucket_takes_hi(self, spark):
+        from otel_arrow_spark.operators.metrics import histogram_quantile
+
+        df = spark.createDataFrame(
+            [([5.0, 25.0], [0, 0, 0])],
+            "bounds array<double>, bucket_counts array<long>",
+        )
+        assert histogram_quantile(df, 0.5).collect()[0].quantile is None
+
+    def test_matches_numpy_on_dense_histogram(self, spark):
+        """With many narrow buckets the estimate converges to the true
+        percentile of the underlying sample."""
+        import numpy as np
+
+        from otel_arrow_spark.operators.metrics import histogram_quantile
+
+        rng = np.random.RandomState(7)
+        sample = rng.exponential(50.0, size=20000)
+        bounds = [float(b) for b in np.linspace(1, 400, 200)]
+        counts, _ = np.histogram(sample, bins=[0.0] + bounds + [np.inf])
+        # histogram bins: [0,b0),[b0,b1)... matches le-style closely enough
+        df = spark.createDataFrame(
+            [(bounds, [int(c) for c in counts])],
+            "bounds array<double>, bucket_counts array<long>",
+        )
+        for q in (0.5, 0.9, 0.99):
+            est = histogram_quantile(df, q).collect()[0].quantile
+            true = float(np.percentile(sample, q * 100))
+            assert abs(est - true) / true < 0.05, (q, est, true)
+
+    def test_plan_pure_jvm(self, spark):
+        from otel_arrow_spark.operators.metrics import histogram_quantile
+
+        df = spark.createDataFrame(
+            [([5.0], [1, 1])], "bounds array<double>, bucket_counts array<long>"
+        )
+        plan = histogram_quantile(df, 0.9)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+class TestCounterRate:
+    def test_increase_with_reset(self, spark):
+        from otel_arrow_spark.operators.metrics import counter_rate
+
+        rows = [("m", "s0", ts(i * 10), v)
+                for i, v in enumerate([0.0, 5.0, 7.0, 2.0, 9.0])]
+        df = spark.createDataFrame(
+            rows, "metric_name string, stream string, ts timestamp, double_value double"
+        )
+        out = counter_rate(df, "60 seconds", keys=("metric_name", "stream")).collect()
+        assert len(out) == 1
+        r = out[0]
+        # deltas: +5 +2 reset(→2) +7 = 16
+        assert r.increase == 16.0
+        assert r.rate_per_sec == round(16.0 / 60, 6)
+        assert r.n_points == 5
+
+    def test_streams_independent_and_windowed(self, spark):
+        from otel_arrow_spark.operators.metrics import counter_rate
+
+        rows = [("m", "a", ts(5), 0.0), ("m", "a", ts(55), 10.0),
+                ("m", "a", ts(65), 25.0),   # second window; delta vs t=55
+                ("m", "b", ts(10), 100.0)]  # lone point: no interval
+        df = spark.createDataFrame(
+            rows, "metric_name string, stream string, ts timestamp, double_value double"
+        )
+        got = {(r.stream, str(r.window_start)): r.increase
+               for r in counter_rate(df, "60 seconds",
+                                     keys=("metric_name", "stream")).collect()}
+        assert got[("a", "2026-01-01 00:00:00")] == 10.0
+        assert got[("a", "2026-01-01 00:01:00")] == 15.0  # lag crosses windows
+        assert got[("b", "2026-01-01 00:00:00")] == 0.0
