@@ -1525,6 +1525,32 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-metrics connector (operators/span_metrics.py): RED metrics —
+    call rate, errors, full latency histogram — per (service, span name,
+    window) from the traces star; service comes from the broadcast
+    resource_attrs pivot. The oracle replays the one-hot bucketing, the
+    merge, and the error rollup in SQL."""
+    from otel_arrow_spark.operators.span_metrics import span_red_metrics
+
+    p = _spans_dir(sf_dir)
+    spans = spark.read.parquet(f"{p}/spans.parquet")
+    rattrs = spark.read.parquet(f"{p}/resource_attrs.parquet")
+    svc = rattrs.where(F.col("key") == "service.name").select(
+        F.col("parent_id").alias("resource_id"), F.col("str").alias("service")
+    )
+    red = span_red_metrics(spans, dim=svc)
+    return red.select(
+        "service", "name", "window_start", "n_calls", "n_errors",
+        "error_ratio",
+        F.round("total_ms", 4).alias("total_ms_r"),
+        F.col("h_min").cast("long").alias("min_ms"),
+        F.col("h_max").cast("long").alias("max_ms"),
+        F.array_join(F.transform("bucket_counts", lambda c: c.cast("string")), ",")
+        .alias("bucket_counts_s"),
+    )
+
+
 def q_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """histogram_quantile over merged delta buckets (operators/metrics.py):
     p50/p90 per (metric, stream, window) from the bucket-wise merge — the
@@ -1727,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every query gets a periodic driver row."""
     return {
         # --- new / changed this round (r4) ---
+        "span_metrics": q_span_metrics,
         "hist_quantile": q_hist_quantile,
         "counter_rate": q_counter_rate,
         "semantic_dedup": q_semantic_dedup,
@@ -2669,6 +2696,36 @@ def oracle_sql() -> dict[str, str]:
         # parquet under .cache/ first (the driver runs the Spark side before
         # the oracle), so DuckDB reads the identical bytes. The correctness
         # gate runs at sf=0.01 → n=100000 transcripts / n=20000 syslog lines.
+        "span_metrics": f"""
+            WITH svc AS (
+                SELECT parent_id AS resource_id, str AS service
+                FROM read_parquet('{_REPO}/.cache/spans/n20000/resource_attrs.parquet')
+                WHERE key = 'service.name'),
+            s AS (
+                SELECT svc.service, sp.name,
+                       time_bucket(INTERVAL '15 minutes', sp.start_ts) AS window_start,
+                       sp.status_code, CAST(sp.duration_ms AS DOUBLE) AS d
+                FROM read_parquet('{_REPO}/.cache/spans/n20000/spans.parquet') sp
+                JOIN svc ON sp.resource_id = svc.resource_id)
+            SELECT service, name, window_start,
+                   CAST(count(*) AS BIGINT) AS n_calls,
+                   CAST(sum(CASE WHEN status_code = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_errors,
+                   round(CAST(sum(CASE WHEN status_code = 2 THEN 1 ELSE 0 END)
+                         AS DOUBLE) / count(*), 6) AS error_ratio,
+                   round(sum(d), 4) AS total_ms_r,
+                   CAST(min(d) AS BIGINT) AS min_ms,
+                   CAST(max(d) AS BIGINT) AS max_ms,
+                   array_to_string([
+                       CAST(sum(CASE WHEN d <= 2 THEN 1 ELSE 0 END) AS BIGINT),
+                       CAST(sum(CASE WHEN d > 2 AND d <= 8 THEN 1 ELSE 0 END) AS BIGINT),
+                       CAST(sum(CASE WHEN d > 8 AND d <= 32 THEN 1 ELSE 0 END) AS BIGINT),
+                       CAST(sum(CASE WHEN d > 32 AND d <= 128 THEN 1 ELSE 0 END) AS BIGINT),
+                       CAST(sum(CASE WHEN d > 128 AND d <= 512 THEN 1 ELSE 0 END) AS BIGINT),
+                       CAST(sum(CASE WHEN d > 512 THEN 1 ELSE 0 END) AS BIGINT)
+                   ], ',') AS bucket_counts_s
+            FROM s GROUP BY 1, 2, 3
+        """,
         "hist_quantile": f"""
             WITH m AS (
                 SELECT id, name

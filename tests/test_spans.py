@@ -144,3 +144,34 @@ def test_scope_attrs(spark, tables, workdir):
     rolled = spans.join(F.broadcast(lib), "scope_id").groupBy("library").count()
     assert rolled.count() == len(sids)
     assert sum(r["count"] for r in rolled.collect()) == spans.count()
+
+
+def test_span_red_metrics(spark, tables):
+    """RED derivation: n_calls/n_errors per group match direct counts, the
+    histogram composes with histogram_quantile, and the plan stays JVM."""
+    from otel_arrow_spark.operators.metrics import histogram_quantile
+    from otel_arrow_spark.operators.span_metrics import span_red_metrics
+
+    spans = tables["spans"]
+    red = span_red_metrics(spans, period="24 hours")
+    got = {r.name: (r.n_calls, r.n_errors) for r in red.collect()}
+    want = {
+        r["name"]: (r["n"], r["e"])
+        for r in spans.groupBy("name")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum((F.col("status_code") == 2).cast("long")).alias("e"))
+        .collect()
+    }
+    assert got == want and len(got) > 3
+    # bucket totals == call counts (every span lands in exactly one bucket)
+    bad = red.where(
+        F.aggregate("bucket_counts", F.lit(0).cast("long"), lambda a, x: a + x)
+        != F.col("n_calls")
+    )
+    assert bad.count() == 0
+    # composes with the quantile estimator
+    q = histogram_quantile(red, 0.5, out_col="p50")
+    assert all(r.p50 is not None and r.p50 >= 0 for r in q.collect())
+    plan = red._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "BroadcastNestedLoop" not in plan
