@@ -1525,6 +1525,22 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trace_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trace-tree assembly (operators/trace_tree.py): frontier-BFS span
+    depths over parent_span_id + per-trace rollup (root name, wall time,
+    error count, max depth). Oracle = DuckDB recursive CTE walking the
+    same tree."""
+    from otel_arrow_spark.operators.trace_tree import span_depths, trace_rollup
+
+    p = _spans_dir(sf_dir)
+    spans = spark.read.parquet(f"{p}/spans.parquet")
+    roll = trace_rollup(spans, span_depths(spans))
+    return roll.select(
+        "trace_id", "n_spans", "root_name", "n_errors",
+        F.col("max_depth").cast("int").alias("max_depth"), "wall_ms",
+    )
+
+
 def q_span_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-metrics connector (operators/span_metrics.py): RED metrics —
     call rate, errors, full latency histogram — per (service, span name,
@@ -1753,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every query gets a periodic driver row."""
     return {
         # --- new / changed this round (r4) ---
+        "trace_rollup": q_trace_rollup,
         "span_metrics": q_span_metrics,
         "hist_quantile": q_hist_quantile,
         "counter_rate": q_counter_rate,
@@ -2696,6 +2713,28 @@ def oracle_sql() -> dict[str, str]:
         # parquet under .cache/ first (the driver runs the Spark side before
         # the oracle), so DuckDB reads the identical bytes. The correctness
         # gate runs at sf=0.01 → n=100000 transcripts / n=20000 syslog lines.
+        "trace_rollup": f"""
+            WITH RECURSIVE sp AS (
+                SELECT * FROM read_parquet('{_REPO}/.cache/spans/n20000/spans.parquet')),
+            d AS (
+                SELECT trace_id, span_id_hex, 0 AS depth
+                FROM sp WHERE parent_span_id IS NULL
+                UNION ALL
+                SELECT c.trace_id, c.span_id_hex, d.depth + 1
+                FROM sp c JOIN d ON c.trace_id = d.trace_id
+                               AND c.parent_span_id = d.span_id_hex)
+            SELECT s.trace_id,
+                   CAST(count(*) AS BIGINT) AS n_spans,
+                   min(CASE WHEN dd.depth = 0 THEN s.name END) AS root_name,
+                   CAST(sum(CASE WHEN s.status_code = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_errors,
+                   CAST(max(dd.depth) AS INT) AS max_depth,
+                   round((max(epoch_us(s.start_ts) + s.duration_ms * 1000)
+                          - min(epoch_us(s.start_ts))) / 1000.0, 3) AS wall_ms
+            FROM sp s JOIN d dd ON s.trace_id = dd.trace_id
+                               AND s.span_id_hex = dd.span_id_hex
+            GROUP BY 1
+        """,
         "span_metrics": f"""
             WITH svc AS (
                 SELECT parent_id AS resource_id, str AS service

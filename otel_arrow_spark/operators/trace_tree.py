@@ -1,0 +1,113 @@
+"""Trace-tree assembly: span depths and per-trace rollups from the
+parent_span_id pointers — the trace-structure analytics (service maps,
+depth distributions, root-latency attribution) a tracing backend runs
+over assembled traces.
+
+Reference analog: SPANS.parent_span_id (docs/data_model.md:338) carries
+the tree; the reference transports it but has no tree-walk operator —
+this is the downstream-analytics surface over that column.
+
+Scale shape (``span_depths``): frontier BFS — one equi-join per tree
+LEVEL (not per span): round d joins the level-d frontier against the
+child edge list on (trace_id, parent pointer), all hash joins on
+(trace_id, span hex) pairs, ids-only until the final join-back. Trace
+depth bounds the rounds (real traces: < 20 levels; the fixture: ~10).
+The frontier is localCheckpoint-ed per round so the plan never grows.
+Root-cause joins stay within a trace, so a hot trace bounds skew by its
+own span count. Like connected_components, the loop HARD-FAILS rather
+than returning partial depths when max_iter is hit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def span_depths(spans: DataFrame, max_iter: int = 32) -> DataFrame:
+    """(trace_id, span_id_hex, depth): 0 for roots (null parent), else
+    1 + parent's depth. Orphans (parent pointer to a missing span) are
+    absent from the output — callers decide their policy."""
+    edges = spans.where(F.col("parent_span_id").isNotNull()).select(
+        "trace_id",
+        F.col("parent_span_id").alias("parent_hex"),
+        F.col("span_id_hex").alias("child_hex"),
+    ).localCheckpoint()
+    frontier = spans.where(F.col("parent_span_id").isNull()).select(
+        "trace_id",
+        F.col("span_id_hex"),
+        F.lit(0).alias("depth"),
+    ).localCheckpoint()
+    out = frontier
+    for _ in range(max_iter):
+        nxt = (
+            edges.join(
+                frontier.select(
+                    "trace_id", F.col("span_id_hex").alias("parent_hex"), "depth"
+                ),
+                ["trace_id", "parent_hex"],
+            )
+            .select(
+                "trace_id",
+                F.col("child_hex").alias("span_id_hex"),
+                (F.col("depth") + 1).alias("depth"),
+            )
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            # Unreached spans whose parent EXISTS in the corpus are cycle
+            # members (orphans — missing parents — are the documented
+            # absent-by-policy case): returning silently would hide
+            # corrupt trees, so hard-fail like connected_components.
+            present_parents = spans.select(
+                "trace_id", F.col("span_id_hex").alias("parent_hex")
+            )
+            cyclic = (
+                edges.join(
+                    out.select(
+                        "trace_id", F.col("span_id_hex").alias("child_hex")
+                    ),
+                    ["trace_id", "child_hex"],
+                    "left_anti",
+                ).join(present_parents, ["trace_id", "parent_hex"], "left_semi")
+            )
+            if not cyclic.isEmpty():
+                raise RuntimeError(
+                    "span_depths: parent pointers cycle (spans unreachable "
+                    "from any root while their parents exist)"
+                )
+            return out
+        out = out.unionByName(nxt)
+        frontier = nxt
+    raise RuntimeError(
+        f"span_depths did not converge within {max_iter} levels "
+        "(trace depth exceeds the budget); raise max_iter after checking "
+        "for cycles"
+    )
+
+
+def trace_rollup(spans: DataFrame, depths: DataFrame | None = None) -> DataFrame:
+    """Per-trace summary: span count, root name, trace wall duration
+    (first start → last start+duration), error span count, max depth.
+    One shuffle on trace_id; the root pick is an algebraic min_by."""
+    d = depths if depths is not None else span_depths(spans)
+    enriched = spans.join(d, ["trace_id", "span_id_hex"], "left")
+    end_ts = F.unix_micros(F.col("start_ts").cast("timestamp")) + (
+        F.col("duration_ms") * 1000
+    )
+    return (
+        enriched.groupBy("trace_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            # exactly one depth-0 span per trace → min over the single
+            # non-null is deterministic (min_by(start_ts) could tie)
+            F.min(F.when(F.col("depth") == 0, F.col("name"))).alias("root_name"),
+            F.sum((F.col("status_code") == 2).cast("long")).alias("n_errors"),
+            F.max("depth").alias("max_depth"),
+            (
+                (F.max(end_ts) - F.min(F.unix_micros(F.col("start_ts").cast("timestamp"))))
+                / F.lit(1000.0)
+            ).alias("wall_ms"),
+        )
+        .withColumn("wall_ms", F.round("wall_ms", 3))
+    )

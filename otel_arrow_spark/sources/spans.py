@@ -222,6 +222,34 @@ def generate_spans_tables(n_spans: int, seed: int = 42) -> dict[str, pd.DataFram
         }
     )
 
+    # parent_span_id (SPANS.parent_span_id, data_model.md:338): a real
+    # tree per trace — the first span by start time is the root (null
+    # parent), every other span picks a uniformly random EARLIER span of
+    # its own trace, so depths vary and cycles are impossible. Drawn
+    # strictly after everything above (v5).
+    order = np.lexsort((start_us, trace_ord))  # by (trace, start)
+    pos_in_trace = np.zeros(n_spans, dtype=np.int64)
+    t_sorted = trace_ord[order]
+    same_as_prev = np.concatenate(([False], t_sorted[1:] == t_sorted[:-1]))
+    run = np.zeros(n_spans, dtype=np.int64)
+    for i in range(1, n_spans):  # per-trace cumcount (traces are short)
+        run[i] = run[i - 1] + 1 if same_as_prev[i] else 0
+    pos_in_trace[order] = run
+    pick = rng.random_sample(n_spans)
+    parent_pos = np.floor(pick * np.maximum(pos_in_trace, 1)).astype(np.int64)
+    # global index of the chosen parent: the span at (trace, parent_pos)
+    starts_sorted = np.where(~same_as_prev)[0]  # order-index where each trace begins
+    trace_first = np.repeat(
+        starts_sorted, np.diff(np.append(starts_sorted, n_spans))
+    )
+    trace_first_global = np.empty(n_spans, dtype=np.int64)
+    trace_first_global[order] = trace_first
+    parent_global = order[trace_first_global[np.arange(n_spans)] + parent_pos]
+    is_root = pos_in_trace == 0
+    parent_hex = spans["span_id_hex"].to_numpy()[parent_global].astype(object)
+    parent_hex[is_root] = None
+    spans = spans.assign(parent_span_id=parent_hex)
+
     return {
         "spans": spans,
         "span_attrs": span_attrs,
@@ -240,9 +268,9 @@ def write_spans_parquet(out_dir: str, n_spans: int, seed: int = 42) -> str:
     import pyarrow.parquet as pq
 
     # v2: span_links / span_link_attrs added; v3: resource_id + resource
-    # attrs; v4: scope_id + scope attrs. Versioned marker forces stale
-    # caches to regenerate.
-    marker = os.path.join(out_dir, f"_SUCCESS.{n_spans}.{seed}.v4")
+    # attrs; v4: scope_id + scope attrs; v5: parent_span_id tree.
+    # Versioned marker forces stale caches to regenerate.
+    marker = os.path.join(out_dir, f"_SUCCESS.{n_spans}.{seed}.v5")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)

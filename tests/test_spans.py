@@ -175,3 +175,58 @@ def test_span_red_metrics(spark, tables):
     plan = red._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+class TestTraceTree:
+    def test_depths_match_python_walk(self, spark, workdir):
+        from otel_arrow_spark.operators.trace_tree import span_depths
+
+        p = write_spans_parquet(f"{workdir}/spans_fixture", 2000)
+        spans = spark.read.parquet(f"{p}/spans.parquet")
+        got = {(r.trace_id, r.span_id_hex): r.depth
+               for r in span_depths(spans).collect()}
+        rows = spans.select("trace_id", "span_id_hex", "parent_span_id").collect()
+        parent = {(r.trace_id, r.span_id_hex): r.parent_span_id for r in rows}
+
+        def walk(key):
+            d = 0
+            t, h = key
+            while parent[key] is not None:
+                key = (t, parent[key])
+                d += 1
+            return d
+
+        assert len(got) == len(rows) > 0  # every span resolved (no orphans)
+        for key in parent:
+            assert got[key] == walk(key), key
+        assert max(got.values()) >= 3  # the fixture has real depth
+
+    def test_rollup_consistency(self, spark, workdir):
+        from otel_arrow_spark.operators.trace_tree import trace_rollup
+
+        p = write_spans_parquet(f"{workdir}/spans_fixture", 2000)
+        spans = spark.read.parquet(f"{p}/spans.parquet")
+        roll = trace_rollup(spans)
+        assert roll.count() == spans.select("trace_id").distinct().count()
+        # span totals reconcile
+        assert (
+            roll.agg(F.sum("n_spans")).collect()[0][0] == spans.count()
+        )
+        # root name: each trace's depth-0 span
+        one = roll.orderBy("trace_id").limit(3).collect()
+        for r in one:
+            root = spans.where(
+                (F.col("trace_id") == r.trace_id)
+                & F.col("parent_span_id").isNull()
+            ).collect()
+            assert len(root) == 1 and root[0].name == r.root_name
+
+    def test_cycle_detection_hard_fails(self, spark):
+        from otel_arrow_spark.operators.trace_tree import span_depths
+
+        cyc = spark.createDataFrame(
+            [("t", "a", "b"), ("t", "b", "a")],
+            "trace_id string, span_id_hex string, parent_span_id string",
+        )
+        with pytest.raises(RuntimeError, match="cycle|converge"):
+            span_depths(cyc, max_iter=4)
