@@ -1525,6 +1525,42 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exp_histogram_quantile (operators/metrics.py): p50/p90 from OTel
+    exponential-histogram state per data point — negative side in
+    reversed order, zero bucket, positive side, log-scale bucket edges.
+    The oracle replays the rank walk with DuckDB list lambdas and the
+    same edge arithmetic."""
+    from otel_arrow_spark.operators.metrics import exp_histogram_quantile
+
+    p = _metrics_dir(sf_dir)
+    edp = spark.read.parquet(f"{p}/exp_histogram_dp.parquet")
+    out = exp_histogram_quantile(
+        exp_histogram_quantile(edp, 0.5, out_col="p50"), 0.9, out_col="p90"
+    )
+    return out.select(
+        "id",
+        F.round("p50", 6).alias("p50_r"),
+        F.round("p90", 6).alias("p90_r"),
+    )
+
+
+def q_service_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Service-graph connector (operators/trace_tree.py service_graph):
+    client→server call edges from parent-child span pairs whose resources
+    map to different services — the service-map numbers. Oracle re-derives
+    the pairs with a SQL self-join."""
+    from otel_arrow_spark.operators.trace_tree import service_graph
+
+    p = _spans_dir(sf_dir)
+    spans = spark.read.parquet(f"{p}/spans.parquet")
+    rattrs = spark.read.parquet(f"{p}/resource_attrs.parquet")
+    svc = rattrs.where(F.col("key") == "service.name").select(
+        F.col("parent_id").alias("resource_id"), F.col("str").alias("service")
+    )
+    return service_graph(spans, svc)
+
+
 def q_trace_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trace-tree assembly (operators/trace_tree.py): frontier-BFS span
     depths over parent_span_id + per-trace rollup (root name, wall time,
@@ -1769,6 +1805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every query gets a periodic driver row."""
     return {
         # --- new / changed this round (r4) ---
+        "exp_quantile": q_exp_quantile,
+        "service_graph": q_service_graph,
         "trace_rollup": q_trace_rollup,
         "span_metrics": q_span_metrics,
         "hist_quantile": q_hist_quantile,
@@ -2713,6 +2751,86 @@ def oracle_sql() -> dict[str, str]:
         # parquet under .cache/ first (the driver runs the Spark side before
         # the oracle), so DuckDB reads the identical bytes. The correctness
         # gate runs at sf=0.01 → n=100000 transcripts / n=20000 syslog lines.
+        "exp_quantile": f"""
+            WITH e AS (
+                SELECT id, scale, zero_count, pos_offset, pos_counts,
+                       neg_offset, neg_counts
+                FROM read_parquet('{_REPO}/.cache/metrics/n20000/exp_histogram_dp.parquet')),
+            c AS (
+                SELECT *,
+                       list_concat(list_concat(list_reverse(neg_counts),
+                                   [zero_count]), pos_counts) AS cat,
+                       len(neg_counts) AS nn,
+                       pow(2.0, pow(2.0, -CAST(scale AS DOUBLE))) AS base
+                FROM e),
+            t AS (SELECT *, CAST(list_aggregate(cat, 'sum') AS DOUBLE) AS total FROM c),
+            r AS (
+                SELECT *,
+                       0.5 * total AS rank50, 0.9 * total AS rank90,
+                       list_filter(range(len(cat)),
+                           i -> CAST(list_aggregate(cat[1:i+1], 'sum') AS DOUBLE)
+                                >= 0.5 * total)[1] AS idx50,
+                       list_filter(range(len(cat)),
+                           i -> CAST(list_aggregate(cat[1:i+1], 'sum') AS DOUBLE)
+                                >= 0.9 * total)[1] AS idx90
+                FROM t)
+            SELECT id,
+                   round(CASE WHEN total = 0 THEN NULL
+                        WHEN idx50 < nn THEN
+                            (-pow(base, CAST(neg_offset + (nn-1-idx50) + 1 AS DOUBLE)))
+                            + (pow(base, CAST(neg_offset + (nn-1-idx50) + 1 AS DOUBLE))
+                               - pow(base, CAST(neg_offset + (nn-1-idx50) AS DOUBLE)))
+                              * (CASE WHEN cat[idx50+1] > 0 THEN
+                                  (rank50 - (CASE WHEN idx50 = 0 THEN 0
+                                     ELSE CAST(list_aggregate(cat[1:idx50], 'sum') AS DOUBLE) END))
+                                  / cat[idx50+1] ELSE 0 END)
+                        WHEN idx50 = nn THEN 0.0
+                        ELSE pow(base, CAST(pos_offset + (idx50-nn-1) AS DOUBLE))
+                            + (pow(base, CAST(pos_offset + (idx50-nn-1) + 1 AS DOUBLE))
+                               - pow(base, CAST(pos_offset + (idx50-nn-1) AS DOUBLE)))
+                              * (CASE WHEN cat[idx50+1] > 0 THEN
+                                  (rank50 - (CASE WHEN idx50 = 0 THEN 0
+                                     ELSE CAST(list_aggregate(cat[1:idx50], 'sum') AS DOUBLE) END))
+                                  / cat[idx50+1] ELSE 0 END)
+                   END, 6) AS p50_r,
+                   round(CASE WHEN total = 0 THEN NULL
+                        WHEN idx90 < nn THEN
+                            (-pow(base, CAST(neg_offset + (nn-1-idx90) + 1 AS DOUBLE)))
+                            + (pow(base, CAST(neg_offset + (nn-1-idx90) + 1 AS DOUBLE))
+                               - pow(base, CAST(neg_offset + (nn-1-idx90) AS DOUBLE)))
+                              * (CASE WHEN cat[idx90+1] > 0 THEN
+                                  (rank90 - (CASE WHEN idx90 = 0 THEN 0
+                                     ELSE CAST(list_aggregate(cat[1:idx90], 'sum') AS DOUBLE) END))
+                                  / cat[idx90+1] ELSE 0 END)
+                        WHEN idx90 = nn THEN 0.0
+                        ELSE pow(base, CAST(pos_offset + (idx90-nn-1) AS DOUBLE))
+                            + (pow(base, CAST(pos_offset + (idx90-nn-1) + 1 AS DOUBLE))
+                               - pow(base, CAST(pos_offset + (idx90-nn-1) AS DOUBLE)))
+                              * (CASE WHEN cat[idx90+1] > 0 THEN
+                                  (rank90 - (CASE WHEN idx90 = 0 THEN 0
+                                     ELSE CAST(list_aggregate(cat[1:idx90], 'sum') AS DOUBLE) END))
+                                  / cat[idx90+1] ELSE 0 END)
+                   END, 6) AS p90_r
+            FROM r
+        """,
+        "service_graph": f"""
+            WITH svc AS (
+                SELECT parent_id AS rid, str AS s
+                FROM read_parquet('{_REPO}/.cache/spans/n20000/resource_attrs.parquet')
+                WHERE key = 'service.name'),
+            sp AS (
+                SELECT x.*, svc.s
+                FROM read_parquet('{_REPO}/.cache/spans/n20000/spans.parquet') x
+                JOIN svc ON x.resource_id = svc.rid)
+            SELECT pa.s AS client, ch.s AS server,
+                   CAST(count(*) AS BIGINT) AS n_calls,
+                   CAST(sum(CASE WHEN ch.status_code = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_errors,
+                   CAST(sum(ch.duration_ms) AS BIGINT) AS total_ms
+            FROM sp ch JOIN sp pa
+              ON ch.trace_id = pa.trace_id AND ch.parent_span_id = pa.span_id_hex
+            WHERE pa.s != ch.s GROUP BY 1, 2
+        """,
         "trace_rollup": f"""
             WITH RECURSIVE sp AS (
                 SELECT * FROM read_parquet('{_REPO}/.cache/spans/n20000/spans.parquet')),

@@ -563,3 +563,58 @@ def counter_rate(
             "n_points",
         )
     )
+
+
+def exp_histogram_quantile(
+    df: DataFrame,
+    q: float,
+    out_col: str = "quantile",
+) -> DataFrame:
+    """Estimate the q-quantile from OTel EXPONENTIAL histogram state
+    (scale / zero_count / pos+neg bucket sides): bucket ``i`` at scale
+    ``s`` covers ``(base^(offset+i), base^(offset+i+1)]`` with
+    ``base = 2^(2^-s)``; values ascend through the negative side in
+    REVERSED bucket order, the zero bucket, then the positive side —
+    the rank walks that concatenation and interpolates linearly between
+    the found bucket's edges (zero bucket → 0.0).
+
+    Expressions only (concat + prefix-sum filter + pow), the same O(k²)
+    bounded rank search as histogram_quantile; composable directly with
+    exp_histogram_delta_merge's output.
+    """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0,1], got {q}")
+    neg = F.coalesce(F.col("neg_counts").cast("array<double>"),
+                     F.array().cast("array<double>"))
+    pos = F.coalesce(F.col("pos_counts").cast("array<double>"),
+                     F.array().cast("array<double>"))
+    zero = F.coalesce(F.col("zero_count").cast("double"), F.lit(0.0))
+    cat = F.concat(F.reverse(neg), F.array(zero), pos)
+    total = F.aggregate(cat, F.lit(0.0), lambda a, x: a + x)
+    rank = F.lit(q) * total
+    k = F.size(cat)
+
+    def cum(i):
+        return F.aggregate(F.slice(cat, 1, i + 1), F.lit(0.0), lambda a, x: a + x)
+
+    idx = F.filter(F.sequence(F.lit(0), k - 1), lambda i: cum(i) >= rank).getItem(0)
+    prev_cum = F.when(idx == 0, F.lit(0.0)).otherwise(cum(idx - 1))
+    in_bucket = F.try_element_at(cat, idx + 1)
+    frac = F.when(in_bucket > 0, (rank - prev_cum) / in_bucket).otherwise(F.lit(0.0))
+    base = F.pow(F.lit(2.0), F.pow(F.lit(2.0), -F.col("scale").cast("double")))
+    n_neg = F.size(neg)
+    # negative side (ascending value = descending bucket index j)
+    j = n_neg - 1 - idx
+    neg_lo = -F.pow(base, (F.col("neg_offset") + j + 1).cast("double"))
+    neg_hi = -F.pow(base, (F.col("neg_offset") + j).cast("double"))
+    # positive side
+    i_pos = idx - n_neg - 1
+    pos_lo = F.pow(base, (F.col("pos_offset") + i_pos).cast("double"))
+    pos_hi = F.pow(base, (F.col("pos_offset") + i_pos + 1).cast("double"))
+    est = (
+        F.when(total == 0, F.lit(None).cast("double"))
+        .when(idx < n_neg, neg_lo + (neg_hi - neg_lo) * frac)
+        .when(idx == n_neg, F.lit(0.0))
+        .otherwise(pos_lo + (pos_hi - pos_lo) * frac)
+    )
+    return df.withColumn(out_col, est)

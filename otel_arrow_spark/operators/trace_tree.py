@@ -111,3 +111,57 @@ def trace_rollup(spans: DataFrame, depths: DataFrame | None = None) -> DataFrame
         )
         .withColumn("wall_ms", F.round("wall_ms", 3))
     )
+
+
+def service_graph(
+    spans: DataFrame,
+    dim: DataFrame,
+    dim_key: str = "resource_id",
+    service_col: str = "service",
+) -> DataFrame:
+    """Service-dependency edges (the service-graph connector pattern):
+    each parent→child span pair whose resources map to DIFFERENT services
+    is one observation of a client→server call; per edge: call count,
+    error count (child side), and total child latency — the numbers a
+    service map renders.
+
+    Plan: spans project to (trace_id, hex, service, status, duration)
+    ids-only width, the parent-child equi-join is hash-partitioned on
+    (trace_id, parent hex) — co-located within a trace, so skew is
+    bounded by a single trace's span count — and the service dim
+    broadcasts twice (client and server sides).
+    """
+    svc = F.broadcast(dim.select(dim_key, service_col))
+    base = (
+        spans.join(svc, dim_key)
+        .select(
+            "trace_id",
+            "span_id_hex",
+            "parent_span_id",
+            F.col(service_col).alias("_svc"),
+            "status_code",
+            "duration_ms",
+        )
+    )
+    child = base.where(F.col("parent_span_id").isNotNull()).select(
+        "trace_id",
+        F.col("parent_span_id").alias("_parent_hex"),
+        F.col("_svc").alias("server"),
+        "status_code",
+        "duration_ms",
+    )
+    parent = base.select(
+        "trace_id",
+        F.col("span_id_hex").alias("_parent_hex"),
+        F.col("_svc").alias("client"),
+    )
+    return (
+        child.join(parent, ["trace_id", "_parent_hex"])
+        .where(F.col("client") != F.col("server"))
+        .groupBy("client", "server")
+        .agg(
+            F.count(F.lit(1)).alias("n_calls"),
+            F.sum((F.col("status_code") == 2).cast("long")).alias("n_errors"),
+            F.sum("duration_ms").alias("total_ms"),
+        )
+    )

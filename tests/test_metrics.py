@@ -745,3 +745,63 @@ class TestCounterRate:
         assert got[("a", "2026-01-01 00:00:00")] == 10.0
         assert got[("a", "2026-01-01 00:01:00")] == 15.0  # lag crosses windows
         assert got[("b", "2026-01-01 00:00:00")] == 0.0
+
+
+class TestExpHistogramQuantile:
+    def test_hand_cases(self, spark):
+        from otel_arrow_spark.operators.metrics import exp_histogram_quantile
+
+        # scale 0 → base 2; pos buckets at offset 1: (2,4],(4,8],(8,16]
+        df = spark.createDataFrame(
+            [(0, 0, 1, [4, 2, 2], 0, [])],
+            "scale int, zero_count long, pos_offset int, pos_counts array<long>, "
+            "neg_offset int, neg_counts array<long>",
+        )
+        # total 8; q=0.5 → rank 4 → first pos bucket (cum 4 ≥ 4):
+        # lo=2 hi=4 frac=(4-0)/4 → 4.0
+        got = exp_histogram_quantile(df, 0.5).collect()[0].quantile
+        assert abs(got - 4.0) < 1e-9
+        # q=0.75 → rank 6 → second bucket: lo=4 hi=8 frac=(6-4)/2 → 8.0
+        got = exp_histogram_quantile(df, 0.75).collect()[0].quantile
+        assert abs(got - 8.0) < 1e-9
+
+    def test_zero_and_negative_sides(self, spark):
+        from otel_arrow_spark.operators.metrics import exp_histogram_quantile
+
+        # neg offset 0: buckets (1,2],(2,4] magnitudes → values in
+        # [-2,-1),[-4,-2); ascending: [-4,-2) then [-2,-1)
+        df = spark.createDataFrame(
+            [(0, 2, 0, [2], 0, [1, 1])],
+            "scale int, zero_count long, pos_offset int, pos_counts array<long>, "
+            "neg_offset int, neg_counts array<long>",
+        )
+        # total 6: ascending counts [1 (neg j=1), 1 (neg j=0), 2 (zero), 2 (pos)]
+        # q=0 → rank 0 → first neg bucket lo=-4: est = -4
+        assert exp_histogram_quantile(df, 0.0).collect()[0].quantile == -4.0
+        # q=0.5 → rank 3 → zero bucket → 0.0
+        assert exp_histogram_quantile(df, 0.5).collect()[0].quantile == 0.0
+        # q=1.0 → rank 6 → pos bucket (1,2], frac 1 → 2.0
+        assert exp_histogram_quantile(df, 1.0).collect()[0].quantile == 2.0
+
+    def test_converges_to_true_percentile(self, spark):
+        """At a fine scale the estimate approaches the sample percentile."""
+        import numpy as np
+
+        from otel_arrow_spark.operators.metrics import exp_histogram_quantile
+
+        rng = np.random.RandomState(11)
+        sample = rng.lognormal(3.0, 1.0, size=30000)
+        scale = 4
+        base = 2 ** (2 ** -scale)
+        idxs = np.ceil(np.log(sample) / np.log(base)).astype(int) - 1  # (b^i, b^(i+1)]
+        off = idxs.min()
+        counts = np.bincount(idxs - off)
+        df = spark.createDataFrame(
+            [(scale, 0, int(off), [int(c) for c in counts], 0, [])],
+            "scale int, zero_count long, pos_offset int, pos_counts array<long>, "
+            "neg_offset int, neg_counts array<long>",
+        )
+        for q in (0.5, 0.9, 0.99):
+            est = exp_histogram_quantile(df, q).collect()[0].quantile
+            true = float(np.percentile(sample, q * 100))
+            assert abs(est - true) / true < 0.05, (q, est, true)

@@ -230,3 +230,37 @@ class TestTraceTree:
         )
         with pytest.raises(RuntimeError, match="cycle|converge"):
             span_depths(cyc, max_iter=4)
+
+
+def test_service_graph_matches_duckdb(spark, workdir):
+    """Service-graph edges == a DuckDB re-derivation of the parent-child
+    service pairs."""
+    import duckdb
+
+    from otel_arrow_spark.operators.trace_tree import service_graph
+    from otel_arrow_spark.sources.spans import write_spans_parquet
+
+    p = write_spans_parquet(f"{workdir}/spans_fixture", 2000)
+    spans = spark.read.parquet(f"{p}/spans.parquet")
+    rattrs = spark.read.parquet(f"{p}/resource_attrs.parquet")
+    svc = rattrs.where(F.col("key") == "service.name").select(
+        F.col("parent_id").alias("resource_id"), F.col("str").alias("service")
+    )
+    got = {(r.client, r.server): (r.n_calls, r.n_errors, r.total_ms)
+           for r in service_graph(spans, svc).collect()}
+    exp = duckdb.connect().execute(f"""
+        WITH svc AS (SELECT parent_id AS rid, str AS s
+                     FROM read_parquet('{p}/resource_attrs.parquet')
+                     WHERE key = 'service.name'),
+        sp AS (SELECT x.*, svc.s FROM read_parquet('{p}/spans.parquet') x
+               JOIN svc ON x.resource_id = svc.rid)
+        SELECT pa.s AS client, ch.s AS server,
+               count(*), sum(CASE WHEN ch.status_code = 2 THEN 1 ELSE 0 END),
+               sum(ch.duration_ms)
+        FROM sp ch JOIN sp pa
+          ON ch.trace_id = pa.trace_id AND ch.parent_span_id = pa.span_id_hex
+        WHERE pa.s != ch.s GROUP BY 1, 2
+    """).fetchall()
+    assert len(exp) == len(got) > 3
+    for c, s, n, e, t in exp:
+        assert got[(c, s)] == (n, e, t), (c, s)
