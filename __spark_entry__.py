@@ -1716,7 +1716,12 @@ def q_logs_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from otel_arrow_spark.operators.parse import parse_transcripts
 
-    flat = enrich(parse_transcripts(_transcripts(spark, sf_dir)), spark)
+    # the encoder references the flat frame 4× (logs + attrs + both
+    # dims): materialize the parse ONCE — at scale this is "encode from
+    # a staged table", not re-parse-per-reference
+    flat = enrich(
+        parse_transcripts(_transcripts(spark, sf_dir)), spark
+    ).localCheckpoint()
     back = decode_logs_star(encode_logs_star(flat))
     return back.groupBy("severity_text", "tool", "owner").agg(
         F.count(F.lit(1)).alias("n"),
