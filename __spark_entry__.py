@@ -1525,6 +1525,22 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Critical-path analysis (operators/trace_tree.py critical_paths):
+    per trace, the root-to-leaf chain with the largest cumulative span
+    duration — frontier BFS carrying the running total. Oracle = DuckDB
+    recursive CTE accumulating the same chain, lexicographic-max pick."""
+    from otel_arrow_spark.operators.trace_tree import critical_paths
+
+    p = _spans_dir(sf_dir)
+    spans = spark.read.parquet(f"{p}/spans.parquet")
+    out = critical_paths(spans)
+    return out.select(
+        "trace_id", "critical_ms",
+        F.col("critical_depth").cast("int").alias("critical_depth"),
+    )
+
+
 def q_exp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exp_histogram_quantile (operators/metrics.py): p50/p90 from OTel
     exponential-histogram state per data point — negative side in
@@ -1810,6 +1826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every query gets a periodic driver row."""
     return {
         # --- new / changed this round (r4) ---
+        "critical_path": q_critical_path,
         "exp_quantile": q_exp_quantile,
         "service_graph": q_service_graph,
         "trace_rollup": q_trace_rollup,
@@ -2756,6 +2773,26 @@ def oracle_sql() -> dict[str, str]:
         # parquet under .cache/ first (the driver runs the Spark side before
         # the oracle), so DuckDB reads the identical bytes. The correctness
         # gate runs at sf=0.01 → n=100000 transcripts / n=20000 syslog lines.
+        "critical_path": f"""
+            WITH RECURSIVE sp AS (
+                SELECT * FROM read_parquet('{_REPO}/.cache/spans/n20000/spans.parquet')),
+            d AS (
+                SELECT trace_id, span_id_hex,
+                       CAST(duration_ms AS BIGINT) AS cum_ms, 0 AS depth
+                FROM sp WHERE parent_span_id IS NULL
+                UNION ALL
+                SELECT c.trace_id, c.span_id_hex,
+                       d.cum_ms + c.duration_ms, d.depth + 1
+                FROM sp c JOIN d ON c.trace_id = d.trace_id
+                               AND c.parent_span_id = d.span_id_hex)
+            SELECT trace_id, cum_ms AS critical_ms,
+                   CAST(depth AS INT) AS critical_depth
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY trace_id
+                      ORDER BY cum_ms DESC, depth DESC) AS rn
+                  FROM d)
+            WHERE rn = 1
+        """,
         "exp_quantile": f"""
             WITH e AS (
                 SELECT id, scale, zero_count, pos_offset, pos_counts,

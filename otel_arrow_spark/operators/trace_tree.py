@@ -165,3 +165,64 @@ def service_graph(
             F.sum("duration_ms").alias("total_ms"),
         )
     )
+
+
+def critical_paths(spans: DataFrame, max_iter: int = 32) -> DataFrame:
+    """Per-trace critical path (self-time chain): the root-to-leaf chain
+    with the largest cumulative span duration — where the trace's latency
+    actually lives. Same frontier BFS as ``span_depths`` but the frontier
+    carries the accumulated duration, so it costs the identical one-join-
+    per-level plan; per trace the answer is one max.
+
+    Returns (trace_id, critical_ms, critical_depth): the winning chain's
+    total duration and its depth.
+    """
+    edges = spans.where(F.col("parent_span_id").isNotNull()).select(
+        "trace_id",
+        F.col("parent_span_id").alias("parent_hex"),
+        F.col("span_id_hex").alias("child_hex"),
+        F.col("duration_ms").alias("child_ms"),
+    ).localCheckpoint()
+    frontier = spans.where(F.col("parent_span_id").isNull()).select(
+        "trace_id",
+        F.col("span_id_hex"),
+        F.col("duration_ms").cast("long").alias("cum_ms"),
+        F.lit(0).alias("depth"),
+    ).localCheckpoint()
+    best = frontier.select("trace_id", "cum_ms", "depth")
+    for _ in range(max_iter):
+        nxt = (
+            edges.join(
+                frontier.select(
+                    "trace_id",
+                    F.col("span_id_hex").alias("parent_hex"),
+                    "cum_ms",
+                    "depth",
+                ),
+                ["trace_id", "parent_hex"],
+            )
+            .select(
+                "trace_id",
+                F.col("child_hex").alias("span_id_hex"),
+                (F.col("cum_ms") + F.col("child_ms")).alias("cum_ms"),
+                (F.col("depth") + 1).alias("depth"),
+            )
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        best = best.unionByName(nxt.select("trace_id", "cum_ms", "depth"))
+        frontier = nxt
+    else:
+        raise RuntimeError(
+            f"critical_paths did not converge within {max_iter} levels"
+        )
+    return (
+        best.groupBy("trace_id")
+        .agg(F.max(F.struct("cum_ms", "depth")).alias("_m"))
+        .select(
+            "trace_id",
+            F.col("_m.cum_ms").alias("critical_ms"),
+            F.col("_m.depth").alias("critical_depth"),
+        )
+    )

@@ -264,3 +264,30 @@ def test_service_graph_matches_duckdb(spark, workdir):
     assert len(exp) == len(got) > 3
     for c, s, n, e, t in exp:
         assert got[(c, s)] == (n, e, t), (c, s)
+
+
+def test_critical_paths_match_python(spark, workdir):
+    from otel_arrow_spark.operators.trace_tree import critical_paths
+    from otel_arrow_spark.sources.spans import write_spans_parquet
+
+    p = write_spans_parquet(f"{workdir}/spans_fixture", 2000)
+    spans = spark.read.parquet(f"{p}/spans.parquet")
+    got = {r.trace_id: (r.critical_ms, r.critical_depth)
+           for r in critical_paths(spans).collect()}
+
+    rows = spans.select("trace_id", "span_id_hex", "parent_span_id",
+                        "duration_ms").collect()
+    parent = {(r.trace_id, r.span_id_hex): r.parent_span_id for r in rows}
+    dur = {(r.trace_id, r.span_id_hex): r.duration_ms for r in rows}
+    want = {}
+    for (t, h) in parent:
+        cum, d, key = 0, 0, (t, h)
+        cum += dur[key]
+        while parent[key] is not None:
+            key = (t, parent[key])
+            cum += dur[key]
+            d += 1
+        cur = want.get(t)
+        if cur is None or (cum, d) > cur:
+            want[t] = (cum, d)
+    assert got == want and len(got) > 100
