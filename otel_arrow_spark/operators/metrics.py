@@ -476,7 +476,8 @@ def histogram_quantile(
     Pure expressions, no shuffle: for k+1 buckets the rank search is a
     ``filter(sequence(...))`` whose predicate re-sums a prefix slice —
     O(k²) arithmetic per row, bounded (OTel explicit histograms carry at
-    most a few hundred buckets) and all inside whole-stage codegen; a
+    most a few hundred buckets), all JVM-side (higher-order lambdas
+    evaluate as interpreted expressions outside whole-stage codegen); a
     running-sum formulation would need a second array pass anyway.
 
     Returns ``df`` with ``out_col`` added (NULL where total count is 0).

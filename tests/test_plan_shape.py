@@ -225,3 +225,67 @@ def test_asof_join_plan_has_no_join_operator(spark):
     ))
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_semantic_dedup_pairwise_is_hash_join(spark):
+    """semantic_dedup's within-cluster pairwise stage must be an
+    equi-join on cluster_id — never a nested-loop over the corpus."""
+    from otel_arrow_spark.textops.dedup import semantic_dedup
+    from otel_arrow_spark.textops.ivf import deterministic_centroids
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = plan_of(semantic_dedup(e, deterministic_centroids(e, 4), 0.5))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan  # the cluster-bucketed equi-join exists
+
+
+def test_counter_rate_one_lag_window_partial_final(spark):
+    """counter_rate: one window (the lag) + one aggregate, JVM only."""
+    from otel_arrow_spark.operators.metrics import counter_rate
+
+    df = spark.createDataFrame(
+        [("m", "s", 0.0)], "metric_name string, stream string, double_value double"
+    ).withColumn("ts", F.current_timestamp())
+    plan = plan_of(counter_rate(df, keys=("metric_name", "stream")))
+    assert "EvalPython" not in plan
+    assert plan.count("Window") == 1
+    assert plan.count("HashAggregate") >= 2  # partial+final
+
+
+def test_span_metrics_broadcast_dim_no_python(spark, tiny_transcripts, workdir):
+    from otel_arrow_spark.operators.span_metrics import span_red_metrics
+    from otel_arrow_spark.sources.spans import write_spans_parquet
+
+    p = write_spans_parquet(f"{workdir}/spans_fixture", 2000)
+    spans = spark.read.parquet(f"{p}/spans.parquet")
+    rattrs = spark.read.parquet(f"{p}/resource_attrs.parquet")
+    svc = rattrs.where(F.col("key") == "service.name").select(
+        F.col("parent_id").alias("resource_id"), F.col("str").alias("service")
+    )
+    plan = plan_of(span_red_metrics(spans, dim=svc))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunking_and_quantile_stay_jvm_shuffle_free(spark):
+    """chunk_documents and histogram_quantile are pure expressions — no
+    Exchange, no Python. Chunking's scan-side projection is codegen'd;
+    the quantile's higher-order lambdas evaluate as interpreted JVM
+    expressions (HOFs are outside whole-stage codegen by design), which
+    is still the vectorized-scan + JVM-eval fast path."""
+    from otel_arrow_spark.operators.metrics import histogram_quantile
+    from otel_arrow_spark.textops.chunking import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    chunk_plan = plan_of(chunk_documents(docs))
+    assert "Exchange" not in chunk_plan and "EvalPython" not in chunk_plan
+    assert "*(1)" in chunk_plan  # whole-stage codegen star marker
+    q_plan = plan_of(histogram_quantile(
+        spark.createDataFrame(
+            [([5.0], [1, 1])],
+            "bounds array<double>, bucket_counts array<long>",
+        ),
+        0.9,
+    ))
+    assert "Exchange" not in q_plan and "EvalPython" not in q_plan
