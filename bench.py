@@ -61,6 +61,13 @@ HEADLINE_QUERIES = [
     "semantic_dedup",
     "exemplar_star",
     "scope_attrs",
+    "span_metrics",
+    "trace_rollup",
+    "critical_path",
+    "service_graph",
+    "hist_quantile",
+    "counter_rate",
+    "exp_quantile",
 ]
 
 
