@@ -93,3 +93,44 @@ class TestRoundTrip:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert plan.count("BroadcastHashJoin") >= 2  # both dims broadcast
+
+
+def test_spec_generic_over_syslog_shape(spark):
+    """LogsStarSpec is column-mapping-generic: parsed syslog frames (a
+    different parse surface entirely) encode into the same star layout
+    and round-trip losslessly."""
+    from otel_arrow_spark.operators.logs_star import LogsStarSpec
+    from otel_arrow_spark.sources.syslog import generate_syslog_lines, parse_syslog
+
+    lines = generate_syslog_lines(400)
+    parsed = parse_syslog(
+        spark.createDataFrame(
+            [(i, l) for i, l in enumerate(lines)], "line_no long, line string"
+        )
+    ).where(F.col("format") != "unknown").localCheckpoint()
+    spec = LogsStarSpec(
+        key_cols=("line_no",),
+        ts_col="line_no",          # any orderable column serves as ts here
+        body_col="message",
+        severity_text_col="severity_text",
+        severity_number_col="severity_number",
+        trace_id_col=None,
+        span_id_col=None,
+        attr_cols=("hostname", "app_name", "proc_id"),
+        resource_cols=("facility",),
+        scope_cols=("format",),  # the parse format IS the "scope"
+    )
+    star = encode_logs_star(parsed, spec)
+    back = decode_logs_star(star, spec)
+    orig = parsed.select(
+        F.xxhash64("line_no").alias("id"),
+        F.col("severity_text"),
+        F.col("message"),
+        *[F.col(c).cast("string").alias(c)
+          for c in ("hostname", "app_name", "proc_id", "format")],  # format via scope dim
+    )
+    got = back.select(*orig.columns)
+    assert got.exceptAll(orig).count() == 0
+    assert orig.exceptAll(got).count() == 0
+    # the format scope dim is tiny and dictionary-encoded
+    assert star["scope_attrs"].count() == 3  # rfc5424 / rfc3164 / cef

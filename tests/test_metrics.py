@@ -805,3 +805,51 @@ class TestExpHistogramQuantile:
             est = exp_histogram_quantile(df, q).collect()[0].quantile
             true = float(np.percentile(sample, q * 100))
             assert abs(est - true) / true < 0.05, (q, est, true)
+
+
+class TestQuantileFuzz:
+    def test_histogram_quantile_matches_python_replay(self, spark):
+        """Hypothesis fuzz: random bucket layouts (incl. empty buckets and
+        edge ranks) against an exact Python replay of the interpolation
+        rule."""
+        from hypothesis import given, settings, strategies as st
+
+        from otel_arrow_spark.operators.metrics import histogram_quantile
+
+        @settings(max_examples=12, deadline=None)
+        @given(
+            counts=st.lists(st.integers(0, 5), min_size=2, max_size=6),
+            qq=st.sampled_from([0.0, 0.25, 0.5, 0.9, 1.0]),
+        )
+        def run(counts, qq):
+            bounds = [float(5 * (i + 1)) for i in range(len(counts) - 1)]
+            df = spark.createDataFrame(
+                [(bounds, counts)],
+                "bounds array<double>, bucket_counts array<long>",
+            )
+            got = histogram_quantile(df, qq).collect()[0].quantile
+
+            total = float(sum(counts))
+            if total == 0:
+                assert got is None
+                return
+            rank = qq * total
+            cum = 0.0
+            idx = None
+            for i, c in enumerate(counts):
+                prev = cum
+                cum += c
+                if cum >= rank:
+                    idx = i
+                    break
+            if idx >= len(bounds):
+                want = bounds[-1]
+            elif counts[idx] == 0:
+                want = bounds[idx]
+            else:
+                lo = 0.0 if idx == 0 else bounds[idx - 1]
+                hi = bounds[idx]
+                want = lo + (hi - lo) * (rank - prev) / counts[idx]
+            assert got is not None and abs(got - want) < 1e-9, (counts, qq)
+
+        run()
