@@ -208,6 +208,61 @@ def main() -> None:
         )
     )
 
+    from otel_arrow_spark.operators.span_metrics import span_red_metrics
+    from otel_arrow_spark.sources.spans import write_spans_parquet
+
+    spans_dir = write_spans_parquet(
+        os.path.join(repo, ".cache", "spans", "n2000_plans"), 2000
+    )
+    spans = spark.read.parquet(f"{spans_dir}/spans.parquet")
+    rattrs = spark.read.parquet(f"{spans_dir}/resource_attrs.parquet")
+    svc = rattrs.where(F.col("key") == "service.name").select(
+        F.col("parent_id").alias("resource_id"), F.col("str").alias("service")
+    )
+    sections.append(
+        (
+            "Span RED metrics (spanmetrics connector)",
+            "Expected: one-hot latency buckets in a `Project` at the scan, "
+            "the service dimension via `BroadcastHashJoin`, the delta merge "
+            "and the error rollup as partial+final `HashAggregate` / "
+            "`ObjectHashAggregate` pairs over the SAME shuffle keys. No "
+            "Python, no nested-loop joins.",
+            span_red_metrics(spans, dim=svc),
+        )
+    )
+
+    from otel_arrow_spark.operators.logs_star import (
+        decode_logs_star,
+        encode_logs_star,
+    )
+    from otel_arrow_spark.operators.enrich import enrich
+    from otel_arrow_spark.operators.parse import parse_transcripts
+
+    flat = enrich(parse_transcripts(spark.read.parquet(inp)), spark).localCheckpoint()
+    sections.append(
+        (
+            "LOGS star decode (round-trip read side)",
+            "Expected: the attrs pivot is ONE `ObjectHashAggregate`/"
+            "`HashAggregate` pair on parent_id (conditional firsts, never a "
+            "join per key); both dimension joins are `BroadcastHashJoin`; "
+            "ids are hash expressions, no `Window`/row_number funnel.",
+            decode_logs_star(encode_logs_star(flat)),
+        )
+    )
+
+    from otel_arrow_spark.textops.chunking import chunk_documents
+
+    sections.append(
+        (
+            "Sliding-window chunking",
+            "Expected: tokenization `split` materialized in the Project "
+            "BELOW the `Generate` (explode) node — one regex per document, "
+            "not per chunk — zero `Exchange`, zero Python, whole-stage "
+            "codegen throughout.",
+            chunk_documents(docs),
+        )
+    )
+
     out = [HEADER]
     for title, expect, df in sections:
         plan = df._jdf.queryExecution().explainString(
