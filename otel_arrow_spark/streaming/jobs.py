@@ -119,6 +119,48 @@ def stream_syslog_parse(
     return writer.start()
 
 
+def stream_logs_star_encode(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    parse_engine: str = "pandas",
+) -> StreamingQuery:
+    """Streaming LOGS-star encoder: each micro-batch of raw transcripts
+    parses, enriches, and normalizes into the four star tables
+    (operators/logs_star.py) — the reference's receiver→OTAP encode IS a
+    streaming path (go/pkg/otel/logs/arrow/logs.go runs per batch), so
+    the encode must run per micro-batch here too.
+
+    ``foreachBatch`` is the sanctioned multi-table streaming sink: one
+    function, four appends, exactly-once per micro-batch via the
+    checkpoint. Dimension rows are VALUE-DETERMINED (hash ids over attr
+    values), so appends across micro-batches produce byte-identical
+    duplicates, not conflicts — readers dedupe with a distinct() that
+    collapses map-side (the dictionary-merge semantics of the reference's
+    per-batch dictionary deltas).
+    """
+    from otel_arrow_spark.operators.logs_star import encode_logs_star
+    from otel_arrow_spark.operators.enrich import enrich as _enrich
+    from otel_arrow_spark.operators.parse import parse_transcripts as _parse
+
+    stream = stream_transcripts_source(spark, input_dir)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        flat = _enrich(_parse(batch_df, engine=parse_engine), spark).localCheckpoint()
+        for name, frame in encode_logs_star(flat).items():
+            frame.write.mode("append").parquet(f"{output_dir}/{name}")
+
+    writer = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_histogram_reaggregation(
     spark: SparkSession,
     input_dir: str,

@@ -234,3 +234,34 @@ def test_stream_syslog_matches_batch(spark, workdir):
     )
     fmts = {r.format for r in got.select("format").distinct().collect()}
     assert fmts == {"rfc5424", "rfc3164", "cef", "unknown"}
+
+
+def test_stream_logs_star_encode_matches_batch(spark, tiny_transcripts, workdir):
+    """Streaming star encode == batch encode on the same corpus: logs and
+    log_attrs row-identical; dims identical after the documented
+    distinct() (value-determined hash ids make cross-batch duplicates
+    byte-identical)."""
+    from otel_arrow_spark.operators.enrich import enrich
+    from otel_arrow_spark.operators.logs_star import encode_logs_star
+    from otel_arrow_spark.operators.parse import parse_transcripts
+    from otel_arrow_spark.streaming.jobs import stream_logs_star_encode
+
+    out = f"{workdir}/stream_star_out"
+    q = stream_logs_star_encode(
+        spark, tiny_transcripts, out, f"{workdir}/stream_star_ckpt",
+        available_now=True,
+    )
+    q.awaitTermination(300)
+
+    flat = enrich(
+        parse_transcripts(spark.read.parquet(tiny_transcripts)), spark
+    ).localCheckpoint()
+    want = encode_logs_star(flat)
+    for name in ("logs", "log_attrs"):
+        got = spark.read.parquet(f"{out}/{name}")
+        assert got.exceptAll(want[name]).count() == 0
+        assert want[name].exceptAll(got).count() == 0
+    for name in ("resource_attrs", "scope_attrs"):
+        got = spark.read.parquet(f"{out}/{name}").distinct()
+        assert got.exceptAll(want[name]).count() == 0
+        assert want[name].exceptAll(got).count() == 0
