@@ -1525,6 +1525,18 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted dataset mixing (textops/analysis.py
+    temperature_mixing_sample): per-source quotas ∝ n^0.5 filled in
+    deterministic md5 order; the oracle recomputes the quota formula and
+    replays the window."""
+    from otel_arrow_spark.textops.analysis import temperature_mixing_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = temperature_mixing_sample(d, alpha=0.5, total_docs=300)
+    return out.select("doc_id", "source", "lang")
+
+
 def q_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Critical-path analysis (operators/trace_tree.py critical_paths):
     per trace, the root-to-leaf chain with the largest cumulative span
@@ -1826,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every query gets a periodic driver row."""
     return {
         # --- new / changed this round (r4) ---
+        "temperature_mix": q_temperature_mix,
         "critical_path": q_critical_path,
         "exp_quantile": q_exp_quantile,
         "service_graph": q_service_graph,
@@ -2773,6 +2786,27 @@ def oracle_sql() -> dict[str, str]:
         # parquet under .cache/ first (the driver runs the Spark side before
         # the oracle), so DuckDB reads the identical bytes. The correctness
         # gate runs at sf=0.01 → n=100000 transcripts / n=20000 syslog lines.
+        "temperature_mix": """
+            WITH c AS (
+                SELECT source, CAST(count(*) AS DOUBLE) AS n
+                FROM documents GROUP BY 1),
+            d AS (SELECT sum(p) AS dn FROM (
+                SELECT pow(n, 0.5) AS p FROM c ORDER BY p)),
+            q AS (
+                SELECT source,
+                       least(CAST(floor(round(
+                           300 * pow(n, 0.5) / (SELECT dn FROM d), 6)) AS BIGINT),
+                             CAST(n AS BIGINT)) AS quota
+                FROM c),
+            r AS (
+                SELECT doc_id, source, lang,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                FROM documents)
+            SELECT r.doc_id, r.source, r.lang
+            FROM r JOIN q USING (source) WHERE r.rn <= q.quota
+        """,
         "critical_path": f"""
             WITH RECURSIVE sp AS (
                 SELECT * FROM read_parquet('{_REPO}/.cache/spans/n20000/spans.parquet')),

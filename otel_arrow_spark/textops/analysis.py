@@ -154,6 +154,62 @@ def stratified_sample(
     return df.join(ids, id_col, "left_semi")
 
 
+def temperature_mixing_sample(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.5,
+    total_docs: int = 1000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-weighted dataset mixing (the multinomial up/down-
+    sampling of T5/XLM-R/LLaMA-style pretraining mixes): source ``s``
+    gets a quota ∝ ``n_s^alpha`` — ``alpha=1`` is proportional (natural)
+    mixing, ``alpha=0`` equal parts, in between up-weights small sources
+    without letting the largest source drown the mix. Within each source
+    the quota is filled in deterministic md5-of-id order (reproducible
+    across engines, the ``stratified_sample`` recipe).
+
+    Quota arithmetic: ``floor(round(total_docs * n_s^alpha / Σ n_t^alpha,
+    6))``, capped at ``n_s`` — the round-before-floor makes the floor
+    boundary identical in any engine replaying the formula (raw doubles
+    agree to ~1e-12; 6 dp absorbs summation-order noise), so the DuckDB
+    oracle recomputes quotas bit-identically; the floor means the
+    realized total can undershoot by at most one doc per source.
+
+    Scale shape: ONE tiny aggregate for the per-source counts (collected —
+    the source dimension is small by construction), quotas computed
+    driver-side into a broadcast literal map, then the stratified window
+    over (id, source) pairs; bodies semi-join back.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0,1], got {alpha}")
+    from pyspark.sql import Window
+
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    denom = sum(sorted(n ** alpha for n in counts.values()))
+    quotas = {
+        s: min(int(round(total_docs * (n ** alpha) / denom, 6)), n)
+        for s, n in counts.items()
+    }
+    quota_col = F.create_map(
+        *[F.lit(x) for kv in quotas.items() for x in kv]
+    )[F.col(source_col)]
+    order_key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(source_col).orderBy(order_key, F.col(id_col))
+    ids = (
+        df.select(id_col, source_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= quota_col)
+        .select(id_col)
+    )
+    return df.join(ids, id_col, "left_semi")
+
+
 def classifier_score(
     df: DataFrame,
     weights: dict[int, float],

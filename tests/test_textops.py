@@ -629,3 +629,52 @@ class TestSemanticDedup:
         assert {r.vec_id for r in via_index.collect()} == {
             r.vec_id for r in inline.collect()
         }
+
+
+class TestTemperatureMixing:
+    def test_quota_math_and_determinism(self, spark):
+        import math
+
+        from otel_arrow_spark.textops.analysis import temperature_mixing_sample
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = temperature_mixing_sample(d, alpha=0.5, total_docs=100)
+        counts = {r["source"]: r["n"]
+                  for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+        denom = sum(sorted(n ** 0.5 for n in counts.values()))
+        want = {s: min(int(round(100 * (n ** 0.5) / denom, 6)), n)
+                for s, n in counts.items()}
+        got = {r["source"]: r["n"]
+               for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert got == {s: q for s, q in want.items() if q > 0}
+        # deterministic
+        again = temperature_mixing_sample(d, alpha=0.5, total_docs=100)
+        assert out.exceptAll(again).count() == 0
+
+    def test_flattens_skewed_sources(self, spark):
+        """On a skewed corpus the small source's mix share beats its
+        natural share (the whole point of temperature mixing)."""
+        from otel_arrow_spark.textops.analysis import temperature_mixing_sample
+
+        rows = [(i, "big") for i in range(900)] +                [(1000 + i, "small") for i in range(100)]
+        d = spark.createDataFrame(rows, "doc_id long, source string")
+        out = temperature_mixing_sample(d, alpha=0.5, total_docs=200)
+        got = {r["source"]: r["n"]
+               for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+        # natural share 10% → 20 docs; sqrt share 10/40 = 25% → 50 docs
+        assert got["small"] == 50 and got["big"] == 150
+
+    def test_alpha_extremes(self, spark):
+        from otel_arrow_spark.textops.analysis import temperature_mixing_sample
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        n_sources = d.select("source").distinct().count()
+        # alpha=0: equal parts (floor(total/n_sources) each, caps allowing)
+        eq = temperature_mixing_sample(d, alpha=0.0, total_docs=90)
+        per = [r["n"] for r in
+               eq.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()]
+        assert len(set(per)) <= 2 and max(per) <= 90 // n_sources
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            temperature_mixing_sample(d, alpha=1.5)
