@@ -68,6 +68,7 @@ HEADLINE_QUERIES = [
     "hist_quantile",
     "counter_rate",
     "exp_quantile",
+    "temperature_mix",
 ]
 
 
