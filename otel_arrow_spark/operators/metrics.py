@@ -88,6 +88,7 @@ def histogram_delta_merge(
     period: str = "60 seconds",
     keys: tuple[str, ...] = ("metric_name",),
     ts_col: str = "ts",
+    extra_aggs: dict[str, "F.Column"] | None = None,
 ) -> DataFrame:
     """Delta-temporality histogram reaggregation: per (stream, window) the
     counts/sums add, min/max combine, and bucket_counts merge element-wise
@@ -97,7 +98,14 @@ def histogram_delta_merge(
     single stream); the element-wise sum is a JVM-side fold:
     ``aggregate(collect_list(bucket_counts), zeros, zip_with(+))``. One
     shuffle; the scalar aggregates are partial+final.
+
+    ``extra_aggs``: additional aggregate expressions (name → Column) that
+    ride the SAME groupBy — callers needing sibling rollups (e.g. error
+    counts next to latency buckets) get them in the one aggregate instead
+    of a second aggregation joined back, which also keeps the operator
+    usable on streaming frames (stream aggregate-join is unsupported).
     """
+    extra_aggs = extra_aggs or {}
     w = F.window(F.col(ts_col), period)
     g = df.groupBy(w.alias("w"), *keys).agg(
         F.sum("h_count").alias("h_count"),
@@ -106,6 +114,7 @@ def histogram_delta_merge(
         F.max("h_max").alias("h_max"),
         F.first("bounds").alias("bounds"),
         F.collect_list("bucket_counts").alias("_bcs"),
+        *[c.alias(n) for n, c in extra_aggs.items()],
     )
     zeros = F.transform(
         F.element_at("_bcs", 1), lambda _: F.lit(0).cast("long")
@@ -123,6 +132,7 @@ def histogram_delta_merge(
         "h_max",
         "bounds",
         merged.alias("bucket_counts"),
+        *extra_aggs.keys(),
     )
 
 

@@ -63,32 +63,58 @@ def span_red_metrics(
         "duration_ms",
         bounds,
     ).withColumn("_is_err", (F.col("status_code") == 2).cast("long"))
-    merged = histogram_delta_merge(pts, period, keys=(*extra_keys, "name"))
-    # errors ride a second tiny aggregate over the same shuffle keys —
-    # folding them into the merge would mean forking histogram_delta_merge;
-    # Catalyst reuses the exchange for both aggregations of the same child
-    errs = (
-        pts.groupBy(
-            F.window("ts", period).alias("w"), *extra_keys, "name"
-        )
-        .agg(F.sum("_is_err").alias("n_errors"))
-        .select(
-            F.col("w.start").alias("window_start"), *extra_keys, "name", "n_errors"
-        )
+    # error counts ride the merge's own groupBy (extra_aggs) — ONE
+    # aggregate total, no second aggregation joined back; this is also
+    # what keeps the operator streaming-safe (stream aggregate-join is
+    # unsupported in append mode)
+    merged = histogram_delta_merge(
+        pts, period, keys=(*extra_keys, "name"),
+        extra_aggs={"n_errors": F.sum("_is_err")},
     )
-    return (
-        merged.join(errs, ["window_start", *extra_keys, "name"])
-        .select(
-            *extra_keys,
-            "name",
-            "window_start",
-            F.col("h_count").alias("n_calls"),
-            "n_errors",
-            F.round(F.col("n_errors") / F.col("h_count"), 6).alias("error_ratio"),
-            F.round("h_sum", 6).alias("total_ms"),
-            "h_min",
-            "h_max",
-            "bounds",
-            "bucket_counts",
-        )
+    return merged.select(
+        *extra_keys,
+        "name",
+        "window_start",
+        F.col("h_count").alias("n_calls"),
+        "n_errors",
+        F.round(F.col("n_errors") / F.col("h_count"), 6).alias("error_ratio"),
+        F.round("h_sum", 6).alias("total_ms"),
+        "h_min",
+        "h_max",
+        "bounds",
+        "bucket_counts",
     )
+
+
+def stream_span_red_metrics(
+    spark,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    dim: DataFrame | None = None,
+    period: str = "15 minutes",
+    watermark: str = "10 minutes",
+    available_now: bool = True,
+):
+    """Streaming RED derivation: the SAME span_red_metrics plan over a
+    watermarked span file-stream (single aggregate — the extra_aggs fold
+    is what makes this legal in append mode), windows emitted once closed
+    by the watermark, exactly-once parquet sink. The connector pattern
+    run the way a collector actually runs it: continuously."""
+    schema = spark.read.parquet(input_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(input_dir)
+        .withColumn("start_ts", F.col("start_ts").cast("timestamp"))
+        .withWatermark("start_ts", watermark)
+    )
+    red = span_red_metrics(stream, dim=dim, period=period)
+    writer = (
+        red.writeStream.format("parquet")
+        .option("path", f"{output_dir}/red")
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -265,3 +265,53 @@ def test_stream_logs_star_encode_matches_batch(spark, tiny_transcripts, workdir)
         got = spark.read.parquet(f"{out}/{name}").distinct()
         assert got.exceptAll(want[name]).count() == 0
         assert want[name].exceptAll(got).count() == 0
+
+
+def test_stream_span_red_metrics_matches_batch(spark, workdir):
+    """Streaming RED == batch RED for windows the watermark closed — the
+    spanmetrics connector run continuously (legal in append mode only
+    because the error rollup rides the merge's own aggregate)."""
+    from otel_arrow_spark.operators.span_metrics import (
+        span_red_metrics,
+        stream_span_red_metrics,
+    )
+    from otel_arrow_spark.sources.spans import write_spans_parquet
+
+    p = write_spans_parquet(f"{workdir}/spans_fixture", 2000)
+    # file streams need a DIRECTORY source; stage the spans table alone
+    spans_dir = f"{workdir}/spans_stream_src"
+    os.makedirs(spans_dir, exist_ok=True)
+    import shutil
+
+    shutil.copy(f"{p}/spans.parquet", f"{spans_dir}/part-0.parquet")
+    out = f"{workdir}/stream_red_out"
+    q = stream_span_red_metrics(
+        spark, spans_dir, out, f"{workdir}/stream_red_ckpt",
+        period="15 minutes", watermark="10 minutes", available_now=True,
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(f"{out}/red")
+    assert got.count() > 0
+
+    spans = spark.read.parquet(spans_dir).withColumn(
+        "start_ts", F.col("start_ts").cast("timestamp")
+    )
+    want = span_red_metrics(spans, period="15 minutes")
+    # append emits only watermark-closed windows; model the closure rule
+    max_ts = spans.agg(F.max("start_ts")).first()[0]
+    want_closed = want.filter(
+        F.col("window_start") + F.expr("INTERVAL 15 MINUTES")
+        <= F.lit(max_ts) - F.expr("INTERVAL 10 MINUTES")
+    )
+
+    def canon(df):
+        return df.select(
+            "name", "window_start", "n_calls", "n_errors", "error_ratio",
+            "total_ms",
+            F.array_join(
+                F.transform("bucket_counts", lambda c: c.cast("string")), ","
+            ).alias("bc"),
+        )
+
+    a, b = canon(got), canon(want_closed)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
