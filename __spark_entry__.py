@@ -1515,13 +1515,19 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch gap-based sessionization (operators/sessionize.py — lag +
     running sum in one window stage, one shuffle): 30-minute-gap sessions
     per user over events; the oracle replays the identical window algebra
-    in DuckDB."""
+    in DuckDB. Cross-engine hardening: event_id tiebreak pins the order of
+    equal timestamps on both sides, and the compared duration is INTEGER
+    microseconds (a rounded float can diverge between Spark's shortest-
+    decimal half-up rounding and DuckDB's binary-double rounding at the
+    .xxx5 boundary)."""
     from otel_arrow_spark.operators.sessionize import session_summaries
 
     ev = _t(spark, sf_dir, "events")
-    return session_summaries(ev, ["user_id"], gap_seconds=1800).select(
+    return session_summaries(
+        ev, ["user_id"], gap_seconds=1800, tiebreak=["event_id"]
+    ).select(
         "user_id", "session_idx", "n_events",
-        F.round("duration_sec", 3).alias("duration_sec"),
+        F.col("duration_us").cast("long").alias("duration_us"),
     )
 
 
@@ -3027,7 +3033,12 @@ def oracle_sql() -> dict[str, str]:
             WITH d AS (
                 SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
                 FROM documents),
-            n AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+            n AS (SELECT doc_id, toks,
+                         -- mirror the operator's empty-text guard: Spark
+                         -- sets n=0 for '' while DuckDB splits '' to ['']
+                         CASE WHEN len(toks) = 1 AND toks[1] = ''
+                              THEN 0 ELSE len(toks) END AS n
+                  FROM d),
             c AS (
                 SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
                        CAST(ci * 24 AS INT) AS start,
@@ -3224,18 +3235,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sessionize": """
             WITH f AS (
-                SELECT user_id, ts,
+                SELECT user_id, ts, event_id,
                        CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
                             THEN 0 ELSE 1 END AS new_s
-                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             s AS (
                 SELECT user_id, ts,
-                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                       sum(new_s) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
                 FROM f)
             SELECT user_id, session_idx,
                    CAST(count(*) AS BIGINT) AS n_events,
-                   round(epoch(max(ts) - min(ts)), 3) AS duration_sec
+                   CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
+                       AS duration_us
             FROM s GROUP BY 1, 2
         """,
         "asof_join": """

@@ -29,16 +29,28 @@ def sessionize(
     by: Sequence[str],
     on: str = "ts",
     gap_seconds: int = 1800,
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """Add a ``session_idx`` column (0-based per key, in time order):
     a new session starts at the first row of a key and whenever the gap
-    since the previous row exceeds ``gap_seconds``."""
+    since the previous row exceeds ``gap_seconds``.
+
+    ``tiebreak`` columns extend the per-key ordering so equal timestamps
+    sort deterministically — required whenever the output is compared
+    across engines (two engines are free to order ties differently, so an
+    oracle replay must pin the same total order on both sides).
+
+    The gap test is native interval arithmetic (``ts - lag(ts) >
+    INTERVAL``): no epoch extraction, so it is insensitive to the session
+    timezone even for TIMESTAMP_NTZ inputs (an NTZ→epoch cast would shift
+    with ``spark.sql.session.timeZone``; pure subtraction cancels it).
+    """
     by = list(by)
-    w = Window.partitionBy(*by).orderBy(on)
-    gap_us = int(gap_seconds) * 1_000_000
+    w = Window.partitionBy(*by).orderBy(on, *tiebreak)
+    gap = F.expr(f"INTERVAL '{int(gap_seconds)}' SECOND")
     new_session = (
         F.coalesce(
-            (_us(on) - F.lag(_us(on)).over(w)) > F.lit(gap_us), F.lit(True)
+            (F.col(on) - F.lag(F.col(on)).over(w)) > gap, F.lit(True)
         )
     ).cast("long")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -56,16 +68,25 @@ def session_summaries(
     by: Sequence[str],
     on: str = "ts",
     gap_seconds: int = 1800,
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
-    """One row per (key, session): event count, bounds, duration."""
+    """One row per (key, session): event count, bounds, duration.
+
+    ``duration_us`` is the integer-microsecond duration — the value to
+    compare across engines (an integer has no rounding convention, unlike
+    a rounded float where Spark's shortest-decimal half-up and another
+    engine's binary-double rounding can disagree at the .xxx5 boundary).
+    ``duration_sec`` stays for human consumption.
+    """
     by = list(by)
     return (
-        sessionize(df, by, on, gap_seconds)
+        sessionize(df, by, on, gap_seconds, tiebreak=tiebreak)
         .groupBy(*by, "session_idx")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.min(on).alias("session_start"),
             F.max(on).alias("session_end"),
+            (F.max(_us(on)) - F.min(_us(on))).alias("duration_us"),
             ((F.max(_us(on)) - F.min(_us(on))) / F.lit(1_000_000.0)).alias(
                 "duration_sec"
             ),

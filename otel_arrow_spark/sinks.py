@@ -248,24 +248,33 @@ def fanout_with_policy(
     try:
         for port in targets:
             record = {"status": "ok", "delivered_via": port.name,
-                      "attempts": 0, "error": None}
+                      "attempts": 0, "fallback_attempts": 0, "error": None}
 
-            def _deliver(p: FanoutPort) -> BaseException | None:
+            def _deliver(p: FanoutPort) -> tuple[BaseException | None, int]:
+                # count the attempts actually made (a sink succeeding on
+                # try 2 of 3 is 2, not 1 and not max_attempts) — the
+                # inflight-tracking record must state what happened
+                made = 0
+
+                def _run():
+                    nonlocal made
+                    made += 1
+                    return p.sink(df)
+
                 try:
                     retry_with_backoff(
-                        lambda: p.sink(df),
+                        _run,
                         max_attempts=p.max_attempts,
                         initial_interval=initial_interval,
                     )
-                    return None
+                    return None, made
                 except Exception as ex:  # noqa: BLE001 — sink errors are data
-                    return ex
+                    return ex, made
 
-            err = _deliver(port)
-            record["attempts"] = port.max_attempts if err else 1
+            err, record["attempts"] = _deliver(port)
             if err is not None and port.name in fallbacks:
                 fb = fallbacks[port.name]
-                fb_err = _deliver(fb)
+                fb_err, record["fallback_attempts"] = _deliver(fb)
                 if fb_err is None:
                     record.update(status="fell_back", delivered_via=fb.name,
                                   error=str(err))

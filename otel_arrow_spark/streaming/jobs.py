@@ -133,13 +133,19 @@ def stream_logs_star_encode(
     streaming path (go/pkg/otel/logs/arrow/logs.go runs per batch), so
     the encode must run per micro-batch here too.
 
-    ``foreachBatch`` is the sanctioned multi-table streaming sink: one
-    function, four appends, exactly-once per micro-batch via the
-    checkpoint. Dimension rows are VALUE-DETERMINED (hash ids over attr
-    values), so appends across micro-batches produce byte-identical
-    duplicates, not conflicts — readers dedupe with a distinct() that
-    collapses map-side (the dictionary-merge semantics of the reference's
-    per-batch dictionary deltas).
+    ``foreachBatch`` is the sanctioned multi-table streaming sink, but
+    foreachBatch alone is only at-least-once: a crash after some of the
+    four writes but before the checkpoint commits re-runs the batch on
+    restart. The writes are therefore made IDEMPOTENT — each table is
+    partitioned by ``batch_id`` and written with dynamic partition
+    overwrite, so a replayed micro-batch overwrites exactly its own
+    partition instead of appending duplicate fact rows (the standard
+    foreachBatch exactly-once recipe). Dimension rows are additionally
+    VALUE-DETERMINED (hash ids over attr values), so even cross-batch
+    repeats are byte-identical — readers still dedupe dims with a
+    distinct() that collapses map-side (the dictionary-merge semantics of
+    the reference's per-batch dictionary deltas). Readers drop the
+    ``batch_id`` partition column to recover the star schema.
     """
     from otel_arrow_spark.operators.logs_star import encode_logs_star
     from otel_arrow_spark.operators.enrich import enrich as _enrich
@@ -150,7 +156,13 @@ def stream_logs_star_encode(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         flat = _enrich(_parse(batch_df, engine=parse_engine), spark).localCheckpoint()
         for name, frame in encode_logs_star(flat).items():
-            frame.write.mode("append").parquet(f"{output_dir}/{name}")
+            (
+                frame.withColumn("batch_id", F.lit(batch_id).cast("long"))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(f"{output_dir}/{name}")
+            )
 
     writer = (
         stream.writeStream.foreachBatch(write_batch)

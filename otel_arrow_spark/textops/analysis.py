@@ -185,9 +185,15 @@ def temperature_mixing_sample(
         raise ValueError(f"alpha must be in [0,1], got {alpha}")
     from pyspark.sql import Window
 
+    # NULL sources are a real corpus condition but an illegal map key for
+    # the F.create_map quota lookup — coalesce to a sentinel consistently
+    # on BOTH the counts and the lookup so a missing source is just one
+    # more stratum (an actual "\x00<null>" source value would share it;
+    # that collision is accepted and documented here).
+    src = F.coalesce(F.col(source_col), F.lit("\x00<null>"))
     counts = {
         r["s"]: r["n"]
-        for r in df.groupBy(F.col(source_col).alias("s"))
+        for r in df.groupBy(src.alias("s"))
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
@@ -198,9 +204,9 @@ def temperature_mixing_sample(
     }
     quota_col = F.create_map(
         *[F.lit(x) for kv in quotas.items() for x in kv]
-    )[F.col(source_col)]
+    )[src]
     order_key = F.md5(F.col(id_col).cast("string"))
-    w = Window.partitionBy(source_col).orderBy(order_key, F.col(id_col))
+    w = Window.partitionBy(src).orderBy(order_key, F.col(id_col))
     ids = (
         df.select(id_col, source_col)
         .withColumn("_rn", F.row_number().over(w))

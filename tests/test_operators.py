@@ -347,25 +347,27 @@ class TestSessionize:
         from otel_arrow_spark.operators.sessionize import session_summaries
 
         ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        got = session_summaries(ev, ["user_id"], gap_seconds=1800).select(
-            "user_id", "session_idx", "n_events",
-            F.round("duration_sec", 3).alias("duration_sec"))
-        res = {(r["user_id"], r["session_idx"]): (r["n_events"], r["duration_sec"])
+        got = session_summaries(
+            ev, ["user_id"], gap_seconds=1800, tiebreak=["event_id"]
+        ).select("user_id", "session_idx", "n_events", "duration_us")
+        res = {(r["user_id"], r["session_idx"]): (r["n_events"], r["duration_us"])
                for r in got.collect()}
         con = duckdb.connect()
         exp = con.execute("""
-            WITH e AS (SELECT user_id, ts FROM read_parquet(
+            WITH e AS (SELECT user_id, ts, event_id FROM read_parquet(
                 '/root/testdata/sf0.001/events.parquet')),
-            f AS (SELECT user_id, ts,
+            f AS (SELECT user_id, ts, event_id,
                          CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
                               THEN 0 ELSE 1 END AS new_s
-                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+                  FROM e WINDOW w AS (PARTITION BY user_id
+                                      ORDER BY ts, event_id)),
             s AS (SELECT user_id, ts,
-                         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                         sum(new_s) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
                   FROM f)
             SELECT user_id, session_idx, count(*) AS n,
-                   round(epoch(max(ts) - min(ts)), 3) AS dur
+                   CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS dur
             FROM s GROUP BY 1, 2
         """).fetchall()
         assert len(exp) == len(res) > 100

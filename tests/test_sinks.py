@@ -210,6 +210,10 @@ class TestFanoutPolicy:
         assert rec["status"] == "fell_back"
         assert rec["delivered_via"] == "backup_export"
         assert "error_sink" in rec["error"]
+        # real attempt counts: primary exhausted its budget of 2, the
+        # fallback delivered on its 1st try — both recorded
+        assert rec["attempts"] == 2
+        assert rec["fallback_attempts"] == 1
         assert spark.read.parquet(dest).count() == 2  # the batch DID land
 
     def test_primary_nack_without_fallback_fails_request(self, spark):
@@ -304,7 +308,12 @@ class TestFanoutPolicy:
             await_ack="primary",
         )
         assert calls["n"] == 3
-        assert lineage["ports"]["primary_export"]["status"] == "ok"
+        rec = lineage["ports"]["primary_export"]
+        assert rec["status"] == "ok"
+        # the lineage must state what actually happened: success on try 3
+        # of 5 is attempts=3 (not 1, not max_attempts)
+        assert rec["attempts"] == 3
+        assert rec["fallback_attempts"] == 0
 
 
 class TestIcebergGating:

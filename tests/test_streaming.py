@@ -258,13 +258,28 @@ def test_stream_logs_star_encode_matches_batch(spark, tiny_transcripts, workdir)
     ).localCheckpoint()
     want = encode_logs_star(flat)
     for name in ("logs", "log_attrs"):
-        got = spark.read.parquet(f"{out}/{name}")
+        got = spark.read.parquet(f"{out}/{name}").drop("batch_id")
         assert got.exceptAll(want[name]).count() == 0
         assert want[name].exceptAll(got).count() == 0
     for name in ("resource_attrs", "scope_attrs"):
-        got = spark.read.parquet(f"{out}/{name}").distinct()
+        got = spark.read.parquet(f"{out}/{name}").drop("batch_id").distinct()
         assert got.exceptAll(want[name]).count() == 0
         assert want[name].exceptAll(got).count() == 0
+
+    # idempotent replay (the at-least-once hazard): re-running the SAME
+    # input with a fresh checkpoint replays batch 0 — the dynamic
+    # partition overwrite must land it on its own batch_id partition, not
+    # append duplicate fact rows
+    before = spark.read.parquet(f"{out}/logs").count()
+    q2 = stream_logs_star_encode(
+        spark, tiny_transcripts, out, f"{workdir}/stream_star_ckpt2",
+        available_now=True,
+    )
+    q2.awaitTermination(300)
+    assert spark.read.parquet(f"{out}/logs").count() == before
+    got = spark.read.parquet(f"{out}/log_attrs").drop("batch_id")
+    assert got.exceptAll(want["log_attrs"]).count() == 0
+    assert want["log_attrs"].exceptAll(got).count() == 0
 
 
 def test_stream_span_red_metrics_matches_batch(spark, workdir):

@@ -664,6 +664,24 @@ class TestTemperatureMixing:
         # natural share 10% → 20 docs; sqrt share 10/40 = 25% → 50 docs
         assert got["small"] == 50 and got["big"] == 150
 
+    def test_null_source_is_a_stratum(self, spark):
+        """A corpus with missing source values must not crash the quota
+        map (NULL is an illegal map key): NULLs form their own stratum
+        and receive a quota like any other source."""
+        from otel_arrow_spark.textops.analysis import temperature_mixing_sample
+
+        rows = [(i, "web") for i in range(400)] +                [(1000 + i, None) for i in range(100)]
+        d = spark.createDataFrame(rows, "doc_id long, source string")
+        out = temperature_mixing_sample(d, alpha=0.5, total_docs=100)
+        got = {r["source"]: r["n"]
+               for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+        # sqrt quotas: 20/30 vs 10/30 of 100 → 66 web, 33 null
+        assert got == {"web": 66, None: 33}
+        # deterministic under re-run
+        assert out.exceptAll(
+            temperature_mixing_sample(d, alpha=0.5, total_docs=100)
+        ).count() == 0
+
     def test_alpha_extremes(self, spark):
         from otel_arrow_spark.textops.analysis import temperature_mixing_sample
 
