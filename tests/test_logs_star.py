@@ -53,9 +53,18 @@ class TestEncodeShape:
 
     def test_log_ids_unique_and_stable(self, parsed, star):
         n = parsed.count()
-        assert star["logs"].select("id").distinct().count() == n
+        ids = star["logs"].select("id_hi", "id_lo")
+        assert ids.distinct().count() == n
         again = encode_logs_star(parsed)["logs"]
-        assert star["logs"].select("id").exceptAll(again.select("id")).count() == 0
+        assert ids.exceptAll(again.select("id_hi", "id_lo")).count() == 0
+
+    def test_id_halves_are_independent(self, star):
+        """id_lo is a SECOND independent hash (salted), not a copy — the
+        128-bit width is real. No fixture row has id_hi == id_lo, and the
+        lo half alone is already unique here."""
+        ids = star["logs"].select("id_hi", "id_lo").localCheckpoint()
+        assert ids.where(F.col("id_hi") == F.col("id_lo")).count() == 0
+        assert ids.select("id_lo").distinct().count() == ids.count()
 
     def test_encode_plan_no_shuffle_on_logs(self, parsed):
         """The LOGS projection itself is narrow: no Exchange before the
@@ -71,10 +80,13 @@ class TestRoundTrip:
     def test_decode_restores_rows(self, parsed, star):
         """encode → decode == original on every mapped column (body,
         severity, trace ids, attrs-as-strings)."""
+        from otel_arrow_spark.operators.logs_star import _ID_LO_SALT
+
         spec = LogsStarSpec()
         back = decode_logs_star(star, spec)
         orig = parsed.select(
-            F.xxhash64("conv_id", "turn_idx").alias("id"),
+            F.xxhash64("conv_id", "turn_idx").alias("id_hi"),
+            F.xxhash64(F.lit(_ID_LO_SALT), "conv_id", "turn_idx").alias("id_lo"),
             F.col("ts"),
             F.col("severity_number").cast("int").alias("severity_number"),
             "severity_text",
@@ -87,12 +99,91 @@ class TestRoundTrip:
         assert got.exceptAll(orig).count() == 0
         assert orig.exceptAll(got).count() == 0
 
-    def test_decode_single_attrs_shuffle_and_broadcast_dims(self, star):
+    def test_decode_strategies_agree(self, star):
+        """union-agg (one-shuffle default) and join (the bucketed-layout
+        path) are the same decode."""
+        a = decode_logs_star(star, strategy="union-agg")
+        b = decode_logs_star(star, strategy="join").select(*a.columns)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+
+    def test_decode_single_shuffle_and_broadcast_dims(self, star):
         plan = (
             decode_logs_star(star)
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert plan.count("BroadcastHashJoin") >= 2  # both dims broadcast
+        # union-agg decode: the fact side is ONE shuffle (partial+final
+        # aggregate over the union) — no SortMergeJoin anywhere
+        assert "SortMergeJoin" not in plan
+
+    def test_64bit_collision_does_not_merge_rows(self, spark):
+        """Two DISTINCT log rows whose id_hi collides (engineered star
+        input) must stay two rows with their own attrs — the reason the
+        id is 128-bit: keyed on the (hi, lo) pair, a single-half
+        collision cannot merge unrelated rows' attributes."""
+        logs = spark.createDataFrame(
+            [(7, 1, 0, 0, "a-body"), (7, 2, 0, 0, "b-body")],
+            "id_hi long, id_lo long, resource_id long, scope_id long, body_str string",
+        ).select(
+            "id_hi", "id_lo", "resource_id", "scope_id",
+            F.lit(None).cast("timestamp").alias("ts"),
+            F.lit(None).cast("int").alias("severity_number"),
+            F.lit(None).cast("string").alias("severity_text"),
+            F.lit(None).cast("string").alias("trace_id"),
+            F.lit(None).cast("string").alias("span_id"),
+            F.lit(1).cast("int").alias("body_type"),
+            "body_str",
+        )
+        attrs = spark.createDataFrame(
+            [(7, 1, "tool", 1, "tool-of-a", None),
+             (7, 2, "tool", 1, "tool-of-b", None)],
+            "parent_id_hi long, parent_id_lo long, key string, type int, "
+            "str string, int long",
+        )
+        empty_dim = attrs.where(F.lit(False)).select(
+            F.col("parent_id_hi").alias("parent_id"), "key", "type", "str", "int"
+        )
+        star = {"logs": logs, "log_attrs": attrs,
+                "resource_attrs": empty_dim, "scope_attrs": empty_dim}
+        for strategy in ("union-agg", "join"):
+            got = {(r["id_hi"], r["id_lo"]): (r["text"], r["tool"])
+                   for r in decode_logs_star(star, strategy=strategy).collect()}
+            assert got == {(7, 1): ("a-body", "tool-of-a"),
+                           (7, 2): ("b-body", "tool-of-b")}, strategy
+
+
+def test_bucketed_star_decode_zero_exchange(spark, parsed, star):
+    """Star tables persisted with write_logs_star_bucketed decode via the
+    join strategy with ZERO shuffle on the fact side: the bucketed layout
+    pre-partitions both the attrs pivot's groupBy and the logs⋈attrs
+    equi-join (the dims still broadcast)."""
+    from otel_arrow_spark.operators.logs_star import (
+        read_logs_star_tables,
+        write_logs_star_bucketed,
+    )
+
+    names = write_logs_star_bucketed(star, prefix="t_star_bkt", n_buckets=8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        loaded = read_logs_star_tables(spark, names)
+        back = decode_logs_star(loaded, strategy="join")
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        # the only shuffles are the two TINY dim pivots inside the
+        # broadcast subtrees; the fact-side pivot groupBy and the
+        # logs⋈attrs SortMergeJoin run on the bucketed scans directly
+        assert plan.count("Exchange hashpartitioning") == 2
+        assert plan.count("Bucketed: true") == 2
+        assert "SortMergeJoin" in plan  # the co-located fact join
+        # and it is still the same decode
+        want = decode_logs_star(star)
+        got = back.select(*want.columns)
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for t in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_spec_generic_over_syslog_shape(spark):
@@ -122,8 +213,11 @@ def test_spec_generic_over_syslog_shape(spark):
     )
     star = encode_logs_star(parsed, spec)
     back = decode_logs_star(star, spec)
+    from otel_arrow_spark.operators.logs_star import _ID_LO_SALT
+
     orig = parsed.select(
-        F.xxhash64("line_no").alias("id"),
+        F.xxhash64("line_no").alias("id_hi"),
+        F.xxhash64(F.lit(_ID_LO_SALT), "line_no").alias("id_lo"),
         F.col("severity_text"),
         F.col("message"),
         *[F.col(c).cast("string").alias(c)
