@@ -1579,6 +1579,67 @@ def q_exp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exemplar_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deepest leaves of the 17-table metrics star — the exemplar
+    ATTRS instances (NUMBER/HISTOGRAM/EXP_HISTOGRAM_DP_EXEMPLAR_ATTRS,
+    data_model.md:30,37,41): attrs hang off exemplars, four levels below
+    METRICS. Cascade exemplar → exemplar_attrs for all three point types
+    in one plan (a cheap union of three equi-joins) and roll up per
+    (point type, attr key, attr value) — the exemplar-dimension breakdown
+    a trace-correlation UI renders."""
+    p = _metrics_dir(sf_dir)
+
+    def side(ex_file: str, attrs_file: str, label: str) -> DataFrame:
+        ex = spark.read.parquet(f"{p}/{ex_file}").select(
+            F.col("id").alias("parent_id"), "double_value"
+        )
+        at = spark.read.parquet(f"{p}/{attrs_file}")
+        return at.join(ex, "parent_id").select(
+            F.lit(label).alias("point_type"), "key", "str", "double_value"
+        )
+
+    u = (
+        side("number_dp_exemplars.parquet",
+             "number_dp_exemplar_attrs.parquet", "number")
+        .unionByName(side("histogram_dp_exemplars.parquet",
+                          "histogram_dp_exemplar_attrs.parquet", "histogram"))
+        .unionByName(side("exp_histogram_dp_exemplars.parquet",
+                          "exp_histogram_dp_exemplar_attrs.parquet",
+                          "exp_histogram"))
+    )
+    return u.groupBy("point_type", "key", "str").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.max("double_value"), 3).alias("max_val_r"),
+    )
+
+
+def q_exp_quantile_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real downstream-p90 pipeline end-to-end: temporal reaggregation
+    of delta exp-histograms (exp_histogram_delta_merge — scale alignment,
+    both bucket sides) COMPOSED with exp_histogram_quantile over the
+    MERGED state (temporal_reaggregation_processor/mod.rs:1 feeding the
+    data_model.md:211-227 state into a percentile read). The oracle
+    replays the (offset+i) >> shift merge into DuckDB lists and walks the
+    same rank search over the merged concatenation."""
+    from otel_arrow_spark.operators.metrics import (
+        exp_histogram_delta_merge,
+        exp_histogram_quantile,
+    )
+
+    p = _metrics_dir(sf_dir)
+    edp = spark.read.parquet(f"{p}/exp_histogram_dp.parquet")
+    merged = exp_histogram_delta_merge(
+        edp.select("stream", "ts", "e_count", "e_sum", "scale", "zero_count",
+                   "pos_offset", "pos_counts", "neg_offset", "neg_counts"),
+        "15 minutes",
+        keys=("stream",),
+    )
+    out = exp_histogram_quantile(merged, 0.9, out_col="p90")
+    return out.select(
+        "stream", "window_start", F.round("p90", 6).alias("p90_r")
+    )
+
+
 def q_service_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Service-graph connector (operators/trace_tree.py service_graph):
     client→server call edges from parent-child span pairs whose resources
@@ -1843,7 +1904,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     veterans (green in r1-r3 driver records) trail. Rotate per round so
     every query gets a periodic driver row."""
     return {
-        # --- new / changed this round (r4) ---
+        # --- new / changed this round (r5) ---
+        "exp_quantile_merged": q_exp_quantile_merged,
+        "exemplar_attrs": q_exemplar_attrs,
+        # --- new / changed in r4 ---
         "temperature_mix": q_temperature_mix,
         "critical_path": q_critical_path,
         "exp_quantile": q_exp_quantile,
@@ -2875,6 +2939,129 @@ def oracle_sql() -> dict[str, str]:
                                      ELSE CAST(list_aggregate(cat[1:idx50], 'sum') AS DOUBLE) END))
                                   / cat[idx50+1] ELSE 0 END)
                    END, 6) AS p50_r,
+                   round(CASE WHEN total = 0 THEN NULL
+                        WHEN idx90 < nn THEN
+                            (-pow(base, CAST(neg_offset + (nn-1-idx90) + 1 AS DOUBLE)))
+                            + (pow(base, CAST(neg_offset + (nn-1-idx90) + 1 AS DOUBLE))
+                               - pow(base, CAST(neg_offset + (nn-1-idx90) AS DOUBLE)))
+                              * (CASE WHEN cat[idx90+1] > 0 THEN
+                                  (rank90 - (CASE WHEN idx90 = 0 THEN 0
+                                     ELSE CAST(list_aggregate(cat[1:idx90], 'sum') AS DOUBLE) END))
+                                  / cat[idx90+1] ELSE 0 END)
+                        WHEN idx90 = nn THEN 0.0
+                        ELSE pow(base, CAST(pos_offset + (idx90-nn-1) AS DOUBLE))
+                            + (pow(base, CAST(pos_offset + (idx90-nn-1) + 1 AS DOUBLE))
+                               - pow(base, CAST(pos_offset + (idx90-nn-1) AS DOUBLE)))
+                              * (CASE WHEN cat[idx90+1] > 0 THEN
+                                  (rank90 - (CASE WHEN idx90 = 0 THEN 0
+                                     ELSE CAST(list_aggregate(cat[1:idx90], 'sum') AS DOUBLE) END))
+                                  / cat[idx90+1] ELSE 0 END)
+                   END, 6) AS p90_r
+            FROM r
+        """,
+        "exemplar_attrs": f"""
+            WITH u AS (
+                SELECT 'number' AS point_type, a.key, a.str, e.double_value
+                FROM read_parquet('{_REPO}/.cache/metrics/n20000/number_dp_exemplar_attrs.parquet') a
+                JOIN read_parquet('{_REPO}/.cache/metrics/n20000/number_dp_exemplars.parquet') e
+                  ON a.parent_id = e.id
+                UNION ALL
+                SELECT 'histogram', a.key, a.str, e.double_value
+                FROM read_parquet('{_REPO}/.cache/metrics/n20000/histogram_dp_exemplar_attrs.parquet') a
+                JOIN read_parquet('{_REPO}/.cache/metrics/n20000/histogram_dp_exemplars.parquet') e
+                  ON a.parent_id = e.id
+                UNION ALL
+                SELECT 'exp_histogram', a.key, a.str, e.double_value
+                FROM read_parquet('{_REPO}/.cache/metrics/n20000/exp_histogram_dp_exemplar_attrs.parquet') a
+                JOIN read_parquet('{_REPO}/.cache/metrics/n20000/exp_histogram_dp_exemplars.parquet') e
+                  ON a.parent_id = e.id)
+            SELECT point_type, key, str,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(max(double_value), 3) AS max_val_r
+            FROM u GROUP BY 1, 2, 3
+        """,
+        "exp_quantile_merged": f"""
+            WITH d AS (
+                SELECT stream, time_bucket(INTERVAL '15 minutes', ts) AS w,
+                       scale, zero_count, pos_offset, pos_counts,
+                       neg_offset, neg_counts
+                FROM read_parquet('{_REPO}/.cache/metrics/n20000/exp_histogram_dp.parquet')),
+            tgt AS (
+                SELECT stream, w, CAST(min(scale) AS INT) AS scale,
+                       CAST(sum(zero_count) AS BIGINT) AS zero_count
+                FROM d GROUP BY 1, 2),
+            pose AS (
+                SELECT stream, w, scale, pos_offset,
+                       unnest(pos_counts) AS c,
+                       generate_subscripts(pos_counts, 1) AS i
+                FROM d),
+            pose2 AS (
+                SELECT p.stream, p.w,
+                       ((p.pos_offset + p.i - 1) >> (p.scale - t.scale)) AS idx,
+                       CAST(p.c AS BIGINT) AS c
+                FROM pose p JOIN tgt t USING (stream, w)),
+            posagg AS (SELECT stream, w, idx, CAST(sum(c) AS BIGINT) AS c
+                       FROM pose2 GROUP BY 1, 2, 3),
+            posspan AS (SELECT stream, w, min(idx) AS lo, max(idx) AS hi
+                        FROM posagg GROUP BY 1, 2),
+            posgrid AS (SELECT stream, w, lo,
+                               unnest(generate_series(lo, hi)) AS g FROM posspan),
+            posarr AS (
+                SELECT pg.stream, pg.w, CAST(pg.lo AS INT) AS pos_offset,
+                       list(CAST(coalesce(pa.c, 0) AS BIGINT) ORDER BY pg.g)
+                           AS pos_counts
+                FROM posgrid pg LEFT JOIN posagg pa
+                  ON pa.stream = pg.stream AND pa.w = pg.w AND pa.idx = pg.g
+                GROUP BY 1, 2, 3),
+            nege AS (
+                SELECT stream, w, scale, neg_offset,
+                       unnest(neg_counts) AS c,
+                       generate_subscripts(neg_counts, 1) AS i
+                FROM d),
+            nege2 AS (
+                SELECT p.stream, p.w,
+                       ((p.neg_offset + p.i - 1) >> (p.scale - t.scale)) AS idx,
+                       CAST(p.c AS BIGINT) AS c
+                FROM nege p JOIN tgt t USING (stream, w)),
+            negagg AS (SELECT stream, w, idx, CAST(sum(c) AS BIGINT) AS c
+                       FROM nege2 GROUP BY 1, 2, 3),
+            negspan AS (SELECT stream, w, min(idx) AS lo, max(idx) AS hi
+                        FROM negagg GROUP BY 1, 2),
+            neggrid AS (SELECT stream, w, lo,
+                               unnest(generate_series(lo, hi)) AS g FROM negspan),
+            negarr AS (
+                SELECT ng.stream, ng.w, CAST(ng.lo AS INT) AS neg_offset,
+                       list(CAST(coalesce(na.c, 0) AS BIGINT) ORDER BY ng.g)
+                           AS neg_counts
+                FROM neggrid ng LEFT JOIN negagg na
+                  ON na.stream = ng.stream AND na.w = ng.w AND na.idx = ng.g
+                GROUP BY 1, 2, 3),
+            m AS (
+                SELECT t.stream, t.w, t.scale, t.zero_count,
+                       coalesce(p.pos_offset, 0) AS pos_offset,
+                       coalesce(p.pos_counts, CAST([] AS BIGINT[])) AS pos_counts,
+                       coalesce(n.neg_offset, 0) AS neg_offset,
+                       coalesce(n.neg_counts, CAST([] AS BIGINT[])) AS neg_counts
+                FROM tgt t
+                LEFT JOIN posarr p ON t.stream = p.stream AND t.w = p.w
+                LEFT JOIN negarr n ON t.stream = n.stream AND t.w = n.w),
+            c AS (
+                SELECT *,
+                       list_concat(list_concat(list_reverse(neg_counts),
+                                   [zero_count]), pos_counts) AS cat,
+                       len(neg_counts) AS nn,
+                       pow(2.0, pow(2.0, -CAST(scale AS DOUBLE))) AS base
+                FROM m),
+            t2 AS (SELECT *, CAST(list_aggregate(cat, 'sum') AS DOUBLE) AS total
+                   FROM c),
+            r AS (
+                SELECT *,
+                       0.9 * total AS rank90,
+                       list_filter(range(len(cat)),
+                           i -> CAST(list_aggregate(cat[1:i+1], 'sum') AS DOUBLE)
+                                >= 0.9 * total)[1] AS idx90
+                FROM t2)
+            SELECT stream, w AS window_start,
                    round(CASE WHEN total = 0 THEN NULL
                         WHEN idx90 < nn THEN
                             (-pow(base, CAST(neg_offset + (nn-1-idx90) + 1 AS DOUBLE)))

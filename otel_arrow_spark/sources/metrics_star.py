@@ -271,6 +271,38 @@ def generate_metrics_tables(n_dps: int, seed: int = 42) -> dict[str, pd.DataFram
          "type": np.full(sm, 1, dtype=np.int32), "str": sa_vals}
     )
 
+    # ---- exemplar ATTRS instances (NUMBER_DP_EXEMPLAR_ATTRS
+    # data_model.md:30, HISTOGRAM_DP_EXEMPLAR_ATTRS :37,
+    # EXP_HISTOGRAM_DP_EXEMPLAR_ATTRS :41): the deepest leaves of the
+    # 17-table metrics model — attrs hanging off the exemplars, four
+    # levels below METRICS. Same exploded (parent_id, key, type, str)
+    # shape as every other attrs table; drawn strictly AFTER all v4
+    # tables (number → histogram → exp-histogram order) so those stay
+    # byte-identical at the same seed.
+    def _ex_attrs(ex_ids: np.ndarray) -> pd.DataFrame:
+        per = rng.randint(1, 3, size=len(ex_ids))
+        parent = np.repeat(ex_ids, per)
+        me = len(parent)
+        ks = np.array(DP_ATTR_KEYS, dtype=object)[
+            rng.randint(0, len(DP_ATTR_KEYS), me)
+        ]
+        vs = np.array(["200", "500", "GET", "POST", "svc-a", "svc-b", "h1", "h2"],
+                      dtype=object)[rng.randint(0, 8, size=me)]
+        return pd.DataFrame(
+            {"parent_id": parent, "key": ks,
+             "type": np.full(me, 1, dtype=np.int32), "str": vs}
+        )
+
+    number_dp_exemplar_attrs = _ex_attrs(
+        number_dp_exemplars["id"].to_numpy()
+    )
+    histogram_dp_exemplar_attrs = _ex_attrs(
+        histogram_dp_exemplars["id"].to_numpy()
+    )
+    exp_histogram_dp_exemplar_attrs = _ex_attrs(
+        exp_histogram_dp_exemplars["id"].to_numpy()
+    )
+
     return {
         "metrics": metrics,
         "number_data_points": number_data_points,
@@ -283,6 +315,9 @@ def generate_metrics_tables(n_dps: int, seed: int = 42) -> dict[str, pd.DataFram
         "histogram_dp_exemplars": histogram_dp_exemplars,
         "exp_histogram_dp_exemplars": exp_histogram_dp_exemplars,
         "summary_dp_attrs": summary_dp_attrs,
+        "number_dp_exemplar_attrs": number_dp_exemplar_attrs,
+        "histogram_dp_exemplar_attrs": histogram_dp_exemplar_attrs,
+        "exp_histogram_dp_exemplar_attrs": exp_histogram_dp_exemplar_attrs,
     }
 
 
@@ -293,8 +328,10 @@ def write_metrics_parquet(out_dir: str, n_dps: int, seed: int = 42) -> str:
 
     # v2: histogram_dp / histogram_dp_attrs / summary_dp added; v3:
     # exp_histogram_dp; v4: histogram/exp-histogram exemplars +
-    # summary_dp_attrs. Versioned marker forces stale caches to regenerate.
-    marker = os.path.join(out_dir, f"_SUCCESS.{n_dps}.{seed}.v4")
+    # summary_dp_attrs; v5: the three exemplar-attrs leaf tables — the
+    # 17-table model fully instantiated. Versioned marker forces stale
+    # caches to regenerate.
+    marker = os.path.join(out_dir, f"_SUCCESS.{n_dps}.{seed}.v5")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)

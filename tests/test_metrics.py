@@ -439,6 +439,29 @@ class TestMetricsStarSchema:
         assert j.filter(F.col("double_value") != F.col("mv")).count() == 0
 
 
+    def test_exemplar_attrs_leaf_tables(self, spark, workdir):
+        """v5 leaf tables (NUMBER/HISTOGRAM/EXP_HISTOGRAM_DP_EXEMPLAR_ATTRS,
+        data_model.md:30,37,41): every attr row's parent exists in its
+        exemplar table, every table is non-empty, and the shape is the
+        standard exploded attrs layout."""
+        from otel_arrow_spark.sources.metrics_star import write_metrics_parquet
+
+        p = write_metrics_parquet(f"{workdir}/metrics_fixture", 2000)
+        for ex_name, at_name in (
+            ("number_dp_exemplars", "number_dp_exemplar_attrs"),
+            ("histogram_dp_exemplars", "histogram_dp_exemplar_attrs"),
+            ("exp_histogram_dp_exemplars", "exp_histogram_dp_exemplar_attrs"),
+        ):
+            ex = spark.read.parquet(f"{p}/{ex_name}.parquet")
+            at = spark.read.parquet(f"{p}/{at_name}.parquet")
+            assert at.count() > 0, at_name
+            assert at.columns == ["parent_id", "key", "type", "str"], at_name
+            orphans = at.join(
+                ex.select(F.col("id").alias("parent_id")), "parent_id",
+                "left_anti",
+            )
+            assert orphans.count() == 0, at_name
+
     def test_histogram_and_summary_star_tables(self, spark, workdir):
         """v2 star tables (HISTOGRAM_DP / HISTOGRAM_DP_ATTRS / SUMMARY_DP):
         ancestry resolves, temporality split is by metric_type, and the
