@@ -1552,7 +1552,7 @@ def q_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = _spans_dir(sf_dir)
     spans = spark.read.parquet(f"{p}/spans.parquet")
-    out = critical_paths(spans)
+    out = critical_paths(spans, method="doubling")
     return out.select(
         "trace_id", "critical_ms",
         F.col("critical_depth").cast("int").alias("critical_depth"),
@@ -1665,7 +1665,7 @@ def q_trace_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = _spans_dir(sf_dir)
     spans = spark.read.parquet(f"{p}/spans.parquet")
-    roll = trace_rollup(spans, span_depths(spans))
+    roll = trace_rollup(spans, span_depths(spans, method="doubling"))
     return roll.select(
         "trace_id", "n_spans", "root_name", "n_errors",
         F.col("max_depth").cast("int").alias("max_depth"), "wall_ms",

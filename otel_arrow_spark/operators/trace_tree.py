@@ -24,10 +24,118 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def span_depths(spans: DataFrame, max_iter: int = 32) -> DataFrame:
+def _doubling_ptrs(spans: DataFrame, max_iter: int, with_sum: bool
+                   ) -> tuple[DataFrame, DataFrame]:
+    """Pointer-doubling ancestor walk shared by the ``doubling`` variants
+    of span_depths / critical_paths: O(log depth) rounds instead of the
+    BFS's O(depth) — round k's self-join doubles every unfinished
+    pointer's reach, so depth-1000 chains finish in ~10 rounds where the
+    BFS needs 1000.
+
+    Each non-root span carries a pointer row (node, anc, d[, s]): ``anc``
+    is an ancestor at distance ``d`` (``s`` = duration sum over
+    [node, anc), exclusive of anc), ``fin`` marks pointers that reached a
+    root. A round inner-joins unfinished pointers onto the pointer table
+    at their anc: the jump composes distances (and sums); landing on a
+    finished pointer finishes the row. Rows whose anc is neither a root
+    nor a present node are orphan chains — the inner join drops them,
+    cascading over rounds exactly like the BFS's absent-by-policy rule.
+    Unfinished rows after ``max_iter`` doubling rounds (reach 2^max_iter)
+    can only be cycle members — hard-fail, same contract as the BFS.
+
+    Returns (roots, finished_pointers)."""
+    root_cols = ["trace_id", F.col("span_id_hex").alias("node")]
+    if with_sum:
+        root_cols.append(F.col("duration_ms").cast("long").alias("root_ms"))
+    roots = spans.where(F.col("parent_span_id").isNull()).select(
+        *root_cols
+    ).localCheckpoint()
+    cols = [
+        "trace_id",
+        F.col("span_id_hex").alias("node"),
+        F.col("parent_span_id").alias("anc"),
+        F.lit(1).cast("int").alias("d"),  # int to match the BFS depth type
+    ]
+    if with_sum:
+        cols.append(F.col("duration_ms").cast("long").alias("s"))
+    ptr = (
+        spans.where(F.col("parent_span_id").isNotNull())
+        .select(*cols)
+        .join(
+            roots.select(
+                "trace_id", F.col("node").alias("anc"),
+                F.lit(True).alias("_r"),
+            ),
+            ["trace_id", "anc"], "left",
+        )
+        .withColumn("fin", F.coalesce(F.col("_r"), F.lit(False)))
+        .drop("_r")
+        .localCheckpoint()
+    )
+    carry = ["d", "s"] if with_sum else ["d"]
+    # Every node's CURRENT pointer lives in exactly one place: a
+    # finished generation (pointers stop once they reach a root — each
+    # node lands in at most one fin piece) or the current active set.
+    # Only the shrinking jumped set materializes per round — finished
+    # pointers are never re-copied, so per-round I/O decays instead of
+    # re-materializing the full table every round.
+    from functools import reduce
+
+    _union = lambda frames: reduce(  # noqa: E731
+        lambda a, b: a.unionByName(b), frames
+    )
+    fin_pieces = [ptr.where(F.col("fin"))]
+    active = ptr.where(~F.col("fin"))
+    for _ in range(max_iter):
+        if active.isEmpty():
+            return roots, _union(fin_pieces)
+        target = _union([*fin_pieces, active]).select(
+            "trace_id",
+            F.col("node").alias("anc"),
+            F.col("anc").alias("_anc2"),
+            *[F.col(c).alias(f"_{c}2") for c in carry],
+            F.col("fin").alias("_fin2"),
+        )
+        jumped = active.join(target, ["trace_id", "anc"]).select(
+            "trace_id",
+            "node",
+            F.col("_anc2").alias("anc"),
+            *[(F.col(c) + F.col(f"_{c}2")).alias(c) for c in carry],
+            F.col("_fin2").alias("fin"),
+        ).localCheckpoint()
+        fin_pieces.append(jumped.where(F.col("fin")))
+        active = jumped.where(~F.col("fin"))
+    raise RuntimeError(
+        f"pointer doubling did not converge within {max_iter} rounds "
+        f"(reach 2^{max_iter}): the parent pointers cycle"
+    )
+
+
+def span_depths(spans: DataFrame, max_iter: int = 32,
+                method: str = "bfs") -> DataFrame:
     """(trace_id, span_id_hex, depth): 0 for roots (null parent), else
     1 + parent's depth. Orphans (parent pointer to a missing span) are
-    absent from the output — callers decide their policy."""
+    absent from the output — callers decide their policy.
+
+    ``method="bfs"`` walks one tree LEVEL per round (O(depth) rounds —
+    right when per-round cost dominates, i.e. shallow real-world traces);
+    ``method="doubling"`` composes pointers (O(log depth) rounds — right
+    for deep chains, and fewer fixed-cost rounds even at depth ~10).
+    Identical output and identical cycle hard-fail either way
+    (parity-tested)."""
+    if method == "doubling":
+        roots, ptr = _doubling_ptrs(spans, max_iter, with_sum=False)
+        return roots.select(
+            "trace_id", F.col("node").alias("span_id_hex"),
+            F.lit(0).cast("int").alias("depth"),
+        ).unionByName(
+            ptr.select(
+                "trace_id", F.col("node").alias("span_id_hex"),
+                F.col("d").alias("depth"),
+            )
+        )
+    if method != "bfs":
+        raise ValueError(f"unknown method {method!r}")
     edges = spans.where(F.col("parent_span_id").isNotNull()).select(
         "trace_id",
         F.col("parent_span_id").alias("parent_hex"),
@@ -86,11 +194,12 @@ def span_depths(spans: DataFrame, max_iter: int = 32) -> DataFrame:
     )
 
 
-def trace_rollup(spans: DataFrame, depths: DataFrame | None = None) -> DataFrame:
+def trace_rollup(spans: DataFrame, depths: DataFrame | None = None,
+                 method: str = "bfs") -> DataFrame:
     """Per-trace summary: span count, root name, trace wall duration
     (first start → last start+duration), error span count, max depth.
     One shuffle on trace_id; the root pick is an algebraic min_by."""
-    d = depths if depths is not None else span_depths(spans)
+    d = depths if depths is not None else span_depths(spans, method=method)
     enriched = spans.join(d, ["trace_id", "span_id_hex"], "left")
     end_ts = F.unix_micros(F.col("start_ts").cast("timestamp")) + (
         F.col("duration_ms") * 1000
@@ -167,16 +276,47 @@ def service_graph(
     )
 
 
-def critical_paths(spans: DataFrame, max_iter: int = 32) -> DataFrame:
+def critical_paths(spans: DataFrame, max_iter: int = 32,
+                   method: str = "bfs") -> DataFrame:
     """Per-trace critical path (self-time chain): the root-to-leaf chain
     with the largest cumulative span duration — where the trace's latency
     actually lives. Same frontier BFS as ``span_depths`` but the frontier
     carries the accumulated duration, so it costs the identical one-join-
     per-level plan; per trace the answer is one max.
+    ``method="doubling"`` composes pointer sums instead (O(log depth)
+    rounds, identical output — parity-tested).
 
     Returns (trace_id, critical_ms, critical_depth): the winning chain's
     total duration and its depth.
     """
+    if method == "doubling":
+        roots, ptr = _doubling_ptrs(spans, max_iter, with_sum=True)
+        # a finished pointer's s covers [node..root): add the root's own
+        # duration to get the full root-inclusive chain sum, the same
+        # quantity the BFS accumulates from its root-seeded frontier
+        fin = ptr.join(
+            roots.select("trace_id", F.col("node").alias("anc"), "root_ms"),
+            ["trace_id", "anc"],
+        ).select(
+            "trace_id",
+            (F.col("s") + F.col("root_ms")).alias("cum_ms"),
+            F.col("d").alias("depth"),
+        )
+        best = roots.select(
+            "trace_id", F.col("root_ms").alias("cum_ms"),
+            F.lit(0).alias("depth"),
+        ).unionByName(fin)
+        return (
+            best.groupBy("trace_id")
+            .agg(F.max(F.struct("cum_ms", "depth")).alias("_m"))
+            .select(
+                "trace_id",
+                F.col("_m.cum_ms").alias("critical_ms"),
+                F.col("_m.depth").alias("critical_depth"),
+            )
+        )
+    if method != "bfs":
+        raise ValueError(f"unknown method {method!r}")
     edges = spans.where(F.col("parent_span_id").isNotNull()).select(
         "trace_id",
         F.col("parent_span_id").alias("parent_hex"),
