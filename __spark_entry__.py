@@ -1443,6 +1443,25 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_corpus_frame(spark, cfg)
 
 
+def q_corpus_clean_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus funnel WITH the config-driven SemDeDup stage
+    (plans/corpus.py build_flagged + textops/dedup.py semantic_dedup):
+    exact dedup → quality → decontamination → semantic dedup → packing.
+    The oracle chains the corpus_clean CTE pipeline with the
+    semantic-loser CTE (inlined deterministic centroids), proving the
+    four-gate composition end-to-end."""
+    from otel_arrow_spark.plans.corpus import CorpusConfig, clean_corpus_frame
+
+    cfg = CorpusConfig(
+        input_path=os.path.join(sf_dir, "documents.parquet"),
+        output_dir="/unused",
+        embeddings_path=os.path.join(sf_dir, "embeddings.parquet"),
+        sem_threshold=0.42,
+        sem_clusters=8,
+    )
+    return clean_corpus_frame(spark, cfg)
+
+
 def q_pack_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-pack-group packing stats (textops/packing.py packing_summary):
     bins used and fill ratio under the 512-token contiguous greedy fill;
@@ -1907,6 +1926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new / changed this round (r5) ---
         "exp_quantile_merged": q_exp_quantile_merged,
         "exemplar_attrs": q_exemplar_attrs,
+        "corpus_clean_semantic": q_corpus_clean_semantic,
         # --- new / changed in r4 ---
         "temperature_mix": q_temperature_mix,
         "critical_path": q_critical_path,
@@ -2045,12 +2065,10 @@ def _ivf_oracle_sql() -> str:
     """
 
 
-def _semantic_dedup_oracle_sql(threshold: float = 0.42, k: int = 8) -> str:
-    """SemDeDup oracle: inline the deterministic centroids (first k by
-    vec_id, L2-normalized — same recipe as _ivf_oracle_sql), replay the
-    argmax assignment with the identical sim-DESC-then-cid tie-break,
-    then the within-cluster keep-first pairwise stage with the same
-    round-then-compare threshold."""
+def _inline_centroid_values(k: int) -> str:
+    """The deterministic centroids (first k by vec_id, L2-normalized)
+    inlined as a SQL VALUES list — shared by every oracle that replays
+    the IVF assignment."""
     import numpy as np
     import pyarrow.parquet as pq
 
@@ -2058,10 +2076,19 @@ def _semantic_dedup_oracle_sql(threshold: float = 0.42, k: int = 8) -> str:
     t = t.sort_values("vec_id").head(k)
     x = np.asarray(list(t["embedding"]), dtype=np.float64)
     x = x / np.linalg.norm(x, axis=1, keepdims=True)
-    cent_rows = ", ".join(
+    return ", ".join(
         "({}, [{}])".format(i, ", ".join(repr(float(v)) for v in x[i]))
         for i in range(len(x))
     )
+
+
+def _semantic_dedup_oracle_sql(threshold: float = 0.42, k: int = 8) -> str:
+    """SemDeDup oracle: inline the deterministic centroids (first k by
+    vec_id, L2-normalized — same recipe as _ivf_oracle_sql), replay the
+    argmax assignment with the identical sim-DESC-then-cid tie-break,
+    then the within-cluster keep-first pairwise stage with the same
+    round-then-compare threshold."""
+    cent_rows = _inline_centroid_values(k)
     return f"""
         WITH ed AS (SELECT vec_id,
                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -2080,6 +2107,84 @@ def _semantic_dedup_oracle_sql(threshold: float = 0.42, k: int = 8) -> str:
             WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold!r})
         SELECT a.vec_id, CAST(a.cluster_id AS INT) AS cluster_id
         FROM assigned a ANTI JOIN losers l ON a.vec_id = l.vec_id
+    """
+
+
+def _corpus_semantic_oracle_sql(threshold: float = 0.42, k: int = 8) -> str:
+    """The corpus_clean CTE pipeline extended with the SemDeDup gate:
+    semantic losers (cosine ≥ threshold to a lower-id clustermate within
+    the inlined-centroid assignment) are filtered out of ``clean`` before
+    packing — the SQL replay of plans/corpus.py with embeddings_path set."""
+    cent_rows = _inline_centroid_values(k)
+    return f"""
+        WITH ed AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+        cents(cid, c) AS (VALUES {cent_rows}),
+        assigned AS (
+            SELECT e.vec_id, e.v,
+                   (SELECT c2.cid FROM cents c2
+                    ORDER BY list_cosine_similarity(e.v, c2.c) DESC, c2.cid
+                    LIMIT 1) AS cluster_id
+            FROM ed e),
+        semlosers AS (
+            SELECT DISTINCT a.vec_id
+            FROM assigned a JOIN assigned b
+              ON a.cluster_id = b.cluster_id AND a.vec_id > b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold!r}),
+        ded AS (
+            SELECT * FROM documents
+            WHERE doc_id IN (SELECT min(doc_id) FROM documents
+                             GROUP BY md5(text))),
+        q AS (
+            SELECT *,
+                   round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                         / greatest(length(text), 1), 6) AS a,
+                   round(CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                              w -> list_contains(['the','and','of','to','a','in','is','it'], w))) AS DOUBLE)
+                         / greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1), 6) AS s
+            FROM ded),
+        keep AS (SELECT * FROM q WHERE a >= 0.8 AND s <= 0.12),
+        tk AS (SELECT doc_id, list_transform(
+                   regexp_split_to_array(trim(text), '\\s+'),
+                   t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)
+                        % 9007199254740881) AS th
+               FROM keep),
+        bt AS (SELECT list_transform(
+                   regexp_split_to_array(trim(text), '\\s+'),
+                   t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)
+                        % 9007199254740881) AS th
+               FROM documents WHERE doc_id IN
+                   (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 3)),
+        bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+                   range(1, greatest(len(th) - 6, 1)),
+                   i -> list_reduce(list_slice(th, i, i + 7),
+                       (acc, x) -> (acc * 128 + x) % 9007199254740881)))) AS gram
+               FROM bt),
+        cg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(th) - 6, 1)),
+                   i -> list_reduce(list_slice(th, i, i + 7),
+                       (acc, x) -> (acc * 128 + x) % 9007199254740881)))) AS gram
+               FROM tk),
+        bad AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (gram)),
+        clean AS (SELECT k.* FROM keep k
+                  WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+                    AND doc_id NOT IN (SELECT vec_id FROM semlosers)),
+        tok AS (SELECT doc_id, source, lang,
+                       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                            END AS BIGINT) AS n_tokens
+                FROM clean),
+        c AS (SELECT *,
+                     CAST(coalesce(sum(n_tokens) OVER (
+                         PARTITION BY source, lang ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS BIGINT) AS prev
+              FROM tok)
+        SELECT doc_id, source, lang, n_tokens,
+               CAST(floor(prev / 512) AS BIGINT) AS bin_idx,
+               CAST(prev % 512 AS BIGINT) AS bin_offset
+        FROM c
     """
 
 
@@ -3589,6 +3694,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ivf_topk": _ivf_oracle_sql(),
         "semantic_dedup": _semantic_dedup_oracle_sql(),
+        "corpus_clean_semantic": _corpus_semantic_oracle_sql(),
         "similarity_lsh": _lsh_oracle_sql(),
         "dedup_embedding": _emb_neardup_oracle_sql(),
         "dedup_ngram": """

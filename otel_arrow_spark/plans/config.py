@@ -29,6 +29,10 @@ Spec shape (YAML or JSON; JSON is a YAML subset so one loader serves both)::
     source: {path: /data/documents}
     quality: {alpha_min: 0.8, stopword_max: 0.12}
     decontaminate: {bench_docs: 3, ngram: 8}
+    semantic_dedup:                 # optional SemDeDup stage
+      embeddings_path: /data/embeddings
+      threshold: 0.42
+      n_clusters: 8
     pack: {seq_len: 512}
     sink: {output_dir: /data/clean}
 
@@ -230,13 +234,21 @@ def spec_to_config(spec: dict) -> PipelineConfig | CorpusConfig | TransformConfi
         )
 
     _check_sections(
-        spec, {"kind", "source", "quality", "decontaminate", "pack", "sink"}
+        spec, {"kind", "source", "quality", "decontaminate", "semantic_dedup",
+               "pack", "sink"}
     )
     source = _section(spec, "source", {"path": str}, required=("path",))
     quality = _section(
         spec, "quality", {"alpha_min": (int, float), "stopword_max": (int, float)}
     )
     decon = _section(spec, "decontaminate", {"bench_docs": int, "ngram": int})
+    # presence of the section enables the SemDeDup stage; it needs the
+    # embeddings table (vectors are not a documents column)
+    sem = _section(
+        spec, "semantic_dedup",
+        {"embeddings_path": str, "threshold": (int, float), "n_clusters": int},
+        required=("embeddings_path",) if "semantic_dedup" in spec else (),
+    )
     pack = _section(spec, "pack", {"seq_len": int})
     sink = _section(spec, "sink", {"output_dir": str}, required=("output_dir",))
     return CorpusConfig(
@@ -247,6 +259,9 @@ def spec_to_config(spec: dict) -> PipelineConfig | CorpusConfig | TransformConfi
         stopword_max=float(quality.get("stopword_max", 0.12)),
         bench_docs=decon.get("bench_docs", 3),
         ngram=decon.get("ngram", 8),
+        embeddings_path=sem.get("embeddings_path"),
+        sem_threshold=float(sem.get("threshold", 0.42)),
+        sem_clusters=sem.get("n_clusters", 8),
     )
 
 

@@ -42,14 +42,26 @@ class CorpusConfig:
     stopword_max: float = 0.12
     bench_docs: int = 3
     ngram: int = 8
+    # optional SemDeDup stage (textops/dedup.py semantic_dedup): enabled
+    # by an embeddings table keyed by doc_id (``vec_id`` column); docs
+    # without an embedding pass the gate (can't judge what wasn't embedded)
+    embeddings_path: str | None = None
+    sem_threshold: float = 0.42
+    sem_clusters: int = 8
 
 
-def build_flagged(docs: DataFrame, cfg: CorpusConfig) -> DataFrame:
+def build_flagged(docs: DataFrame, cfg: CorpusConfig,
+                  embeddings: DataFrame | None = None) -> DataFrame:
     """The corpus with per-stage keep/drop flags — no actions, no filter.
 
     Thresholds compare ROUNDED ratios so boundary documents land on the
     same side in any engine replaying the plan (the DuckDB oracle uses
     the identical round-then-compare).
+
+    ``embeddings`` (or ``cfg.embeddings_path``) switches on the SemDeDup
+    gate: semantic losers (cosine ≥ ``cfg.sem_threshold`` to a lower-id
+    clustermate) get ``sem_keep = false``. The loser set is ids-only —
+    the embedding vectors never join the document rows.
     """
     from otel_arrow_spark.textops import quality_score
     from otel_arrow_spark.textops.dedup import token_ngram_hashes
@@ -89,11 +101,35 @@ def build_flagged(docs: DataFrame, cfg: CorpusConfig) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    return (
+    d = (
         d.join(hits, "doc_id", "left")
         .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
         .withColumn("is_contaminated", F.col("n_hits") > 0)
     )
+
+    if embeddings is None and cfg.embeddings_path:
+        from pyspark.sql import SparkSession
+
+        embeddings = SparkSession.getActiveSession().read.parquet(
+            cfg.embeddings_path
+        )
+    if embeddings is not None:
+        from otel_arrow_spark.textops.dedup import semantic_dedup
+        from otel_arrow_spark.textops.ivf import deterministic_centroids
+
+        cents = deterministic_centroids(embeddings, cfg.sem_clusters)
+        surv = semantic_dedup(
+            embeddings, cents, threshold=cfg.sem_threshold
+        ).select(F.col("vec_id").alias("doc_id"))
+        losers = embeddings.select(F.col("vec_id").alias("doc_id")).join(
+            surv, "doc_id", "left_anti"
+        )
+        d = d.join(
+            losers.withColumn("_sem_dup", F.lit(True)), "doc_id", "left"
+        ).withColumn("sem_keep", F.col("_sem_dup").isNull()).drop("_sem_dup")
+    else:
+        d = d.withColumn("sem_keep", F.lit(True))
+    return d
 
 
 def build_packed(flagged: DataFrame, cfg: CorpusConfig) -> DataFrame:
@@ -105,6 +141,7 @@ def build_packed(flagged: DataFrame, cfg: CorpusConfig) -> DataFrame:
 
     surv = flagged.where(
         F.col("ded_keep") & F.col("quality_keep") & ~F.col("is_contaminated")
+        & F.col("sem_keep")
     )
     t = token_stats(surv).select(
         "doc_id", "source", "lang", F.col("n_tokens_ws").alias("n_tokens")
@@ -156,6 +193,14 @@ def run_corpus_clean(
                 & ~F.col("is_contaminated")
             ).cast("long")
         ).alias("after_decontaminate"),
+        F.sum(
+            (
+                F.col("ded_keep")
+                & F.col("quality_keep")
+                & ~F.col("is_contaminated")
+                & F.col("sem_keep")
+            ).cast("long")
+        ).alias("after_semantic"),
     )
     (
         build_packed(observed, cfg)
@@ -170,6 +215,15 @@ def run_corpus_clean(
             "seq_len": cfg.seq_len,
             "alpha_min": cfg.alpha_min,
             "stopword_max": cfg.stopword_max,
+            "semantic_dedup": (
+                {
+                    "embeddings": cfg.embeddings_path,
+                    "threshold": cfg.sem_threshold,
+                    "n_clusters": cfg.sem_clusters,
+                }
+                if cfg.embeddings_path
+                else None
+            ),
         },
         "metrics": dict(obs.get),
         "sinks": {"packed": out_path},

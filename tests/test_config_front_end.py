@@ -109,6 +109,48 @@ class TestCorpusSpec:
             == {k: v for k, v in api["config"].items() if k != "input"}
         )
 
+    def test_semantic_spec_run_matches_api_run(self, spark, workdir, tmp_path):
+        """The semantic_dedup spec section drives the SemDeDup stage: the
+        spec-run manifest (including after_semantic) equals the API-run
+        manifest, and the stage actually dropped documents."""
+        emb = "/root/testdata/sf0.001/embeddings.parquet"
+        api_out = f"{workdir}/corpus_sem_api_out"
+        spec_out = f"{workdir}/corpus_sem_spec_out"
+        api = run_corpus_clean(
+            spark,
+            CorpusConfig(input_path=DOCS, output_dir=api_out,
+                         embeddings_path=emb, sem_threshold=0.42,
+                         sem_clusters=8),
+        )
+        spec_file = tmp_path / "corpus_sem.yaml"
+        spec_file.write_text(
+            "kind: corpus_clean\n"
+            f"source: {{path: {DOCS}}}\n"
+            "quality: {alpha_min: 0.8, stopword_max: 0.12}\n"
+            "decontaminate: {bench_docs: 3, ngram: 8}\n"
+            f"semantic_dedup: {{embeddings_path: {emb}, threshold: 0.42, n_clusters: 8}}\n"
+            "pack: {seq_len: 512}\n"
+            f"sink: {{output_dir: {spec_out}}}\n"
+        )
+        got = run_from_spec(spark, str(spec_file))
+        assert got["metrics"] == api["metrics"]
+        assert got["config"]["semantic_dedup"] == api["config"]["semantic_dedup"]
+        assert "after_semantic" in got["metrics"]
+        assert got["metrics"]["after_semantic"] <= got["metrics"]["after_decontaminate"]
+        # packed outputs identical
+        a = spark.read.parquet(f"{api_out}/packed")
+        b = spark.read.parquet(f"{spec_out}/packed")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    def test_semantic_section_requires_embeddings(self):
+        with pytest.raises(SpecError, match="embeddings_path"):
+            spec_to_config({
+                "kind": "corpus_clean",
+                "source": {"path": "/in"},
+                "semantic_dedup": {"threshold": 0.5},
+                "sink": {"output_dir": "/out"},
+            })
+
     def test_overrides_beat_file(self, tmp_path):
         cfg = spec_to_config({
             "kind": "corpus_clean",
