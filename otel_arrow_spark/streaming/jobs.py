@@ -330,3 +330,48 @@ def stream_interval_join(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_sessionize(
+    stream: DataFrame,
+    by: tuple[str, ...] = ("user_id",),
+    on: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Gap-based sessionization as a STREAMING aggregate — Spark's native
+    ``session_window`` (dynamic-gap session state in the state store), the
+    streaming twin of operators/sessionize.py (parity-tested stream ==
+    batch on the events fixture).
+
+    Why session_window and not the applyInPandasWithState sessionizer
+    (streaming/stateful.py): session_window splits on gaps WITHIN a
+    micro-batch too, so the session set is independent of how the input
+    happened to be batched — the batch-equivalence property this repo
+    holds everywhere. The custom-state sessionizer keys state per
+    conversation and merges a whole batch into the open session (right
+    for its per-conversation rollup contract, wrong for gap-exact
+    sessions from coarse replays). A session emits in append mode once
+    the watermark passes its close (last event + gap).
+
+    Output per closed session: key cols, session_start / session_end
+    (observed event bounds — ``session_window.end`` is last + gap, so the
+    last observed event is ``end - gap``; we aggregate max directly),
+    n_events, duration_us (integer microseconds, the cross-engine-safe
+    representation per operators/sessionize.py).
+    """
+    s = stream.withColumn(on, F.col(on).cast("timestamp")).withWatermark(
+        on, watermark
+    )
+    return (
+        s.groupBy(F.session_window(F.col(on), gap).alias("_w"), *by)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(on).alias("session_start"),
+            F.max(on).alias("session_end"),
+            (F.unix_micros(F.max(on)) - F.unix_micros(F.min(on))).alias(
+                "duration_us"
+            ),
+        )
+        .drop("_w")
+    )

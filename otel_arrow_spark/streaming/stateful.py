@@ -102,6 +102,15 @@ def sessionize_conversations(
     row per closed session. State is bounded by the number of concurrently
     active conversations — the cardinality the reference caps at 16384
     (README.md:56-60); Spark's state store spills instead of flushing early.
+
+    Batching caveat: rows of one conversation arriving in the SAME
+    micro-batch fold into the open session regardless of internal gaps —
+    the idle timeout only observes time BETWEEN batches. That is the right
+    contract for this per-conversation rollup (a conversation replayed as
+    one batch is one session), but for gap-exact sessions independent of
+    batching use streaming/jobs.py ``stream_sessionize`` (native
+    ``session_window`` state splits within-batch gaps too; stream==batch
+    parity-tested against operators/sessionize.py).
     """
     gap_ms = {"30 minutes": 30 * 60_000, "1 hour": 3_600_000}.get(gap)
     if gap_ms is None:

@@ -330,3 +330,49 @@ def test_stream_span_red_metrics_matches_batch(spark, workdir):
 
     a, b = canon(got), canon(want_closed)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_stream_sessionize_matches_batch(spark, workdir):
+    """session_window streaming sessionization == the batch sessionize
+    operator on the events fixture (real mid-key gaps): every session the
+    watermark closed matches its batch twin exactly — n_events, bounds,
+    integer duration — and most sessions do close."""
+    import shutil
+
+    from otel_arrow_spark.operators.sessionize import session_summaries
+    from otel_arrow_spark.streaming.jobs import stream_sessionize
+
+    src = f"{workdir}/events_stream_src"
+    os.makedirs(src, exist_ok=True)
+    shutil.copy("/root/testdata/sf0.001/events.parquet",
+                f"{src}/part-0.parquet")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    sessions = stream_sessionize(
+        stream, by=("user_id",), gap="30 minutes", watermark="1 minute"
+    )
+    out = f"{workdir}/stream_sessions"
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{workdir}/stream_sessions_ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+
+    batch = session_summaries(ev, ["user_id"], gap_seconds=1800)
+    want = {
+        (r.user_id, str(r.session_start)): (
+            r.n_events, str(r.session_end), r.duration_us
+        )
+        for r in batch.collect()
+    }
+    emitted = got.collect()
+    assert len(emitted) > 0.5 * len(want) > 0
+    for r in emitted:
+        key = (r.user_id, str(r.session_start))
+        assert key in want, key
+        assert want[key] == (r.n_events, str(r.session_end), r.duration_us), key
