@@ -1598,6 +1598,43 @@ def q_exp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window reaggregation (operators/aggregate.py
+    hopping_aggregate): 30-minute windows sliding every 15 — each event
+    lands in exactly window/slide = 2 windows, expanded inline before ONE
+    partial+final hash aggregate (never a per-offset self-join). The
+    oracle replays the expansion with a lateral range() over the slide
+    buckets."""
+    from otel_arrow_spark.operators.aggregate import hopping_aggregate
+
+    e = _t(spark, sf_dir, "events")
+    return hopping_aggregate(
+        e, "30 minutes", "15 minutes", keys=("event_type",), ts_col="ts",
+        aggs=(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value_r"),
+        ),
+    )
+
+
+def q_span_self_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flame-graph self-time rollup (operators/trace_tree.py
+    span_self_times): per operation name, total own-minus-children time —
+    where the latency net of delegation lives. Oracle re-derives child
+    sums with a SQL self-aggregate."""
+    from otel_arrow_spark.operators.trace_tree import span_self_times
+
+    p = _spans_dir(sf_dir)
+    spans = spark.read.parquet(f"{p}/spans.parquet")
+    st = span_self_times(spans)
+    return st.groupBy("name").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("self_ms").cast("long").alias("total_self_ms"),
+        F.sum("duration_ms").cast("long").alias("total_ms"),
+        F.min("self_ms").cast("long").alias("min_self_ms"),
+    )
+
+
 def q_exemplar_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deepest leaves of the 17-table metrics star — the exemplar
     ATTRS instances (NUMBER/HISTOGRAM/EXP_HISTOGRAM_DP_EXEMPLAR_ATTRS,
@@ -1927,6 +1964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exp_quantile_merged": q_exp_quantile_merged,
         "exemplar_attrs": q_exemplar_attrs,
         "corpus_clean_semantic": q_corpus_clean_semantic,
+        "span_self_time": q_span_self_time,
+        "hopping_agg": q_hopping_agg,
         # --- new / changed in r4 ---
         "temperature_mix": q_temperature_mix,
         "critical_path": q_critical_path,
@@ -3063,6 +3102,42 @@ def oracle_sql() -> dict[str, str]:
                                   / cat[idx90+1] ELSE 0 END)
                    END, 6) AS p90_r
             FROM r
+        """,
+        "hopping_agg": """
+            WITH e AS (
+                SELECT event_type, value,
+                       time_bucket(INTERVAL '15 minutes', ts) AS tb
+                FROM events),
+            x AS (
+                SELECT event_type, value,
+                       tb - j.j * INTERVAL '15 minutes' AS window_start
+                FROM e, (SELECT unnest(range(2)) AS j) j)
+            SELECT window_start,
+                   window_start + INTERVAL '30 minutes' AS window_end,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 4) AS sum_value_r
+            FROM x GROUP BY 1, 2, 3
+        """,
+        "span_self_time": f"""
+            WITH cs AS (
+                SELECT trace_id, parent_span_id AS span_id_hex,
+                       sum(duration_ms) AS child_ms
+                FROM read_parquet('{_REPO}/.cache/spans/n20000/spans.parquet')
+                WHERE parent_span_id IS NOT NULL
+                GROUP BY 1, 2),
+            st AS (
+                SELECT s.name, s.duration_ms,
+                       s.duration_ms - coalesce(cs.child_ms, 0) AS self_ms
+                FROM read_parquet('{_REPO}/.cache/spans/n20000/spans.parquet') s
+                LEFT JOIN cs ON s.trace_id = cs.trace_id
+                            AND s.span_id_hex = cs.span_id_hex)
+            SELECT name,
+                   CAST(count(*) AS BIGINT) AS n_spans,
+                   CAST(sum(self_ms) AS BIGINT) AS total_self_ms,
+                   CAST(sum(duration_ms) AS BIGINT) AS total_ms,
+                   CAST(min(self_ms) AS BIGINT) AS min_self_ms
+            FROM st GROUP BY 1
         """,
         "exemplar_attrs": f"""
             WITH u AS (

@@ -35,6 +35,47 @@ def sink_aggregate(
     )
 
 
+def hopping_aggregate(
+    df: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    keys: tuple[str, ...] = (),
+    ts_col: str = "ts",
+    aggs: tuple = (),
+) -> DataFrame:
+    """HOPPING (sliding) window reaggregation — overlapping windows of
+    ``window`` length starting every ``slide``: the moving-average /
+    moving-rate shape dashboards ask for, generalizing the tumbling
+    reagg (the reference's temporal_reaggregation_processor does only
+    tumbling periods; hopping is the same groupBy with ``F.window``'s
+    slideDuration).
+
+    Each row lands in ``window/slide`` windows — Spark's window expression
+    expands them BEFORE the hash aggregate (a Generate of window structs),
+    so the plan stays one partial+final aggregate; the row multiplication
+    is the algorithm's inherent cost, bounded by the ratio (2× for the
+    defaults), never a self-join per offset.
+
+    ``aggs``: aggregate Columns (default: count + duration sum/avg,
+    matching temporal_aggregate).
+    """
+    if not aggs:
+        aggs = (
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("duration_ms").alias("sum_duration_ms"),
+            F.avg("duration_ms").alias("avg_duration_ms"),
+        )
+    w = F.window(F.col(ts_col), window, slide)
+    out = df.groupBy(w.alias("w"), *keys).agg(*aggs)
+    agg_cols = [c for c in out.columns if c != "w" and c not in keys]
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *keys,
+        *agg_cols,
+    )
+
+
 def temporal_aggregate(
     df: DataFrame,
     period: str = "60 seconds",

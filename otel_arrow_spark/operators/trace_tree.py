@@ -276,6 +276,37 @@ def service_graph(
     )
 
 
+def span_self_times(spans: DataFrame) -> DataFrame:
+    """Per-span SELF time: own duration minus the sum of direct
+    children's durations — the flame-graph quantity ("where does the
+    latency actually live, net of what was delegated"). Negative values
+    are legal and meaningful (children overlapping in parallel exceed
+    the parent's wall time).
+
+    Scale shape: one hash aggregate of the child edge list on
+    (trace_id, parent pointer) + one equi-join back on the same key pair
+    — both stages hash-partition on the identical key, so the join reuses
+    the aggregate's partitioning (no extra Exchange on that side), and
+    skew is bounded by a single span's fan-out.
+    """
+    child_sums = (
+        spans.where(F.col("parent_span_id").isNotNull())
+        .groupBy(
+            "trace_id", F.col("parent_span_id").alias("span_id_hex")
+        )
+        .agg(F.sum("duration_ms").alias("_child_ms"))
+    )
+    return spans.join(child_sums, ["trace_id", "span_id_hex"], "left").select(
+        "trace_id",
+        "span_id_hex",
+        "name",
+        "duration_ms",
+        (
+            F.col("duration_ms") - F.coalesce(F.col("_child_ms"), F.lit(0))
+        ).alias("self_ms"),
+    )
+
+
 def critical_paths(spans: DataFrame, max_iter: int = 32,
                    method: str = "bfs") -> DataFrame:
     """Per-trace critical path (self-time chain): the root-to-leaf chain

