@@ -499,14 +499,19 @@ def _syslog_corpus_path(n: int) -> str:
     oracle reads the exact same lines (read_parquet on an absolute path)."""
     from otel_arrow_spark.sources.syslog import generate_syslog_lines
 
-    path = os.path.join(_REPO, ".cache", "syslog", f"n{n}.parquet")
+    # v2: explicit line_no key column (the stable per-line identity the
+    # star encode hashes — the corpus has duplicate lines, so the text
+    # alone is not a key)
+    path = os.path.join(_REPO, ".cache", "syslog", f"n{n}.v2.parquet")
     if not os.path.exists(path):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         os.makedirs(os.path.dirname(path), exist_ok=True)
+        lines = generate_syslog_lines(n)
         pq.write_table(
-            pa.table({"line": generate_syslog_lines(n)}), path
+            pa.table({"line_no": list(range(len(lines))), "line": lines}),
+            path,
         )
     return path
 
@@ -1598,6 +1603,47 @@ def q_exp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_syslog_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LogsStarSpec genericity as a driver row: the parsed SYSLOG corpus
+    (a different schema entirely — line_no key, facility resource,
+    format scope) encodes into the LOGS star and decodes back; the
+    aggregate over the DECODED frame must equal the oracle's aggregate
+    over a direct SQL re-parse of the raw lines — batch-equivalence
+    through the star on a second shape."""
+    from otel_arrow_spark.operators.logs_star import (
+        LogsStarSpec,
+        decode_logs_star,
+        encode_logs_star,
+    )
+    from otel_arrow_spark.sources.syslog import parse_syslog
+
+    n = 2000 if "sf0.001" in sf_dir else 20_000
+    lines = spark.read.parquet(_syslog_corpus_path(n))
+    parsed = (
+        parse_syslog(lines)
+        .where(F.col("format") != "unknown")
+        .localCheckpoint()
+    )
+    spec = LogsStarSpec(
+        key_cols=("line_no",),
+        ts_col="line_no",
+        body_col="message",
+        severity_text_col="severity_text",
+        severity_number_col="severity_number",
+        trace_id_col=None,
+        span_id_col=None,
+        attr_cols=("hostname", "app_name", "proc_id"),
+        resource_cols=("facility",),
+        scope_cols=("format",),
+    )
+    back = decode_logs_star(encode_logs_star(parsed, spec), spec)
+    return back.groupBy("format", "severity_text").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("hostname").alias("n_hosts"),
+        F.sum(F.length("message")).cast("long").alias("sum_msg_len"),
+    )
+
+
 def q_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping-window reaggregation (operators/aggregate.py
     hopping_aggregate): 30-minute windows sliding every 15 — each event
@@ -1966,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean_semantic": q_corpus_clean_semantic,
         "span_self_time": q_span_self_time,
         "hopping_agg": q_hopping_agg,
+        "syslog_star": q_syslog_star,
         # --- new / changed in r4 ---
         "temperature_mix": q_temperature_mix,
         "critical_path": q_critical_path,
@@ -3103,6 +3150,48 @@ def oracle_sql() -> dict[str, str]:
                    END, 6) AS p90_r
             FROM r
         """,
+        "syslog_star": f"""
+            WITH d AS (
+                SELECT NULLIF(regexp_extract(line,
+                           '^<(\\d{{1,3}})>1 (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (-|\\[.*?\\])( (.*))?$', 1), '') AS p54,
+                       regexp_extract(line,
+                           '^<(\\d{{1,3}})>1 (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (-|\\[.*?\\])( (.*))?$', 3) AS h54,
+                       regexp_extract(line,
+                           '^<(\\d{{1,3}})>1 (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (-|\\[.*?\\])( (.*))?$', 9) AS m54,
+                       NULLIF(regexp_extract(line,
+                           '^(?:<(\\d{{1,3}})>)?(?:([A-Z][a-z]{{2}} [ \\d]\\d \\d{{2}}:\\d{{2}}:\\d{{2}}) )?(?:(\\S+) )?CEF:(\\d+)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|(.*)$', 4), '') AS cefver,
+                       NULLIF(regexp_extract(line,
+                           '^(?:<(\\d{{1,3}})>)?(?:([A-Z][a-z]{{2}} [ \\d]\\d \\d{{2}}:\\d{{2}}:\\d{{2}}) )?(?:(\\S+) )?CEF:(\\d+)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|(.*)$', 1), '') AS cefpri,
+                       NULLIF(regexp_extract(line,
+                           '^(?:<(\\d{{1,3}})>)?(?:([A-Z][a-z]{{2}} [ \\d]\\d \\d{{2}}:\\d{{2}}:\\d{{2}}) )?(?:(\\S+) )?CEF:(\\d+)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|(.*)$', 3), '') AS hcef,
+                       NULLIF(regexp_extract(line,
+                           '^<(\\d{{1,3}})>([A-Z][a-z]{{2}} [ \\d]\\d \\d{{2}}:\\d{{2}}:\\d{{2}}) (\\S+) ([\\w./-]+)(\\[(\\d+)\\])?: ?(.*)$', 1), '') AS p31,
+                       regexp_extract(line,
+                           '^<(\\d{{1,3}})>([A-Z][a-z]{{2}} [ \\d]\\d \\d{{2}}:\\d{{2}}:\\d{{2}}) (\\S+) ([\\w./-]+)(\\[(\\d+)\\])?: ?(.*)$', 3) AS h31,
+                       regexp_extract(line,
+                           '^<(\\d{{1,3}})>([A-Z][a-z]{{2}} [ \\d]\\d \\d{{2}}:\\d{{2}}:\\d{{2}}) (\\S+) ([\\w./-]+)(\\[(\\d+)\\])?: ?(.*)$', 7) AS m31
+                FROM read_parquet('{_REPO}/.cache/syslog/n20000.v2.parquet')),
+            f AS (
+                SELECT CASE WHEN p54 IS NOT NULL THEN 'rfc5424'
+                            WHEN cefver IS NOT NULL THEN 'cef'
+                            WHEN p31 IS NOT NULL THEN 'rfc3164'
+                            ELSE 'unknown' END AS format,
+                       CAST(CASE WHEN p54 IS NOT NULL THEN p54
+                                 WHEN cefver IS NOT NULL THEN cefpri
+                                 WHEN p31 IS NOT NULL THEN p31 END AS INT) % 8 AS sev,
+                       CASE WHEN p54 IS NOT NULL THEN h54
+                            WHEN cefver IS NOT NULL THEN hcef
+                            WHEN p31 IS NOT NULL THEN h31 END AS hostname,
+                       CASE WHEN p54 IS NOT NULL THEN m54
+                            WHEN p31 IS NOT NULL THEN m31 END AS message
+                FROM d)
+            SELECT format,
+                   (['FATAL','ERROR3','ERROR2','ERROR','WARN','INFO2','INFO','DEBUG'])[sev + 1] AS severity_text,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT hostname) AS BIGINT) AS n_hosts,
+                   CAST(sum(length(message)) AS BIGINT) AS sum_msg_len
+            FROM f WHERE format != 'unknown' GROUP BY 1, 2
+        """,
         "hopping_agg": """
             WITH e AS (
                 SELECT event_type, value,
@@ -3709,7 +3798,7 @@ def oracle_sql() -> dict[str, str]:
                            '^(?:<(\\d{{1,3}})>)?(?:([A-Z][a-z]{{2}} [ \\d]\\d \\d{{2}}:\\d{{2}}:\\d{{2}}) )?(?:(\\S+) )?CEF:(\\d+)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|([^|]*)\\|(.*)$', 1), '') AS cefpri,
                        NULLIF(regexp_extract(line,
                            '^<(\\d{{1,3}})>([A-Z][a-z]{{2}} [ \\d]\\d \\d{{2}}:\\d{{2}}:\\d{{2}}) (\\S+) ([\\w./-]+)(\\[(\\d+)\\])?: ?(.*)$', 1), '') AS p31
-                FROM read_parquet('{_REPO}/.cache/syslog/n20000.parquet')),
+                FROM read_parquet('{_REPO}/.cache/syslog/n20000.v2.parquet')),
             f AS (
                 SELECT CASE WHEN p54 IS NOT NULL THEN 'rfc5424'
                             WHEN cefver IS NOT NULL THEN 'cef'
