@@ -2002,65 +2002,28 @@ def q_scope_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = least-proven-first: the driver correctness-checks
     only the FIRST 50 entries, so queries that are new or changed this
-    round, or that missed a driver row last round, lead; long-stable
-    veterans (green in r1-r3 driver records) trail. Rotate per round so
-    every query gets a periodic driver row."""
+    round lead, then the oldest veterans (last driver row r3 or earlier)
+    rotate back into the window; the entries past position 50 are exactly
+    the ones driver-green in CORRECTNESS_r04. Rotate per round so nothing
+    goes more than ~2 rounds without a driver row."""
     return {
-        # --- new / changed this round (r5) ---
+        # --- round-5 additions (never driver-checked) ---
         "exp_quantile_merged": q_exp_quantile_merged,
         "exemplar_attrs": q_exemplar_attrs,
         "corpus_clean_semantic": q_corpus_clean_semantic,
         "span_self_time": q_span_self_time,
         "hopping_agg": q_hopping_agg,
         "syslog_star": q_syslog_star,
-        # --- new / changed in r4 ---
-        "temperature_mix": q_temperature_mix,
-        "critical_path": q_critical_path,
-        "exp_quantile": q_exp_quantile,
-        "service_graph": q_service_graph,
-        "trace_rollup": q_trace_rollup,
-        "span_metrics": q_span_metrics,
-        "hist_quantile": q_hist_quantile,
-        "counter_rate": q_counter_rate,
-        "semantic_dedup": q_semantic_dedup,
-        "chunk_docs": q_chunk_docs,
-        "logs_star": q_logs_star,
-        "exemplar_star": q_exemplar_star,
-        "scope_attrs": q_scope_attrs,
-        "asof_join": q_asof_join,          # ADVICE fix: struct fill
-        "exp_hist_merge": q_exp_hist_merge,  # ADVICE fix: null-safe key join
-        "exp_hist_star": q_exp_hist_star,
-        "pack_summary": q_pack_summary,
-        "summary_reagg": q_summary_reagg,  # r4: summary_dp_attrs rollup added
-        # --- never driver-checked (r3 additions past the 50-entry window) ---
-        "interval_join": q_interval_join,
+        # --- implementation or oracle changed in round 5 ---
         "sessionize": q_sessionize,
-        "token_pack": q_token_pack,
-        "paragraph_dedup": q_paragraph_dedup,
-        "lineage_metrics": q_lineage_metrics,
+        "logs_star": q_logs_star,
+        "trace_rollup": q_trace_rollup,
+        "critical_path": q_critical_path,
+        "chunk_docs": q_chunk_docs,
         "corpus_clean": q_corpus_clean,
-        "kql_sort_top": q_kql_sort_top,
-        "kql_q3": q_kql_q3,
-        "opl_aggregates": q_opl_aggregates,
-        # --- r2-green but dropped from the r3 window ---
-        "decontaminate": q_decontaminate,
-        "repetition": q_repetition,
-        "dedup_simhash": q_dedup_simhash,
-        "similarity_lsh": q_similarity_lsh,
-        "transcripts_routed": q_transcripts_routed,
-        "transcripts_agg": q_transcripts_agg,
-        # --- veterans, least-recently-emphasized first ---
+        "temperature_mix": q_temperature_mix,
         "syslog_parse": q_syslog_parse,
-        "embedding_pairs_exact": q_embedding_pairs_exact,
-        "ivf_topk": q_ivf_topk,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_ngram": q_dedup_ngram,
-        "dedup_embedding": q_dedup_embedding,
-        "capped_reagg": q_capped_reagg,
-        "multimodal_sniff": q_multimodal_sniff,
-        "redact_pii": q_redact_pii,
-        "partition_counts": q_partition_counts,
-        "ottl_transform": q_ottl_transform,
+        # --- oldest veterans: last driver row r3 or earlier — rotated back in ---
         "span_links": q_span_links,
         "hist_star": q_hist_star,
         "resource_scope": q_resource_scope,
@@ -2097,6 +2060,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_broadcast": q_enrich_broadcast,
         "route_counts": q_route_counts,
         "parse_events": q_parse_events,
+        # --- past the 50-entry window: all driver-green in r4 (CORRECTNESS_r04) ---
+        "exp_quantile": q_exp_quantile,
+        "service_graph": q_service_graph,
+        "span_metrics": q_span_metrics,
+        "hist_quantile": q_hist_quantile,
+        "counter_rate": q_counter_rate,
+        "semantic_dedup": q_semantic_dedup,
+        "exemplar_star": q_exemplar_star,
+        "scope_attrs": q_scope_attrs,
+        "asof_join": q_asof_join,
+        "exp_hist_merge": q_exp_hist_merge,
+        "exp_hist_star": q_exp_hist_star,
+        "pack_summary": q_pack_summary,
+        "summary_reagg": q_summary_reagg,
+        "interval_join": q_interval_join,
+        "token_pack": q_token_pack,
+        "paragraph_dedup": q_paragraph_dedup,
+        "lineage_metrics": q_lineage_metrics,
+        "kql_sort_top": q_kql_sort_top,
+        "kql_q3": q_kql_q3,
+        "opl_aggregates": q_opl_aggregates,
+        "decontaminate": q_decontaminate,
+        "repetition": q_repetition,
+        "dedup_simhash": q_dedup_simhash,
+        "similarity_lsh": q_similarity_lsh,
+        "transcripts_routed": q_transcripts_routed,
+        "transcripts_agg": q_transcripts_agg,
+        "embedding_pairs_exact": q_embedding_pairs_exact,
+        "ivf_topk": q_ivf_topk,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_ngram": q_dedup_ngram,
+        "dedup_embedding": q_dedup_embedding,
+        "capped_reagg": q_capped_reagg,
+        "multimodal_sniff": q_multimodal_sniff,
+        "redact_pii": q_redact_pii,
+        "partition_counts": q_partition_counts,
+        "ottl_transform": q_ottl_transform,
     }
 
 

@@ -69,6 +69,13 @@ HEADLINE_QUERIES = [
     "counter_rate",
     "exp_quantile",
     "temperature_mix",
+    # round-5 additions
+    "exp_quantile_merged",
+    "exemplar_attrs",
+    "corpus_clean_semantic",
+    "span_self_time",
+    "hopping_agg",
+    "syslog_star",
 ]
 
 
