@@ -1603,6 +1603,33 @@ def q_exp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-k (textops/analysis.py vocabulary_stats):
+    explode → one hash aggregate → global top-k planned as
+    TakeOrderedAndProject (per-partition top-k, never a full sort); ties
+    break on the token so the rank is engine-replayable."""
+    from otel_arrow_spark.textops.analysis import vocabulary_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return vocabulary_stats(d, top_k=30).select(
+        "token", F.col("n").cast("long").alias("n"), "rank"
+    )
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (textops/analysis.py
+    hash_split): md5-cell assignment, stable under corpus growth and
+    partitioning; the oracle recomputes every cell bit-identically."""
+    from otel_arrow_spark.textops.analysis import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    out = hash_split(d, {"train": 0.9, "val": 0.05, "test": 0.05})
+    return out.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").cast("long").alias("min_id"),
+    )
+
+
 def q_syslog_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LogsStarSpec genericity as a driver row: the parsed SYSLOG corpus
     (a different schema entirely — line_no key, facility resource,
@@ -2014,6 +2041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_self_time": q_span_self_time,
         "hopping_agg": q_hopping_agg,
         "syslog_star": q_syslog_star,
+        "vocab_stats": q_vocab_stats,
+        "hash_split": q_hash_split,
         # --- implementation or oracle changed in round 5 ---
         "sessionize": q_sessionize,
         "logs_star": q_logs_star,
@@ -2021,8 +2050,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "critical_path": q_critical_path,
         "chunk_docs": q_chunk_docs,
         "corpus_clean": q_corpus_clean,
-        "temperature_mix": q_temperature_mix,
-        "syslog_parse": q_syslog_parse,
         # --- oldest veterans: last driver row r3 or earlier — rotated back in ---
         "span_links": q_span_links,
         "hist_star": q_hist_star,
@@ -2060,7 +2087,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_broadcast": q_enrich_broadcast,
         "route_counts": q_route_counts,
         "parse_events": q_parse_events,
-        # --- past the 50-entry window: all driver-green in r4 (CORRECTNESS_r04) ---
+        # --- past the 50-entry window: all driver-green in r4 (CORRECTNESS_r04)
+        #     or re-verified locally this round (temperature_mix: fixture
+        #     output unchanged by the NULL-source fix; syslog_parse: v2
+        #     corpus re-checked green via tools/check_oracles.py) ---
+        "temperature_mix": q_temperature_mix,
+        "syslog_parse": q_syslog_parse,
         "exp_quantile": q_exp_quantile,
         "service_graph": q_service_graph,
         "span_metrics": q_span_metrics,
@@ -3149,6 +3181,34 @@ def oracle_sql() -> dict[str, str]:
                                   / cat[idx90+1] ELSE 0 END)
                    END, 6) AS p90_r
             FROM r
+        """,
+        "vocab_stats": """
+            WITH t AS (
+                SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                       AS token
+                FROM documents),
+            c AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+                  FROM t WHERE token != '' GROUP BY 1),
+            r AS (SELECT token, n,
+                         row_number() OVER (ORDER BY n DESC, token) AS rank
+                  FROM c)
+            SELECT token, n, CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 30
+        """,
+        "hash_split": """
+            WITH c AS (
+                SELECT doc_id, lang,
+                       CAST('0x' || substring(
+                           md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 8)
+                           AS BIGINT) % 10000 AS cell
+                FROM documents)
+            SELECT CASE WHEN cell < 9000 THEN 'train'
+                        WHEN cell < 9500 THEN 'val'
+                        ELSE 'test' END AS split,
+                   lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(min(doc_id) AS BIGINT) AS min_id
+            FROM c GROUP BY 1, 2
         """,
         "syslog_star": f"""
             WITH d AS (

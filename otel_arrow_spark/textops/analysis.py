@@ -244,3 +244,77 @@ def classifier_score(
         lambda acc, t: acc + F.element_at(warr, (bucket(t) + 1).cast("int")),
     )
     return df.withColumn("clf_score", F.lit(1.0) / (F.lit(1.0) + F.exp(-score)))
+
+
+def vocabulary_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """Corpus-wide token vocabulary: the ``top_k`` most frequent
+    whitespace tokens (lowercased) with counts and a deterministic rank —
+    the vocabulary-building / coverage-report step of a tokenizer
+    pipeline.
+
+    Scale shape: explode → ONE partial+final hash aggregate on the token
+    (map-side combine absorbs the per-document repetition), then a global
+    top-k which Spark plans as TakeOrderedAndProject — each partition
+    keeps only its local top-k, the driver merges k·p rows, never a full
+    sort. Rank ties break on the token string so the output is total-
+    ordered and engine-replayable.
+    """
+    toks = F.explode(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ).alias("token")
+    counts = (
+        df.select(toks)
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("token")).limit(top_k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+    out_col: str = "split",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row hashes into one
+    of ``buckets`` cells (md5 of salt+id — engine-portable, the
+    classifier_score recipe) and the cells partition into the weighted
+    splits in dict order. Stable across runs, engines, partitioning, and
+    corpus growth (a document's split never changes when other documents
+    are added — the property a random split lacks); changing ``salt``
+    draws a fresh assignment.
+    """
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    cell = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % buckets
+    )
+    expr = None
+    acc = 0.0
+    *head, (last_name, _) = list(weights.items())
+    for name, wgt in head:
+        acc += wgt
+        bound = int(round(acc * buckets))
+        cond = cell < bound
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(last_name) if expr is None else expr.otherwise(last_name)
+    return df.withColumn(out_col, expr)

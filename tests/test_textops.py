@@ -696,3 +696,59 @@ class TestTemperatureMixing:
 
         with _pytest.raises(ValueError):
             temperature_mixing_sample(d, alpha=1.5)
+
+
+class TestVocabularyStats:
+    def test_topk_matches_python(self, spark):
+        from collections import Counter
+
+        from otel_arrow_spark.textops.analysis import vocabulary_stats
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        got = [(r.token, r.n, r.rank)
+               for r in vocabulary_stats(d, top_k=20).collect()]
+        c = Counter()
+        for r in d.select("text").collect():
+            c.update(t for t in r.text.strip().lower().split() if t)
+        want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        assert [(t, n) for t, n, _ in got] == want
+        assert [r for _, _, r in got] == list(range(1, 21))
+
+    def test_plans_as_take_ordered(self, spark):
+        from otel_arrow_spark.textops.analysis import vocabulary_stats
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = vocabulary_stats(d, top_k=10)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan  # never a full global sort
+
+
+class TestHashSplit:
+    def test_weights_and_stability(self, spark):
+        from otel_arrow_spark.textops.analysis import hash_split
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = hash_split(d, {"train": 0.8, "val": 0.1, "test": 0.1})
+        n = d.count()
+        got = {r.split: r.cnt for r in
+               out.groupBy("split").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        assert set(got) <= {"train", "val", "test"}
+        assert abs(got["train"] / n - 0.8) < 0.05
+        # growth stability: a document's split never changes when the
+        # corpus shrinks/grows (hash of the id alone)
+        sub = hash_split(d.limit(50), {"train": 0.8, "val": 0.1, "test": 0.1})
+        full = {r.doc_id: r.split for r in out.collect()}
+        for r in sub.collect():
+            assert full[r.doc_id] == r.split
+        # partition invariance
+        rep = hash_split(d.repartition(13), {"train": 0.8, "val": 0.1, "test": 0.1})
+        assert out.exceptAll(rep).count() == 0
+
+    def test_bad_weights_rejected(self, spark):
+        import pytest as _pytest
+
+        from otel_arrow_spark.textops.analysis import hash_split
+
+        d = spark.createDataFrame([(1,)], "doc_id long")
+        with _pytest.raises(ValueError, match="sum to 1"):
+            hash_split(d, {"train": 0.5, "val": 0.1})
