@@ -241,12 +241,39 @@ def main() -> None:
     flat = enrich(parse_transcripts(spark.read.parquet(inp)), spark).localCheckpoint()
     sections.append(
         (
-            "LOGS star decode (round-trip read side)",
-            "Expected: the attrs pivot is ONE `ObjectHashAggregate`/"
-            "`HashAggregate` pair on parent_id (conditional firsts, never a "
-            "join per key); both dimension joins are `BroadcastHashJoin`; "
+            "LOGS star decode (round-trip read side, union-agg strategy)",
+            "Expected: the attrs pivot AND the logs⋈attrs join collapse "
+            "into ONE `ObjectHashAggregate`/`SortAggregate` pair on the "
+            "128-bit id pair over a `Union` (single fact-side shuffle, no "
+            "`SortMergeJoin`); both dimension joins are `BroadcastHashJoin`; "
             "ids are hash expressions, no `Window`/row_number funnel.",
             decode_logs_star(encode_logs_star(flat)),
+        )
+    )
+
+    from otel_arrow_spark.operators.aggregate import hopping_aggregate
+
+    sections.append(
+        (
+            "Hopping-window reaggregation",
+            "Expected: the window/slide row expansion is an `Expand` node "
+            "feeding ONE partial+final `HashAggregate` pair around a single "
+            "`Exchange hashpartitioning` — never a per-offset self-join.",
+            hopping_aggregate(
+                routed, "30 minutes", "15 minutes", keys=("signal_class",)
+            ),
+        )
+    )
+
+    from otel_arrow_spark.operators.trace_tree import span_self_times
+
+    sections.append(
+        (
+            "Span self-time (flame-graph net latency)",
+            "Expected: child-sum `HashAggregate` and the join back both "
+            "hash-partition on (trace_id, span pointer) — the aggregate's "
+            "partitioning is reused by the join side, bounded skew.",
+            span_self_times(spans),
         )
     )
 
