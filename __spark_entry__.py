@@ -1603,6 +1603,23 @@ def q_exp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile (operators/profile.py): nulls,
+    exact distincts, string-rendered bounds for the events table in ONE
+    aggregate pass; the oracle recomputes each statistic directly."""
+    from otel_arrow_spark.operators.profile import profile_table
+
+    ev = _t(spark, sf_dir, "events")
+    # integer/string columns only: their string-rendered bounds are
+    # engine-identical (a DOUBLE column's rendering differs — 1.0E-4 vs
+    # 0.0001 — so floats would need numeric re-parse + round instead)
+    return profile_table(
+        ev, cols=("event_id", "user_id", "event_type")
+    ).select(
+        "column", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str"
+    )
+
+
 def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary top-k (textops/analysis.py vocabulary_stats):
     explode → one hash aggregate → global top-k planned as
@@ -2043,12 +2060,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "syslog_star": q_syslog_star,
         "vocab_stats": q_vocab_stats,
         "hash_split": q_hash_split,
+        "table_profile": q_table_profile,
         # --- implementation or oracle changed in round 5 ---
         "sessionize": q_sessionize,
         "logs_star": q_logs_star,
         "trace_rollup": q_trace_rollup,
         "critical_path": q_critical_path,
-        "chunk_docs": q_chunk_docs,
         "corpus_clean": q_corpus_clean,
         # --- oldest veterans: last driver row r3 or earlier — rotated back in ---
         "span_links": q_span_links,
@@ -2093,6 +2110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     corpus re-checked green via tools/check_oracles.py) ---
         "temperature_mix": q_temperature_mix,
         "syslog_parse": q_syslog_parse,
+        "chunk_docs": q_chunk_docs,  # oracle-only empty-text guard; fixture
+                                     # has no empty docs — re-verified locally
         "exp_quantile": q_exp_quantile,
         "service_graph": q_service_graph,
         "span_metrics": q_span_metrics,
@@ -3181,6 +3200,32 @@ def oracle_sql() -> dict[str, str]:
                                   / cat[idx90+1] ELSE 0 END)
                    END, 6) AS p90_r
             FROM r
+        """,
+        "table_profile": """
+            SELECT * FROM (
+                SELECT 'event_id' AS column,
+                       CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+                       CAST(min(event_id) AS VARCHAR) AS min_str,
+                       CAST(max(event_id) AS VARCHAR) AS max_str
+                FROM events
+                UNION ALL
+                SELECT 'user_id',
+                       CAST(count(*) AS BIGINT),
+                       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                       CAST(count(DISTINCT user_id) AS BIGINT),
+                       CAST(min(user_id) AS VARCHAR),
+                       CAST(max(user_id) AS VARCHAR)
+                FROM events
+                UNION ALL
+                SELECT 'event_type',
+                       CAST(count(*) AS BIGINT),
+                       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                       CAST(count(DISTINCT event_type) AS BIGINT),
+                       CAST(min(event_type) AS VARCHAR),
+                       CAST(max(event_type) AS VARCHAR)
+                FROM events)
         """,
         "vocab_stats": """
             WITH t AS (

@@ -375,3 +375,29 @@ def stream_sessionize(
         )
         .drop("_w")
     )
+
+
+def stream_dedup(
+    stream: DataFrame,
+    keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+    on: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exactly-once event dedup: drop repeated deliveries of the
+    same key within the watermark horizon — the at-least-once→exactly-once
+    repair stage in front of any receiver that may redeliver (the durable
+    buffer replays, Kafka at-least-once, the foreachBatch retry caveat).
+
+    ``dropDuplicatesWithinWatermark`` keys the state store on ``keys`` and
+    EVICTS each entry once the watermark passes its event time — bounded
+    state, unlike a plain streaming dropDuplicates whose state grows
+    forever. The guarantee: duplicates arriving within the watermark delay
+    of each other are dropped; a duplicate arriving later than the
+    watermark horizon is by definition late data the watermark already
+    discards. Batch counterpart: ``df.dropDuplicates(keys)``
+    (parity-tested).
+    """
+    s = stream.withColumn(on, F.col(on).cast("timestamp")).withWatermark(
+        on, watermark
+    )
+    return s.dropDuplicatesWithinWatermark(list(keys))

@@ -376,3 +376,38 @@ def test_stream_sessionize_matches_batch(spark, workdir):
         key = (r.user_id, str(r.session_start))
         assert key in want, key
         assert want[key] == (r.n_events, str(r.session_end), r.duration_us), key
+
+
+def test_stream_dedup_matches_batch_distinct(spark, tiny_transcripts, workdir):
+    """Redelivered micro-batches collapse: streaming dedup over a source
+    containing every file TWICE equals the batch dropDuplicates of one
+    copy (exactly-once repair in front of an at-least-once source)."""
+    import shutil
+
+    from otel_arrow_spark.streaming.jobs import stream_dedup, stream_transcripts_source
+
+    src = f"{workdir}/dup_stream_src"
+    os.makedirs(src, exist_ok=True)
+    for f in os.listdir(tiny_transcripts):
+        if f.endswith(".parquet"):
+            shutil.copy(f"{tiny_transcripts}/{f}", f"{src}/a_{f}")
+            shutil.copy(f"{tiny_transcripts}/{f}", f"{src}/b_{f}")
+    deduped = stream_dedup(stream_transcripts_source(spark, src))
+    out = f"{workdir}/dedup_stream_out"
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{workdir}/dedup_stream_ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    batch = spark.read.parquet(tiny_transcripts).dropDuplicates(
+        ["conv_id", "turn_idx"]
+    )
+    assert got.count() == batch.count()
+    assert got.select("conv_id", "turn_idx").exceptAll(
+        batch.select("conv_id", "turn_idx")
+    ).count() == 0
