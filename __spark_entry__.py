@@ -1603,6 +1603,30 @@ def q_exp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_make_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL ``make-series`` (plans/opl.py MakeSeriesStage — beyond the
+    reference's kql.pest grammar, per the dialect-exceeds-grammar policy):
+    dense per-key count series on a daily grid; one binned aggregate +
+    per-key maps + a broadcast bounds crossJoin, densified by pure
+    expressions. The oracle rebuilds the grid with generate_series and a
+    left join."""
+    from otel_arrow_spark.plans.opl import run_opl
+
+    ev = _t(spark, sf_dir, "events")
+    out = run_opl(
+        "events | make-series n = count() default = 0 on ts step 1d "
+        "by event_type",
+        {"events": ev},
+    ).default
+    return out.select(
+        "event_type",
+        F.array_join(F.transform("n", lambda x: x.cast("string")), ",").alias("n_s"),
+        F.size("ts").alias("n_bins"),
+        F.unix_micros(F.element_at("ts", 1)).alias("ts_lo_us"),
+        F.unix_micros(F.element_at("ts", -1)).alias("ts_hi_us"),
+    )
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column data-quality profile (operators/profile.py): nulls,
     exact distincts, string-rendered bounds for the events table in ONE
@@ -2061,10 +2085,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": q_vocab_stats,
         "hash_split": q_hash_split,
         "table_profile": q_table_profile,
+        "kql_make_series": q_kql_make_series,
         # --- implementation or oracle changed in round 5 ---
         "sessionize": q_sessionize,
         "logs_star": q_logs_star,
-        "trace_rollup": q_trace_rollup,
         "critical_path": q_critical_path,
         "corpus_clean": q_corpus_clean,
         # --- oldest veterans: last driver row r3 or earlier — rotated back in ---
@@ -2112,6 +2136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "syslog_parse": q_syslog_parse,
         "chunk_docs": q_chunk_docs,  # oracle-only empty-text guard; fixture
                                      # has no empty docs — re-verified locally
+        "trace_rollup": q_trace_rollup,  # doubling variant parity-tested vs
+                                         # BFS and re-verified locally
         "exp_quantile": q_exp_quantile,
         "service_graph": q_service_graph,
         "span_metrics": q_span_metrics,
@@ -3200,6 +3226,26 @@ def oracle_sql() -> dict[str, str]:
                                   / cat[idx90+1] ELSE 0 END)
                    END, 6) AS p90_r
             FROM r
+        """,
+        "kql_make_series": """
+            WITH b AS (
+                SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS bin,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2),
+            bounds AS (SELECT min(bin) AS lo, max(bin) AS hi FROM b),
+            grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL '1 day')) AS g
+                     FROM bounds),
+            keys AS (SELECT DISTINCT event_type FROM b),
+            cells AS (SELECT k.event_type, g.g FROM keys k CROSS JOIN grid g),
+            j AS (SELECT c.event_type, c.g, coalesce(b.n, 0) AS n
+                  FROM cells c LEFT JOIN b
+                    ON b.event_type = c.event_type AND b.bin = c.g)
+            SELECT event_type,
+                   array_to_string(list(CAST(n AS VARCHAR) ORDER BY g), ',') AS n_s,
+                   CAST(count(*) AS INT) AS n_bins,
+                   CAST(epoch_us(min(g)) AS BIGINT) AS ts_lo_us,
+                   CAST(epoch_us(max(g)) AS BIGINT) AS ts_hi_us
+            FROM j GROUP BY 1
         """,
         "table_profile": """
             SELECT * FROM (

@@ -241,6 +241,20 @@ class MvExpandStage:
 
 
 @dataclass
+class MakeSeriesStage:
+    """KQL ``make-series a = agg(x) [default = d], ... on ts step 1h
+    [by k1, k2]`` — regular-grid time-series materialization: one row per
+    key combination, each aggregate an ARRAY over the dense time grid
+    (missing bins filled with the default), plus the grid itself in the
+    time column."""
+
+    aggs: list      # [(alias, fnname, args, default_ast | None)]
+    ts_col: str
+    step: object    # Lit(timedelta)
+    keys: list      # [str]
+
+
+@dataclass
 class FuncDef:
     """``let f = (x: type [, ...]) { [let y = expr;]* expr };`` — a scalar
     user-defined function (kql.pest:373-378); inlined at compile time."""
@@ -619,6 +633,43 @@ class _Parser:
                 self.next()
                 cols.append(self.next().text)
             return JoinStage(kind, other.text, cols)
+        if t.text == "make" and self.peek() and self.peek().text == "-":
+            # KQL `make-series alias = agg(x) [default = lit], ... on ts
+            # step 1h [by keys]` (time-series materialization)
+            self.next()
+            kw = self.next()
+            if kw.text != "series":
+                raise OplSyntaxError("expected make-series")
+            aggs = []
+            while True:
+                alias, name, args = self._agg()
+                default = None
+                if self.at("default"):
+                    self.next()
+                    self.expect("=")
+                    default = self.expr()
+                aggs.append((alias, name, args, default))
+                if not self.at(","):
+                    break
+                self.next()
+            if not self.at("on"):
+                raise OplSyntaxError("make-series expects 'on <time column>'")
+            self.next()
+            ts = self.next()
+            if ts.kind != "ident":
+                raise OplSyntaxError("make-series 'on' expects a column name")
+            if not self.at("step"):
+                raise OplSyntaxError("make-series expects 'step <timespan>'")
+            self.next()
+            step = self.atom()
+            keys = []
+            if self.at("by"):
+                self.next()
+                keys.append(self.next().text)
+                while self.at(","):
+                    self.next()
+                    keys.append(self.next().text)
+            return MakeSeriesStage(aggs, ts.text, step, keys)
         if t.text == "mv" and self.peek() and self.peek().text == "-":
             # KQL `mv-expand col` — explode an array column (one output row
             # per element) or a map/property-bag column (one row per entry,
@@ -1289,6 +1340,70 @@ def _apply_stages(
                 raise OplSyntaxError(
                     f"mv-expand expects an array or map column, got {dt.simpleString()}"
                 )
+        elif isinstance(stage, MakeSeriesStage):
+            # Scale shape: ONE binned aggregate (partial+final), one
+            # per-key aggregate building bin→value maps, a broadcast
+            # 1-row crossJoin for the global grid bounds, and a pure
+            # expression (sequence + try_element_at) densifying the grid
+            # — no explode, no per-bin join. Array length is bounded by
+            # the grid span over the step.
+            import datetime as _dt
+
+            if not (isinstance(stage.step, Lit)
+                    and isinstance(stage.step.value, _dt.timedelta)):
+                raise OplSyntaxError("make-series step must be a timespan literal")
+            step_us = int(stage.step.value.total_seconds() * 1_000_000)
+            ts = F.col(stage.ts_col).cast("timestamp")
+            bin_col = F.timestamp_micros(
+                (F.floor(F.unix_micros(ts) / F.lit(step_us)) * step_us).cast("long")
+            )
+            agg_cols, defaults = [], {}
+            for alias, name, args, default in stage.aggs:
+                fn = _AGG_FUNCTIONS.get(name)
+                if fn is None:
+                    raise OplSyntaxError(f"unknown aggregate {name!r}")
+                cols = [compile_expr(a, env) for a in args]
+                agg_cols.append(fn(*cols).alias(alias))
+                if default is not None:
+                    if not isinstance(default, Lit):
+                        raise OplSyntaxError(
+                            "make-series default must be a literal"
+                        )
+                    defaults[alias] = default.value
+            keys = [F.col(k) for k in stage.keys]
+            binned = df.groupBy(*keys, bin_col.alias("__ms_bin")).agg(*agg_cols)
+            bounds = binned.agg(
+                F.min("__ms_bin").alias("__lo"), F.max("__ms_bin").alias("__hi")
+            )
+            per_key = binned.groupBy(*keys).agg(
+                *[
+                    F.map_from_entries(
+                        F.collect_list(F.struct(F.col("__ms_bin"), F.col(a)))
+                    ).alias(f"__m_{a}")
+                    for a, _, _, _ in stage.aggs
+                ]
+            )
+            joined = per_key.crossJoin(F.broadcast(bounds))
+            grid = F.sequence(
+                F.col("__lo"), F.col("__hi"),
+                F.expr(f"INTERVAL '{step_us}' MICROSECOND"),
+            )
+            def _fill(a: str, dv):
+                # closure factory: Spark infers the lambda arity from the
+                # Python signature, so defaults-as-kwargs would read as a
+                # 3-arg lambda
+                return lambda t: F.coalesce(
+                    F.try_element_at(F.col(f"__m_{a}"), t), F.lit(dv)
+                )
+
+            sel = [F.col(k) for k in stage.keys]
+            for alias, _, _, _ in stage.aggs:
+                sel.append(
+                    F.transform(grid, _fill(alias, defaults.get(alias)))
+                    .alias(alias)
+                )
+            sel.append(grid.alias(stage.ts_col))
+            df = joined.select(*sel)
         elif isinstance(stage, SummarizeStage):
             aggs = []
             for alias, name, args in stage.aggs:

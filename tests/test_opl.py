@@ -536,3 +536,44 @@ class TestAdviceRegressions:
             assert _uuid.UUID(x.u4).version == 4
             assert _uuid.UUID(x.u7).version == 7
         assert len({x.u4 for x in rows}) == 3  # random → distinct
+
+
+class TestMakeSeries:
+    def test_grid_and_defaults(self, spark):
+        from otel_arrow_spark.plans.opl import run_opl
+
+        rows = [("a", "2026-01-01 00:10:00", 1.0),
+                ("a", "2026-01-01 02:20:00", 2.0),
+                ("b", "2026-01-01 01:05:00", 5.0)]
+        df = spark.createDataFrame(rows, "k string, ts string, v double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        out = run_opl(
+            "t | make-series n = count() default = 0, s = sum(v) default = -1.0 "
+            "on ts step 1h by k", {"t": df}).default
+        got = {r.k: (list(r.n), list(r.s), len(r.ts)) for r in out.collect()}
+        # global grid 00:00..02:00 → 3 bins for every key
+        assert got["a"] == ([1, 0, 1], [1.0, -1.0, 2.0], 3)
+        assert got["b"] == ([0, 1, 0], [-1.0, 5.0, -1.0], 3)
+
+    def test_no_keys_and_count_total(self, spark):
+        from otel_arrow_spark.plans.opl import run_opl
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        out = run_opl(
+            "events | make-series n = count() default = 0 on ts step 6h",
+            {"events": ev}).default
+        r = out.collect()
+        assert len(r) == 1
+        assert sum(r[0]["n"]) == ev.count()
+        assert len(r[0]["n"]) == len(r[0]["ts"])
+
+    def test_errors(self, spark):
+        from otel_arrow_spark.plans.opl import OplSyntaxError, run_opl
+
+        df = spark.createDataFrame([("a",)], "k string")
+        import pytest as _pytest
+
+        with _pytest.raises(OplSyntaxError, match="timespan"):
+            run_opl("t | make-series n = count() on k step 5", {"t": df})
+        with _pytest.raises(OplSyntaxError, match="step"):
+            run_opl("t | make-series n = count() on k by k", {"t": df})
