@@ -2067,6 +2067,99 @@ def q_scope_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _otlp_corpus_path(n: int) -> str:
+    """Write the deterministic OTLP/JSON request corpus as parquet once so
+    the DuckDB oracle decodes the exact same payload bytes."""
+    from otel_arrow_spark.sources.otlp_json import generate_otlp_json_requests
+
+    path = os.path.join(_REPO, ".cache", "otlp", f"n{n}.parquet")
+    if not os.path.exists(path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        reqs = generate_otlp_json_requests(n)
+        pq.write_table(
+            pa.table({"req_no": list(range(len(reqs))), "payload": reqs}), path
+        )
+    return path
+
+
+def q_otlp_logs_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP/JSON ExportLogsServiceRequest decode → one flat row per
+    LogRecord (views/otlp/proto/logs.rs:154-220 field-for-field; the
+    protocol's public JSON encoding). from_json + 3 explodes, all
+    codegen; the oracle re-decodes the same payloads with DuckDB
+    json_transform, so every field survives both engines byte-equal —
+    the OTLP-ingest analog of the reference's decode round-trip tests."""
+    from otel_arrow_spark.sources.otlp_json import parse_otlp_json
+
+    n = 2000 if "sf0.001" in sf_dir else (200_000 if "sf0.1/" in sf_dir or sf_dir.endswith("sf0.1") else 20_000)
+    payloads = spark.read.parquet(_otlp_corpus_path(n))
+    return parse_otlp_json(payloads).select(
+        "service_name", "environment", "scope_name", "scope_version",
+        "time_unix_nano", "severity_number", "severity_text", "body",
+        "trace_id", "span_id", "dropped_attributes_count", "event_index",
+    )
+
+
+def q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-call bigram edges per conversation — the transcript analog of
+    the service-graph connector (trace_tree.py service_graph builds
+    client→server edges from span parent/child pairs; here the edge is
+    consecutive tool calls in turn order). One conv_id window + one tiny
+    edge aggregate."""
+    from otel_arrow_spark.operators.trajectory import tool_transitions
+
+    return tool_transitions(_transcripts(spark, sf_dir))
+
+
+def q_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template mining (Drain-family masking, public literature): hex-id
+    and digit runs masked natively, templates ranked by support with an
+    exact deterministic example row. The CALL/span template families
+    collapse to single patterns; support ≥50 keeps the output sized by
+    the pattern vocabulary, not the corpus."""
+    from otel_arrow_spark.operators.logpatterns import mine_templates
+
+    return mine_templates(
+        _transcripts(spark, sf_dir), min_count=50
+    )
+
+
+def q_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity ROLLUP over events: (event_type, hour) →
+    (event_type) → grand total in ONE scan via Spark's Expand node, with
+    grouping_id disambiguating levels — the drill-down hierarchy the
+    reference answers with one KQL summarize per level. DuckDB's
+    GROUPING(...) uses the same SQL-standard bit order, proven by the
+    value hash."""
+    from otel_arrow_spark.operators.aggregate import rollup_aggregate
+
+    ev = _t(spark, sf_dir, "events").withColumn("hour", F.hour("ts"))
+    out = rollup_aggregate(ev, ("event_type", "hour"), {"value": "sum"})
+    return out.select(
+        "event_type", "hour", "gid", "n",
+        F.round("sum_value", 4).alias("sum_value_r"),
+    )
+
+
+def q_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staleness/gap detection (PromQL absent()-family semantics): every
+    >12h silence per user_id on the events stream, as (gap_start,
+    gap_end, gap_us BIGINT). The dual of sessionize — same one-window
+    plan, emitting the gaps instead of grouping between them."""
+    from otel_arrow_spark.operators.logpatterns import gap_report
+
+    return gap_report(
+        _t(spark, sf_dir, "events"),
+        by=["user_id"],
+        on="ts",
+        min_gap_seconds=43_200,
+        tiebreak=["event_id"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = least-proven-first: the driver correctness-checks
     only the FIRST 50 entries, so queries that are new or changed this
@@ -2076,6 +2169,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     goes more than ~2 rounds without a driver row."""
     return {
         # --- round-5 additions (never driver-checked) ---
+        "otlp_logs_ingest": q_otlp_logs_ingest,
+        "tool_transitions": q_tool_transitions,
+        "log_templates": q_log_templates,
+        "rollup_sets": q_rollup_sets,
+        "gap_detect": q_gap_detect,
         "exp_quantile_merged": q_exp_quantile_merged,
         "exemplar_attrs": q_exemplar_attrs,
         "corpus_clean_semantic": q_corpus_clean_semantic,
@@ -2451,6 +2549,73 @@ def _emb_neardup_oracle_sql(n_planes: int = 16, seed: int = 42) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "otlp_logs_ingest": f"""
+            WITH t AS (
+              SELECT json_transform(payload,
+                '{{"resourceLogs":[{{"resource":{{"attributes":[{{"key":"VARCHAR","value":{{"stringValue":"VARCHAR","intValue":"VARCHAR"}}}}]}},"scopeLogs":[{{"scope":{{"name":"VARCHAR","version":"VARCHAR"}},"logRecords":[{{"timeUnixNano":"VARCHAR","severityNumber":"INTEGER","severityText":"VARCHAR","body":{{"stringValue":"VARCHAR"}},"attributes":[{{"key":"VARCHAR","value":{{"stringValue":"VARCHAR","intValue":"VARCHAR"}}}}],"traceId":"VARCHAR","spanId":"VARCHAR","droppedAttributesCount":"INTEGER"}}]}}]}}]}}') AS req
+              FROM read_parquet('{_REPO}/.cache/otlp/n20000.parquet')),
+            rl AS (SELECT unnest(req.resourceLogs) AS r FROM t),
+            sl AS (SELECT r.resource AS resource, unnest(r.scopeLogs) AS s FROM rl),
+            lr AS (SELECT resource, s.scope AS scope, unnest(s.logRecords) AS rec FROM sl)
+            SELECT
+              list_extract(list_filter(resource.attributes, a -> a.key='service.name'),1).value.stringValue AS service_name,
+              list_extract(list_filter(resource.attributes, a -> a.key='deployment.environment'),1).value.stringValue AS environment,
+              scope.name AS scope_name,
+              scope.version AS scope_version,
+              CAST(rec.timeUnixNano AS BIGINT) AS time_unix_nano,
+              rec.severityNumber AS severity_number,
+              rec.severityText AS severity_text,
+              rec.body.stringValue AS body,
+              rec.traceId AS trace_id,
+              rec.spanId AS span_id,
+              COALESCE(rec.droppedAttributesCount, 0) AS dropped_attributes_count,
+              CAST(list_extract(list_filter(rec.attributes, a -> a.key='event.index'),1).value.intValue AS BIGINT) AS event_index
+            FROM lr
+        """,
+        "tool_transitions": f"""
+            WITH calls AS (
+              SELECT conv_id, turn_idx, tool,
+                     regexp_extract(text, 'status=(\\w+)', 1) AS status
+              FROM read_parquet('{_REPO}/.cache/transcripts/n100000/*.parquet')
+              WHERE tool IS NOT NULL),
+            e AS (
+              SELECT tool, status,
+                     lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_tool
+              FROM calls)
+            SELECT prev_tool, tool, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN status = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+            FROM e WHERE prev_tool IS NOT NULL GROUP BY 1, 2
+        """,
+        "log_templates": f"""
+            WITH t AS (
+              SELECT regexp_replace(regexp_replace(text,
+                         '[0-9a-f]{{16,}}', '<ID>', 'g'),
+                         '[0-9]+', '<N>', 'g') AS template,
+                     text, conv_id
+              FROM read_parquet('{_REPO}/.cache/transcripts/n100000/*.parquet'))
+            SELECT template, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT conv_id) AS BIGINT) AS n_groups,
+                   min(text) AS example
+            FROM t GROUP BY 1 HAVING count(*) >= 50
+        """,
+        "rollup_sets": """
+            SELECT event_type, hour(ts) AS hour,
+                   GROUPING(event_type, hour(ts)) AS gid,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(CAST(sum(value) AS DOUBLE), 4) AS sum_value_r
+            FROM events GROUP BY ROLLUP(event_type, hour(ts))
+        """,
+        "gap_detect": """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events)
+            SELECT user_id, prev AS gap_start, ts AS gap_end,
+                   (epoch_us(ts) - epoch_us(prev)) AS gap_us
+            FROM g
+            WHERE prev IS NOT NULL
+              AND epoch_us(ts) - epoch_us(prev) > CAST(43200 AS BIGINT) * 1000000
+        """,
         "parse_events": """
             SELECT event_id, event_type,
                    CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1), '') AS INT) AS k,

@@ -76,6 +76,11 @@ HEADLINE_QUERIES = [
     "span_self_time",
     "hopping_agg",
     "syslog_star",
+    "otlp_logs_ingest",
+    "tool_transitions",
+    "log_templates",
+    "rollup_sets",
+    "gap_detect",
 ]
 
 

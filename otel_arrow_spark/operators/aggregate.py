@@ -216,3 +216,33 @@ def salted_aggregate(
         F.min("_tmin").alias("ts_min"),
         F.max("_tmax").alias("ts_max"),
     )
+
+
+def rollup_aggregate(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    values: dict[str, str] | None = None,
+) -> DataFrame:
+    """Multi-granularity rollup: one pass producing the aggregate at every
+    prefix of ``keys`` — (k1..kn), (k1..kn-1), …, grand total — with a
+    ``gid`` column (Spark's ``grouping_id``: bit per key, leftmost key =
+    most significant, standard SQL GROUPING semantics, so DuckDB/Postgres
+    GROUPING(...) agrees bit-for-bit).
+
+    This is the hierarchy query of every telemetry dashboard (service →
+    operation → status drill-down): the reference answers it with one KQL
+    summarize per level; ROLLUP computes all levels in one Expand+hash-agg
+    — the input is scanned ONCE and Spark's Expand node replicates each
+    row per grouping set *after* the scan, map-side, so the shuffle is
+    (levels × distinct-groups), not (levels × rows).
+
+    ``values``: {column: "sum"|"avg"} extra measures beside the count.
+    """
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for col, how in (values or {}).items():
+        fn = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}[how]
+        aggs.append(fn(col).alias(f"{how}_{col}"))
+    return (
+        df.rollup(*keys)
+        .agg(F.grouping_id().alias("gid"), *aggs)
+    )

@@ -1,0 +1,103 @@
+"""Log-pattern analytics: template mining and staleness/gap detection.
+
+Template mining is the classic log-parsing step (Drain, He et al., ICWS
+2017 — public literature): collapse the variable fragments of a message so
+structurally identical logs share one template, then rank templates by
+support. The reference ships the same *masking* idea in its KQL recordset
+engine's ``parse``/pattern operators and in the syslog receiver's
+structured-field split (syslog_cef_receiver/parser/mod.rs:46-104 separates
+the stable header from the free-form MSG); here the variable-run masking
+is two native ``regexp_replace`` expressions — whole-stage codegen, no
+Python, no shuffle until the final count.
+
+Gap detection is the metrics-staleness dual of sessionization (PromQL's
+``absent()``-family, public semantics): where sessionize *groups* rows
+separated by small gaps, gap_report *emits* the large gaps themselves.
+Same single-window plan: one shuffle on the key, lag, filter.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Masking order matters: long hex ids first (else their digit runs decay
+# into `<N>` fragments), then digit runs. Both patterns are RE2-safe so
+# the DuckDB oracle can apply the byte-identical regexes.
+HEX_ID_RE = "[0-9a-f]{16,}"
+NUM_RE = "[0-9]+"
+
+
+def template_of(col, hex_token: str = "<ID>", num_token: str = "<N>"):
+    """Column expression: the message with hex ids and digit runs masked."""
+    return F.regexp_replace(
+        F.regexp_replace(col, HEX_ID_RE, hex_token), NUM_RE, num_token
+    )
+
+
+def mine_templates(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "conv_id",
+    min_count: int = 50,
+) -> DataFrame:
+    """Mask variable runs in ``text_col`` and return every template with
+    support ≥ ``min_count``: (template, n, n_groups, example).
+
+    ``example`` is the lexicographic-min raw message of the template —
+    deterministic, so cross-engine comparison is exact. One hash-aggregate
+    shuffle on the template string; the HAVING filter keeps the result
+    proportional to the *pattern* population, not the corpus, which is
+    what makes the op usable at 10^12 rows (templates are the compressed
+    vocabulary of the log stream — thousands, not trillions).
+    """
+    t = df.select(
+        template_of(F.col(text_col)).alias("template"),
+        F.col(text_col).alias("_raw"),
+        F.col(group_col).alias("_grp"),
+    )
+    return (
+        t.groupBy("template")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("_grp").alias("n_groups"),
+            F.min("_raw").alias("example"),
+        )
+        .filter(F.col("n") >= min_count)
+    )
+
+
+def gap_report(
+    df: DataFrame,
+    by: Sequence[str],
+    on: str = "ts",
+    min_gap_seconds: int = 43_200,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """One row per (key, gap) where consecutive timestamps are more than
+    ``min_gap_seconds`` apart: gap_start, gap_end, gap_us (BIGINT — the
+    integer-microsecond convention of session_summaries, so engines can
+    never disagree on rounding).
+
+    ``tiebreak`` pins a total order for equal timestamps, same contract as
+    sessionize. Plan: one Exchange on the key, one sort, lag, filter —
+    the filter drops all non-gap rows before anything else happens, so the
+    output is sized by the anomaly count, not the input.
+    """
+    by = list(by)
+    w = Window.partitionBy(*by).orderBy(on, *tiebreak)
+    prev = F.lag(F.col(on)).over(w)
+    gap = F.expr(f"INTERVAL '{int(min_gap_seconds)}' SECOND")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    return (
+        df.select(*by, F.col(on), prev.alias("_prev"))
+        .filter(F.col("_prev").isNotNull() & ((F.col(on) - F.col("_prev")) > gap))
+        .select(
+            *by,
+            F.col("_prev").alias("gap_start"),
+            F.col(on).alias("gap_end"),
+            (us(F.col(on)) - us(F.col("_prev"))).alias("gap_us"),
+        )
+    )

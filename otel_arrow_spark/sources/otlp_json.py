@@ -1,0 +1,313 @@
+"""OTLP/JSON logs ingestion: ExportLogsServiceRequest payloads → flat rows.
+
+The reference's entire input side is OTLP — its receivers decode
+ResourceLogs / ScopeLogs / LogRecord batches into columns
+(rust/otap-dataflow/crates/pdata/src/views/otlp/proto/logs.rs:154-220:
+time_unix_nano, severity_number, severity_text, body, attributes,
+dropped_attributes_count, trace_id, span_id; go/pkg/otel/logs/otlp/logs.go
+is the Arrow→OTLP inverse). This module is the Spark-native equivalent for
+the protocol's public JSON encoding (OTLP/JSON, the collector's HTTP
+encoding): one `from_json` with a typed schema plus three `explode`s —
+pure JVM expression work inside whole-stage codegen, zero Python on the
+hot path. The nested-batch → flat-rows unnest is exactly the reference's
+"row-oriented OTLP → columnar" step, with Catalyst doing the decoding.
+
+Proto3 JSON mapping notes baked into the schema (public protobuf spec):
+* field names are lowerCamelCase (`resourceLogs`, `timeUnixNano`);
+* int64/uint64 (`timeUnixNano`, AnyValue `intValue`) arrive as JSON
+  *strings* — declared STRING here and cast to BIGINT after parse;
+* absent fields (empty trace/span ids, zero dropped counts) are omitted
+  from the wire entirely and surface as NULL.
+
+Generation is the same deterministic-corpus pattern as sources/syslog.py:
+a seeded numpy/pandas builder whose parquet output both the Spark path and
+the DuckDB oracle read, so cross-engine comparison sees identical bytes.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SERVICES = [f"service_{k}" for k in range(8)]
+ENVIRONMENTS = ["prod", "staging"]
+SCOPES = [("app", "1.0.0"), ("db", "2.3.1"), ("net", "0.9.7")]
+SEVERITIES = [(9, "INFO"), (13, "WARN"), (17, "ERROR"), (5, "DEBUG"), (21, "FATAL")]
+BODY_WORDS = (
+    "accepted rejected retried flushed routed enriched parsed dropped "
+    "buffered acked committed replayed"
+).split()
+
+# epoch 2026-01-01T00:00:00Z in nanoseconds
+_EPOCH_NANOS = 1_767_225_600_000_000_000
+
+
+def _kv_str(key: str, val: str) -> dict:
+    return {"key": key, "value": {"stringValue": val}}
+
+
+def _kv_int(key: str, val: int) -> dict:
+    # proto3 JSON: int64 AnyValue serializes as a quoted string
+    return {"key": key, "value": {"intValue": str(val)}}
+
+
+def generate_otlp_json_requests(n_records: int, seed: int = 42) -> list[str]:
+    """Deterministic ExportLogsServiceRequest JSON payloads totalling
+    exactly ``n_records`` LogRecords, batched 4-24 records per request
+    (the reference's traffic_generator produces the same shape on the
+    wire, core-nodes/src/receivers/traffic_generator/producer.rs)."""
+    rng = np.random.RandomState(seed)
+
+    sizes: list[int] = []
+    left = n_records
+    while left > 0:
+        s = int(rng.randint(4, 25))
+        sizes.append(min(s, left))
+        left -= min(s, left)
+
+    n = n_records
+    svc = rng.randint(0, len(SERVICES), size=len(sizes))
+    env = rng.randint(0, 2, size=len(sizes))
+    scope_pick = rng.randint(0, len(SCOPES), size=n)
+    sev_pick = rng.randint(0, len(SEVERITIES), size=n)
+    body_pick = rng.randint(0, len(BODY_WORDS), size=(n, 3))
+    t_off = np.cumsum(rng.randint(1_000, 5_000_000, size=n).astype(np.int64))
+    has_trace = rng.random_sample(n) < 0.7
+    has_dropped = rng.random_sample(n) < 0.1
+    dropped = rng.randint(1, 9, size=n)
+    hexd = np.array(list("0123456789abcdef"))
+    tr = rng.randint(0, 16, size=(n, 32))
+    sp = rng.randint(0, 16, size=(n, 16))
+
+    out: list[str] = []
+    rec_i = 0
+    for req_i, size in enumerate(sizes):
+        records = []
+        for _ in range(size):
+            i = rec_i
+            sev_no, sev_txt = SEVERITIES[sev_pick[i]]
+            rec = {
+                "timeUnixNano": str(_EPOCH_NANOS + int(t_off[i])),
+                "severityNumber": sev_no,
+                "severityText": sev_txt,
+                "body": {
+                    "stringValue": " ".join(
+                        BODY_WORDS[w] for w in body_pick[i]
+                    )
+                },
+                "attributes": [
+                    _kv_str("event.domain", "pipeline"),
+                    _kv_int("event.index", i),
+                ],
+            }
+            if has_trace[i]:
+                rec["traceId"] = "".join(hexd[tr[i]])
+                rec["spanId"] = "".join(hexd[sp[i]])
+            if has_dropped[i]:
+                rec["droppedAttributesCount"] = int(dropped[i])
+            records.append(rec)
+            rec_i += 1
+        # split each request's records across 1-2 scopes deterministically
+        n_scopes = 1 + (req_i % 2)
+        cut = len(records) // 2 if n_scopes == 2 else len(records)
+        scope_logs = []
+        for s_i, chunk in enumerate([records[:cut], records[cut:]][:n_scopes]):
+            if not chunk:
+                continue
+            name, ver = SCOPES[(scope_pick[rec_i - 1] + s_i) % len(SCOPES)]
+            scope_logs.append(
+                {"scope": {"name": name, "version": ver}, "logRecords": chunk}
+            )
+        req = {
+            "resourceLogs": [
+                {
+                    "resource": {
+                        "attributes": [
+                            _kv_str("service.name", SERVICES[svc[req_i]]),
+                            _kv_str(
+                                "deployment.environment",
+                                ENVIRONMENTS[env[req_i]],
+                            ),
+                        ]
+                    },
+                    "scopeLogs": scope_logs,
+                }
+            ]
+        }
+        out.append(json.dumps(req, separators=(",", ":")))
+    return out
+
+
+def _anyvalue_struct() -> T.StructType:
+    # the AnyValue oneof's sparse-union analog: one nullable field per
+    # branch actually used by the corpus (from_json leaves absent ones NULL)
+    return T.StructType(
+        [
+            T.StructField("stringValue", T.StringType()),
+            T.StructField("intValue", T.StringType()),  # int64 → JSON string
+        ]
+    )
+
+
+def _kv_list() -> T.ArrayType:
+    return T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("key", T.StringType()),
+                T.StructField("value", _anyvalue_struct()),
+            ]
+        )
+    )
+
+
+OTLP_EXPORT_LOGS_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "resourceLogs",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField(
+                            "resource",
+                            T.StructType(
+                                [T.StructField("attributes", _kv_list())]
+                            ),
+                        ),
+                        T.StructField(
+                            "scopeLogs",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField(
+                                            "scope",
+                                            T.StructType(
+                                                [
+                                                    T.StructField(
+                                                        "name", T.StringType()
+                                                    ),
+                                                    T.StructField(
+                                                        "version",
+                                                        T.StringType(),
+                                                    ),
+                                                ]
+                                            ),
+                                        ),
+                                        T.StructField(
+                                            "logRecords",
+                                            T.ArrayType(
+                                                T.StructType(
+                                                    [
+                                                        T.StructField(
+                                                            "timeUnixNano",
+                                                            T.StringType(),
+                                                        ),
+                                                        T.StructField(
+                                                            "severityNumber",
+                                                            T.IntegerType(),
+                                                        ),
+                                                        T.StructField(
+                                                            "severityText",
+                                                            T.StringType(),
+                                                        ),
+                                                        T.StructField(
+                                                            "body",
+                                                            _anyvalue_struct(),
+                                                        ),
+                                                        T.StructField(
+                                                            "attributes",
+                                                            _kv_list(),
+                                                        ),
+                                                        T.StructField(
+                                                            "traceId",
+                                                            T.StringType(),
+                                                        ),
+                                                        T.StructField(
+                                                            "spanId",
+                                                            T.StringType(),
+                                                        ),
+                                                        T.StructField(
+                                                            "droppedAttributesCount",
+                                                            T.IntegerType(),
+                                                        ),
+                                                    ]
+                                                )
+                                            ),
+                                        ),
+                                    ]
+                                )
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+def _attr(entries, key: str):
+    """First value for ``key`` in a KeyValue list — string branch first,
+    int branch as fallback (the corpus never uses both on one key)."""
+    hit = F.filter(entries, lambda a: a["key"] == F.lit(key))[0]["value"]
+    return F.coalesce(hit["stringValue"], hit["intValue"])
+
+
+def parse_otlp_json(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode a column of OTLP/JSON ExportLogsServiceRequest payloads into
+    one flat row per LogRecord.
+
+    Plan shape: `from_json` → 3 nested `explode`s (Generate nodes) → one
+    projection; everything stays in whole-stage codegen, and the explode
+    fan-out is bounded by the request batch size, never the corpus. At
+    100 TB this is a scan-side decode with no shuffle at all — the exact
+    role of the reference's OTLP receiver (views/otlp/proto/logs.rs).
+    """
+    req = F.from_json(F.col(payload_col), OTLP_EXPORT_LOGS_SCHEMA)
+    rl = df.withColumn("_rl", F.explode(req["resourceLogs"]))
+    sl = rl.select(
+        F.col("_rl")["resource"]["attributes"].alias("_res_attrs"),
+        F.explode(F.col("_rl")["scopeLogs"]).alias("_sl"),
+    )
+    rec = sl.select(
+        "_res_attrs",
+        F.col("_sl")["scope"]["name"].alias("scope_name"),
+        F.col("_sl")["scope"]["version"].alias("scope_version"),
+        F.explode(F.col("_sl")["logRecords"]).alias("_rec"),
+    )
+    r = F.col("_rec")
+    return rec.select(
+        _attr(F.col("_res_attrs"), "service.name").alias("service_name"),
+        _attr(F.col("_res_attrs"), "deployment.environment").alias(
+            "environment"
+        ),
+        "scope_name",
+        "scope_version",
+        r["timeUnixNano"].cast("long").alias("time_unix_nano"),
+        r["severityNumber"].alias("severity_number"),
+        r["severityText"].alias("severity_text"),
+        r["body"]["stringValue"].alias("body"),
+        r["traceId"].alias("trace_id"),
+        r["spanId"].alias("span_id"),
+        F.coalesce(r["droppedAttributesCount"], F.lit(0)).alias(
+            "dropped_attributes_count"
+        ),
+        _attr(r["attributes"], "event.index").cast("long").alias(
+            "event_index"
+        ),
+        F.map_from_entries(
+            F.transform(
+                r["attributes"],
+                lambda a: F.struct(
+                    a["key"].alias("key"),
+                    F.coalesce(
+                        a["value"]["stringValue"], a["value"]["intValue"]
+                    ).alias("value"),
+                ),
+            )
+        ).alias("attributes"),
+    )

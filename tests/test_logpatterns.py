@@ -1,0 +1,200 @@
+"""Tests for OTLP/JSON ingestion, template mining, gap detection,
+tool-transition mining, and the multi-granularity rollup."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from otel_arrow_spark.operators.aggregate import rollup_aggregate
+from otel_arrow_spark.operators.logpatterns import gap_report, mine_templates
+from otel_arrow_spark.operators.trajectory import tool_transitions
+from otel_arrow_spark.sources.otlp_json import (
+    generate_otlp_json_requests,
+    parse_otlp_json,
+)
+
+
+class TestOtlpJson:
+    def test_known_payload_decodes_field_for_field(self, spark):
+        req = {
+            "resourceLogs": [
+                {
+                    "resource": {
+                        "attributes": [
+                            {"key": "service.name", "value": {"stringValue": "svc"}},
+                            {"key": "deployment.environment", "value": {"stringValue": "prod"}},
+                        ]
+                    },
+                    "scopeLogs": [
+                        {
+                            "scope": {"name": "app", "version": "1.2.3"},
+                            "logRecords": [
+                                {
+                                    "timeUnixNano": "1767225600000000001",
+                                    "severityNumber": 17,
+                                    "severityText": "ERROR",
+                                    "body": {"stringValue": "boom"},
+                                    "attributes": [
+                                        {"key": "event.domain", "value": {"stringValue": "d"}},
+                                        {"key": "event.index", "value": {"intValue": "41"}},
+                                    ],
+                                    "traceId": "ab" * 16,
+                                    "spanId": "cd" * 8,
+                                    "droppedAttributesCount": 3,
+                                },
+                                # minimal record: proto3 JSON omits empties
+                                {
+                                    "timeUnixNano": "1767225600000000002",
+                                    "severityNumber": 9,
+                                    "severityText": "INFO",
+                                    "body": {"stringValue": "ok"},
+                                    "attributes": [
+                                        {"key": "event.index", "value": {"intValue": "42"}}
+                                    ],
+                                },
+                            ],
+                        }
+                    ],
+                }
+            ]
+        }
+        df = spark.createDataFrame([(json.dumps(req),)], "payload string")
+        rows = {r.event_index: r for r in parse_otlp_json(df).collect()}
+        assert set(rows) == {41, 42}
+        r = rows[41]
+        assert r.service_name == "svc" and r.environment == "prod"
+        assert r.scope_name == "app" and r.scope_version == "1.2.3"
+        assert r.time_unix_nano == 1767225600000000001
+        assert r.severity_number == 17 and r.severity_text == "ERROR"
+        assert r.body == "boom"
+        assert r.trace_id == "ab" * 16 and r.span_id == "cd" * 8
+        assert r.dropped_attributes_count == 3
+        assert r.attributes["event.domain"] == "d"
+        # int64 AnyValue arrives as a JSON string and stays string-typed
+        # in the raw attributes map (the typed column casts it)
+        assert r.attributes["event.index"] == "41"
+        m = rows[42]
+        assert m.trace_id is None and m.span_id is None
+        assert m.dropped_attributes_count == 0
+
+    def test_generator_record_count_and_decode_round_trip(self, spark):
+        reqs = generate_otlp_json_requests(333)
+        df = spark.createDataFrame([(p,) for p in reqs], "payload string")
+        flat = parse_otlp_json(df)
+        assert flat.count() == 333
+        # event.index is a dense 0..n-1 enumeration: decode lost nothing
+        assert (
+            flat.agg(F.countDistinct("event_index")).collect()[0][0] == 333
+        )
+
+    def test_parse_plan_is_pure_jvm(self, spark):
+        reqs = generate_otlp_json_requests(50)
+        df = spark.createDataFrame([(p,) for p in reqs], "payload string")
+        plan = parse_otlp_json(df)._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, "OTLP decode must not touch Python"
+        assert plan.count("Generate") == 3, "expected exactly 3 explode stages"
+        assert "Exchange" not in plan, "scan-side decode must not shuffle"
+
+
+class TestMineTemplates:
+    def test_masking_and_support(self, spark):
+        rows = (
+            [("c1", f"CALL tool=tool_{i:02d} dur_ms={i * 7}") for i in range(10)]
+            + [("c2", f"CALL tool=tool_{i:02d} dur_ms={i}") for i in range(5)]
+            + [("c3", "span trace=0123456789abcdef0123456789abcdef done")] * 3
+            + [("c3", "unique free text")]
+        )
+        df = spark.createDataFrame(rows, "conv_id string, text string")
+        out = {
+            r.template: r
+            for r in mine_templates(df, min_count=3).collect()
+        }
+        call = out["CALL tool=tool_<N> dur_ms=<N>"]
+        assert call.n == 15 and call.n_groups == 2
+        assert call.example == "CALL tool=tool_00 dur_ms=0"
+        span = out["span trace=<ID> done"]
+        assert span.n == 3 and span.n_groups == 1
+        assert "unique free text" not in out, "support threshold must drop singletons"
+
+    def test_short_hex_words_survive(self, spark):
+        # 'deadbeef' (8 hex chars) is below the 16-char id threshold
+        df = spark.createDataFrame(
+            [("c", "deadbeef cafe")] * 3, "conv_id string, text string"
+        )
+        [r] = mine_templates(df, min_count=1).collect()
+        assert r.template == "deadbeef cafe"
+
+
+class TestGapReport:
+    def test_gaps_strictly_greater_and_integer_us(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, 0, "2026-01-01 00:00:00"),
+                (1, 1, "2026-01-01 01:00:00"),   # exactly 3600s: excluded
+                (1, 2, "2026-01-01 02:00:01"),   # 3601s: reported
+                (2, 3, "2026-01-01 00:00:00"),   # single row: no gap
+            ],
+            "user_id int, event_id int, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = gap_report(
+            df, by=["user_id"], min_gap_seconds=3600, tiebreak=["event_id"]
+        ).collect()
+        assert len(out) == 1
+        [g] = out
+        assert g.user_id == 1 and g.gap_us == 3_601_000_000
+        assert str(g.gap_start).startswith("2026-01-01 01:00:00")
+
+    def test_one_shuffle_plan(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1, "2026-01-01 00:00:00")], "user_id int, event_id int, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        plan = (
+            gap_report(df, by=["user_id"], tiebreak=["event_id"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestToolTransitions:
+    def test_edges_and_error_attribution(self, spark):
+        rows = [
+            ("c1", 0, "a", "CALL tool=a args_len=1 status=ok dur_ms=1"),
+            ("c1", 1, None, "INFO [x] chatter"),          # ignored
+            ("c1", 2, "b", "CALL tool=b args_len=1 status=error dur_ms=1"),
+            ("c1", 3, "a", "CALL tool=a args_len=1 status=ok dur_ms=1"),
+            ("c2", 0, "b", "CALL tool=b args_len=1 status=ok dur_ms=1"),
+            ("c2", 1, "b", "CALL tool=b args_len=1 status=ok dur_ms=1"),
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, tool string, text string"
+        )
+        out = {(r.prev_tool, r.tool): r for r in tool_transitions(df).collect()}
+        # first call of each conversation emits no edge
+        assert set(out) == {("a", "b"), ("b", "a"), ("b", "b")}
+        assert out[("a", "b")].n == 1 and out[("a", "b")].n_error == 1
+        assert out[("b", "a")].n == 1 and out[("b", "a")].n_error == 0
+        assert out[("b", "b")].n == 1 and out[("b", "b")].n_error == 0
+
+
+class TestRollup:
+    def test_levels_match_manual_aggregates(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1, 10.0), ("a", 1, 5.0), ("a", 2, 1.0), ("b", 1, 2.0)],
+            "k string, h int, v double",
+        )
+        out = rollup_aggregate(df, ("k", "h"), {"v": "sum"})
+        rows = {(r.k, r.h, r.gid): (r.n, r.sum_v) for r in out.collect()}
+        assert rows[("a", 1, 0)] == (2, 15.0)
+        assert rows[("a", None, 1)] == (3, 16.0)
+        assert rows[(None, None, 3)] == (4, 18.0)
+        # ROLLUP = prefixes only: no (None, h) level
+        assert not any(k[0] is None and k[1] is not None for k in rows)
+
+    def test_single_scan_expand_plan(self, spark):
+        df = spark.createDataFrame([("a", 1, 1.0)], "k string, h int, v double")
+        plan = (
+            rollup_aggregate(df, ("k", "h"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Expand" in plan, "rollup must use one Expand, not a union of scans"
+        assert plan.count("HashAggregate") >= 2, "partial+final expected"
