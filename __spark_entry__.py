@@ -2144,6 +2144,25 @@ def q_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL `parse` statement (simple mode) compiled from query text: the
+    alternating literal/capture pattern becomes ONE anchored regex whose
+    lazy captures replay byte-identically in RE2, typed captures go NULL
+    on non-matching rows — the statement-level form of the pipeline's
+    grok parse, over the raw transcript corpus."""
+    from otel_arrow_spark.plans.opl import run_opl
+
+    r = run_opl(
+        "turns | parse text with 'CALL tool=' tool2 ' args_len=' alen:long"
+        " ' status=' st ' dur_ms=' dur:long"
+        " | where st != ''"
+        " | summarize n = count(), sum_dur = sum(dur), sum_args = sum(alen)"
+        " by tool2, st",
+        {"turns": _transcripts(spark, sf_dir)},
+    )
+    return r.default
+
+
 def q_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Staleness/gap detection (PromQL absent()-family semantics): every
     >12h silence per user_id on the events stream, as (gap_start,
@@ -2174,6 +2193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_templates": q_log_templates,
         "rollup_sets": q_rollup_sets,
         "gap_detect": q_gap_detect,
+        "kql_parse": q_kql_parse,
         "exp_quantile_merged": q_exp_quantile_merged,
         "exemplar_attrs": q_exemplar_attrs,
         "corpus_clean_semantic": q_corpus_clean_semantic,
@@ -2604,6 +2624,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    round(CAST(sum(value) AS DOUBLE), 4) AS sum_value_r
             FROM events GROUP BY ROLLUP(event_type, hour(ts))
+        """,
+        "kql_parse": f"""
+            WITH p AS (
+              SELECT
+                regexp_extract(text, '^CALL tool=(.*?) args_len=(.*?) status=(.*?) dur_ms=(.*)', 1) AS tool2,
+                regexp_extract(text, '^CALL tool=(.*?) args_len=(.*?) status=(.*?) dur_ms=(.*)', 2) AS alen_s,
+                regexp_extract(text, '^CALL tool=(.*?) args_len=(.*?) status=(.*?) dur_ms=(.*)', 3) AS st,
+                regexp_extract(text, '^CALL tool=(.*?) args_len=(.*?) status=(.*?) dur_ms=(.*)', 4) AS dur_s
+              FROM read_parquet('{_REPO}/.cache/transcripts/n100000/*.parquet'))
+            SELECT tool2, st, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(dur_s AS BIGINT)) AS BIGINT) AS sum_dur,
+                   CAST(sum(CAST(alen_s AS BIGINT)) AS BIGINT) AS sum_args
+            FROM p WHERE st <> '' GROUP BY 1, 2
         """,
         "gap_detect": """
             WITH g AS (

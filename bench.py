@@ -81,6 +81,7 @@ HEADLINE_QUERIES = [
     "log_templates",
     "rollup_sets",
     "gap_detect",
+    "kql_parse",
 ]
 
 

@@ -241,6 +241,20 @@ class MvExpandStage:
 
 
 @dataclass
+class ParseStage:
+    """KQL ``parse Col with ['*'] 'lit' Name[:type] 'lit' ... [Name[:type]]``
+    (simple mode): alternating literals and captures compile to ONE anchored
+    regex — each capture is lazy up to the next literal, a trailing capture
+    takes the rest of the line, ``*`` skips without capturing. Typed
+    captures (`:long` etc.) go NULL on non-matching rows; untyped captures
+    keep KQL's empty-string convention. Pure regexp_extract expressions —
+    the statement-level form of the pipeline's grok parse."""
+
+    column: str
+    segments: list  # [("lit", s) | ("col", name, type|None) | ("star",)]
+
+
+@dataclass
 class MakeSeriesStage:
     """KQL ``make-series a = agg(x) [default = d], ... on ts step 1h
     [by k1, k2]`` — regular-grid time-series materialization: one row per
@@ -682,6 +696,43 @@ class _Parser:
             if col.kind != "ident":
                 raise OplSyntaxError("mv-expand expects a column name")
             return MvExpandStage(col.text)
+        if t.text == "parse":
+            src = self.next()
+            if src.kind != "ident":
+                raise OplSyntaxError("parse expects a source column name")
+            if not self.at("with"):
+                raise OplSyntaxError("parse expects 'with'")
+            self.next()
+            segments = []
+            while self.peek() is not None and not self.at("|"):
+                if self.at("*"):
+                    self.next()
+                    segments.append(("star",))
+                    continue
+                tok = self.next()
+                if tok.kind == "str":
+                    segments.append(("lit", _unquote(tok.text)))
+                elif tok.kind == "ident":
+                    typ = None
+                    if self.at(":"):
+                        self.next()
+                        ty = self.next()
+                        if ty.kind != "ident":
+                            raise OplSyntaxError("parse capture type expected")
+                        typ = ty.text
+                    segments.append(("col", tok.text, typ))
+                else:
+                    raise OplSyntaxError(
+                        f"parse expects literals and captures, got {tok.text!r}"
+                    )
+            if not any(s[0] == "col" for s in segments):
+                raise OplSyntaxError("parse needs at least one capture column")
+            for a, b in zip(segments, segments[1:]):
+                if a[0] != "lit" and b[0] != "lit":
+                    raise OplSyntaxError(
+                        "parse captures must be separated by literals"
+                    )
+            return ParseStage(src.text, segments)
         if t.text == "union":
             self.expect("(")
             other = self.next()
@@ -1129,6 +1180,46 @@ class OplResult:
     ports: dict[str, DataFrame]
 
 
+# KQL parse capture types → Spark cast targets (string stays untyped:
+# KQL's empty-string-on-no-match convention only applies to strings)
+_PARSE_TYPES = {
+    "long": "long",
+    "int": "int",
+    "real": "double",
+    "decimal": "decimal(38,9)",
+    "datetime": "timestamp",
+    "bool": "boolean",
+    "string": "string",
+}
+
+_REGEX_META = set(r"\.[]{}()*+?^$|")
+
+
+def _regex_escape(s: str) -> str:
+    return "".join("\\" + c if c in _REGEX_META else c for c in s)
+
+
+def _compile_parse_regex(segments: list) -> tuple[str, list]:
+    """segments → (one anchored regex, [(col, type), ...] in group order).
+
+    Captures are lazy ``(.*?)`` when a literal follows (match exactly up to
+    it), greedy ``(.*)`` in final position (rest of line). Both Java regex
+    (Spark) and RE2 (DuckDB oracles) agree on these constructs, so the
+    identical pattern string replays cross-engine."""
+    parts = ["^"]
+    captures: list = []
+    for i, seg in enumerate(segments):
+        last = i == len(segments) - 1
+        if seg[0] == "lit":
+            parts.append(_regex_escape(seg[1]))
+        elif seg[0] == "star":
+            parts.append(".*" if last else ".*?")
+        else:
+            parts.append("(.*)" if last else "(.*?)")
+            captures.append((seg[1], seg[2]))
+    return "".join(parts), captures
+
+
 def _apply_stages(
     df: DataFrame,
     stages: list,
@@ -1322,6 +1413,17 @@ def _apply_stages(
             if not sources or stage.source not in sources:
                 raise OplSyntaxError(f"unknown union source {stage.source!r}")
             df = df.unionByName(sources[stage.source])
+        elif isinstance(stage, ParseStage):
+            regex, captures = _compile_parse_regex(stage.segments)
+            src = F.col(stage.column)
+            for idx, (name, typ) in enumerate(captures, start=1):
+                e = F.regexp_extract(src, regex, idx)
+                if typ is not None:
+                    spark_ty = _PARSE_TYPES.get(typ)
+                    if spark_ty is None:
+                        raise OplSyntaxError(f"unknown parse type {typ!r}")
+                    e = F.when(e == "", F.lit(None)).otherwise(e).cast(spark_ty)
+                df = df.withColumn(name, e)
         elif isinstance(stage, MvExpandStage):
             from pyspark.sql import types as _T
 

@@ -577,3 +577,79 @@ class TestMakeSeries:
             run_opl("t | make-series n = count() on k step 5", {"t": df})
         with _pytest.raises(OplSyntaxError, match="step"):
             run_opl("t | make-series n = count() on k by k", {"t": df})
+
+
+class TestKqlParse:
+    """KQL `parse` statement: literal/capture patterns → one anchored
+    regex, typed captures NULL on non-match, strings keep KQL's
+    empty-string convention."""
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [
+                ("CALL tool=tool_03 args_len=120 status=ok dur_ms=5",),
+                ("CALL tool=tool_09 args_len=7 status=error dur_ms=1500",),
+                ("INFO [planner] hello world",),
+            ],
+            "text string",
+        )
+
+    def test_typed_captures_and_null_on_no_match(self, spark):
+        from otel_arrow_spark.plans.opl import run_opl
+
+        r = run_opl(
+            "t | parse text with 'CALL tool=' tool2 ' args_len=' alen:long"
+            " ' status=' st ' dur_ms=' dur:long"
+            " | project text, tool2, alen, st, dur",
+            {"t": self._df(spark)},
+        )
+        rows = {x.text[:4]: x for x in r.default.collect()}
+        call = rows["CALL"]
+        assert call.tool2 in ("tool_03", "tool_09")
+        assert rows["INFO"].dur is None and rows["INFO"].alen is None
+        assert rows["INFO"].tool2 == ""  # KQL string convention
+        assert r.default.filter("dur = 1500 and st = 'error'").count() == 1
+
+    def test_star_skip_and_trailing_capture(self, spark):
+        from otel_arrow_spark.plans.opl import run_opl
+
+        r = run_opl(
+            "t | parse text with * '[' comp ']' rest | project comp, rest",
+            {"t": self._df(spark)},
+        )
+        got = {(x.comp, x.rest) for x in r.default.collect()}
+        assert ("planner", " hello world") in got
+
+    def test_regex_metachars_in_literals_are_escaped(self, spark):
+        from otel_arrow_spark.plans.opl import run_opl
+
+        df = spark.createDataFrame([("v=(1.5)+x",)], "text string")
+        r = run_opl(
+            "t | parse text with 'v=(' num:real ')+' tail | project num, tail",
+            {"t": df},
+        )
+        [row] = r.default.collect()
+        assert row.num == 1.5 and row.tail == "x"
+
+    def test_plan_is_pure_expression(self, spark):
+        from otel_arrow_spark.plans.opl import run_opl
+
+        r = run_opl(
+            "t | parse text with 'CALL tool=' tool2 ' dur_ms=' dur:long",
+            {"t": self._df(spark)},
+        )
+        plan = r.default._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan and "Exchange" not in plan
+
+    def test_syntax_errors(self, spark):
+        import pytest as _pytest
+
+        from otel_arrow_spark.plans.opl import OplSyntaxError, run_opl
+
+        df = self._df(spark)
+        with _pytest.raises(OplSyntaxError, match="capture"):
+            run_opl("t | parse text with 'only literal'", {"t": df})
+        with _pytest.raises(OplSyntaxError, match="separated"):
+            run_opl("t | parse text with 'x' a b", {"t": df})
+        with _pytest.raises(OplSyntaxError, match="with"):
+            run_opl("t | parse text 'x' a", {"t": df})
