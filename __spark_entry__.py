@@ -2144,6 +2144,17 @@ def q_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (textops/analysis.py unigram_lm_score;
+    the exactly-computable form of CCNet-style perplexity filtering):
+    corpus vocab counts → token-join → per-doc Σ ln(c+α) minus the
+    broadcast normalizer. Integer sum_cnt/min_cnt anchor the comparison;
+    the float score rounds at 6 dp on both engines."""
+    from otel_arrow_spark.textops.analysis import unigram_lm_score
+
+    return unigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
 def q_kql_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KQL `parse` statement (simple mode) compiled from query text: the
     alternating literal/capture pattern becomes ONE anchored regex whose
@@ -2194,6 +2205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_sets": q_rollup_sets,
         "gap_detect": q_gap_detect,
         "kql_parse": q_kql_parse,
+        "lm_score": q_lm_score,
         "exp_quantile_merged": q_exp_quantile_merged,
         "exemplar_attrs": q_exemplar_attrs,
         "corpus_clean_semantic": q_corpus_clean_semantic,
@@ -2624,6 +2636,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    round(CAST(sum(value) AS DOUBLE), 4) AS sum_value_r
             FROM events GROUP BY ROLLUP(event_type, hour(ts))
+        """,
+        "lm_score": """
+            WITH t AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                       AS token
+                FROM documents),
+            tt AS (SELECT doc_id, token FROM t WHERE token != ''),
+            c AS (SELECT token, count(*) AS cnt FROM tt GROUP BY 1),
+            tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS N,
+                           CAST(count(*) AS DOUBLE) AS V FROM c),
+            d AS (SELECT tt.doc_id,
+                         CAST(count(*) AS BIGINT) AS n_tokens,
+                         sum(ln(c.cnt + 0.5)) AS s,
+                         CAST(sum(c.cnt) AS BIGINT) AS sum_cnt,
+                         CAST(min(c.cnt) AS BIGINT) AS min_cnt
+                  FROM tt JOIN c USING (token) GROUP BY 1)
+            SELECT doc_id, n_tokens, sum_cnt, min_cnt,
+                   round(s / n_tokens - ln(N + 0.5 * V), 6) AS avg_logprob_r
+            FROM d, tot
         """,
         "kql_parse": f"""
             WITH p AS (

@@ -82,6 +82,11 @@ HEADLINE_QUERIES = [
     "rollup_sets",
     "gap_detect",
     "kql_parse",
+    "lm_score",
+    "kql_make_series",
+    "table_profile",
+    "vocab_stats",
+    "hash_split",
 ]
 
 

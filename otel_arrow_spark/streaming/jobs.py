@@ -401,3 +401,41 @@ def stream_dedup(
         on, watermark
     )
     return s.dropDuplicatesWithinWatermark(list(keys))
+
+
+def stream_otlp_json_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming OTLP/JSON ingestion: a parquet file-stream of
+    ExportLogsServiceRequest payloads (the sandbox stand-in for the
+    reference's OTLP HTTP receiver — receivers/otlp_receiver/mod.rs; a
+    collector writing request bodies into a landing directory is the
+    same contract) → parse_otlp_json → flat LogRecord parquet.
+
+    The batch decoder runs UNMODIFIED on the stream: from_json + explodes
+    are stateless narrow expressions, so the micro-batch plan is the
+    batch plan — no state store, no watermark, exactly-once via the file
+    sink's commit log. At 100 TB this is the continuous-ingest front of
+    the pipeline: each arriving request file decodes in place, no
+    shuffle anywhere.
+    """
+    from otel_arrow_spark.sources.otlp_json import parse_otlp_json
+
+    batch_like = spark.read.parquet(input_dir)
+    stream = (
+        spark.readStream.schema(batch_like.schema).parquet(input_dir)
+    )
+    flat = parse_otlp_json(stream)
+    writer = (
+        flat.writeStream.format("parquet")
+        .option("path", f"{output_dir}/otlp_logs")
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

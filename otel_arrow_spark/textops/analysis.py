@@ -318,3 +318,64 @@ def hash_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = F.lit(last_name) if expr is None else expr.otherwise(last_name)
     return df.withColumn(out_col, expr)
+
+
+def unigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Unigram language-model scoring — the order-1, exactly-computable
+    form of perplexity-based quality filtering (public method: CCNet /
+    Wenzek et al. 2020 filter web text by KenLM perplexity; a unigram LM
+    keeps the same shape with no external model artifact, so the score is
+    deterministic and engine-replayable).
+
+    Per document: ``avg_logprob = (1/|d|) Σ_t ln((c(t)+α) / (N+αV))``
+    with corpus-wide token counts c, total N, vocab size V and add-α
+    smoothing. Because the denominator is constant, it factors out:
+    one Σ ln(c+α) per doc minus a broadcast scalar — no per-token
+    division.
+
+    Scale shape: tokenize (same convention as vocabulary_stats) → ONE
+    hash aggregate for the vocab counts → tokens⋈counts equi-join on the
+    token (AQE broadcasts when the vocab is small; at web scale it
+    shuffles both sides on the token — the join IS the model lookup) →
+    one per-doc aggregate → a 1-row totals crossJoin (broadcast).
+    Low-probability docs (gibberish) sort to the bottom; integer
+    ``sum_cnt``/``min_cnt`` ride along so cross-engine comparison has
+    float-free anchors.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("token"),
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").cast("double").alias("_N"),
+        F.count(F.lit(1)).cast("double").alias("_V"),
+    )
+    per_doc = (
+        toks.join(counts, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.log(F.col("cnt") + F.lit(alpha))).alias("_s"),
+            F.sum("cnt").cast("long").alias("sum_cnt"),
+            F.min("cnt").cast("long").alias("min_cnt"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(totals)).select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "sum_cnt",
+        "min_cnt",
+        F.round(
+            F.col("_s") / F.col("n_tokens")
+            - F.log(F.col("_N") + F.lit(alpha) * F.col("_V")),
+            6,
+        ).alias("avg_logprob_r"),
+    )

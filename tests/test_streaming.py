@@ -411,3 +411,50 @@ def test_stream_dedup_matches_batch_distinct(spark, tiny_transcripts, workdir):
     assert got.select("conv_id", "turn_idx").exceptAll(
         batch.select("conv_id", "turn_idx")
     ).count() == 0
+
+
+def test_stream_otlp_json_matches_batch(spark, workdir):
+    """Streaming OTLP/JSON ingestion == batch decode over the same
+    request payloads (split across two files → two micro-batches)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from otel_arrow_spark.sources.otlp_json import (
+        generate_otlp_json_requests,
+        parse_otlp_json,
+    )
+    from otel_arrow_spark.streaming.jobs import stream_otlp_json_ingest
+    from tests.conftest import assert_df_equal
+
+    reqs = generate_otlp_json_requests(400)
+    indir = f"{workdir}/otlp_in"
+    os.makedirs(indir, exist_ok=True)
+    half = len(reqs) // 2
+    for i, chunk in enumerate([reqs[:half], reqs[half:]]):
+        pq.write_table(pa.table({"payload": chunk}), f"{indir}/part-{i}.parquet")
+
+    out = f"{workdir}/otlp_stream_out"
+    q = stream_otlp_json_ingest(
+        spark, indir, out, f"{workdir}/otlp_ckpt", available_now=True
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(f"{out}/otlp_logs")
+
+    batch = parse_otlp_json(
+        spark.createDataFrame([(p,) for p in reqs], "payload string")
+    )
+
+    def canon(df):
+        return df.withColumn(
+            "attributes", F.to_json(F.sort_array(F.map_entries("attributes")))
+        )
+
+    assert_df_equal(
+        canon(got).orderBy("event_index"),
+        canon(batch.select(*got.columns)).orderBy("event_index"),
+        "stream vs batch OTLP/JSON decode",
+    )
+    assert got.count() == 400

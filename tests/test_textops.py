@@ -752,3 +752,39 @@ class TestHashSplit:
         d = spark.createDataFrame([(1,)], "doc_id long")
         with _pytest.raises(ValueError, match="sum to 1"):
             hash_split(d, {"train": 0.5, "val": 0.1})
+
+
+class TestUnigramLmScore:
+    def test_matches_hand_computation(self, spark):
+        import math
+
+        from otel_arrow_spark.textops.analysis import unigram_lm_score
+
+        # corpus: counts a=3, b=2, z=1 → N=6, V=3
+        df = spark.createDataFrame(
+            [(1, "a a b"), (2, "a b z"), (3, "")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in unigram_lm_score(df).collect()}
+        N, V, a = 6.0, 3.0, 0.5
+        denom = math.log(N + a * V)
+        exp1 = (2 * math.log(3.5) + math.log(2.5)) / 3 - denom
+        exp2 = (math.log(3.5) + math.log(2.5) + math.log(1.5)) / 3 - denom
+        assert abs(out[1].avg_logprob_r - round(exp1, 6)) < 1e-9
+        assert abs(out[2].avg_logprob_r - round(exp2, 6)) < 1e-9
+        assert out[1].n_tokens == 3 and out[1].sum_cnt == 8 and out[1].min_cnt == 2
+        assert out[2].min_cnt == 1
+        # empty docs have no tokens → absent, same as the SQL inner join
+        assert 3 not in out
+        # gibberish (rare tokens) scores strictly below common text
+        assert out[2].avg_logprob_r < out[1].avg_logprob_r
+
+    def test_totals_join_is_broadcast(self, spark):
+        from otel_arrow_spark.textops.analysis import unigram_lm_score
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        plan = (
+            unigram_lm_score(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert "CartesianProduct" not in plan
