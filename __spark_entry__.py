@@ -2103,6 +2103,42 @@ def q_otlp_logs_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _otlp_traces_corpus_path(n: int) -> str:
+    from otel_arrow_spark.sources.otlp_json import (
+        generate_otlp_json_trace_requests,
+    )
+
+    path = os.path.join(_REPO, ".cache", "otlp", f"traces_n{n}.parquet")
+    if not os.path.exists(path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        reqs = generate_otlp_json_trace_requests(n)
+        pq.write_table(
+            pa.table({"req_no": list(range(len(reqs))), "payload": reqs}), path
+        )
+    return path
+
+
+def q_otlp_traces_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP/JSON ExportTraceServiceRequest decode → one flat row per span
+    (views/otlp/proto/trace.rs:203 field set; proto3 JSON mapping) — the
+    traces twin of otlp_logs_ingest: NULL parentSpanId marks roots,
+    status.code defaults to 0 when omitted, duration derived from the
+    nano timestamps. Same scan-side zero-shuffle plan."""
+    from otel_arrow_spark.sources.otlp_json import parse_otlp_traces_json
+
+    n = 2000 if "sf0.001" in sf_dir else (200_000 if "sf0.1/" in sf_dir or sf_dir.endswith("sf0.1") else 20_000)
+    payloads = spark.read.parquet(_otlp_traces_corpus_path(n))
+    return parse_otlp_traces_json(payloads).select(
+        "service_name", "scope_name", "scope_version", "trace_id",
+        "span_id", "parent_span_id", "name", "kind", "start_unix_nano",
+        "end_unix_nano", "duration_ns", "status_code", "status_message",
+        "peer_service", "span_seq",
+    )
+
+
 def q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tool-call bigram edges per conversation — the transcript analog of
     the service-graph connector (trace_tree.py service_graph builds
@@ -2200,6 +2236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-5 additions (never driver-checked) ---
         "otlp_logs_ingest": q_otlp_logs_ingest,
+        "otlp_traces_ingest": q_otlp_traces_ingest,
         "tool_transitions": q_tool_transitions,
         "log_templates": q_log_templates,
         "rollup_sets": q_rollup_sets,
@@ -2603,6 +2640,32 @@ def oracle_sql() -> dict[str, str]:
               COALESCE(rec.droppedAttributesCount, 0) AS dropped_attributes_count,
               CAST(list_extract(list_filter(rec.attributes, a -> a.key='event.index'),1).value.intValue AS BIGINT) AS event_index
             FROM lr
+        """,
+        "otlp_traces_ingest": f"""
+            WITH t AS (
+              SELECT json_transform(payload,
+                '{{"resourceSpans":[{{"resource":{{"attributes":[{{"key":"VARCHAR","value":{{"stringValue":"VARCHAR","intValue":"VARCHAR"}}}}]}},"scopeSpans":[{{"scope":{{"name":"VARCHAR","version":"VARCHAR"}},"spans":[{{"traceId":"VARCHAR","spanId":"VARCHAR","parentSpanId":"VARCHAR","name":"VARCHAR","kind":"INTEGER","startTimeUnixNano":"VARCHAR","endTimeUnixNano":"VARCHAR","attributes":[{{"key":"VARCHAR","value":{{"stringValue":"VARCHAR","intValue":"VARCHAR"}}}}],"status":{{"code":"INTEGER","message":"VARCHAR"}}}}]}}]}}]}}') AS req
+              FROM read_parquet('{_REPO}/.cache/otlp/traces_n20000.parquet')),
+            rs AS (SELECT unnest(req.resourceSpans) AS r FROM t),
+            ss AS (SELECT r.resource AS resource, unnest(r.scopeSpans) AS s FROM rs),
+            sp AS (SELECT resource, s.scope AS scope, unnest(s.spans) AS x FROM ss)
+            SELECT
+              list_extract(list_filter(resource.attributes, a -> a.key='service.name'),1).value.stringValue AS service_name,
+              scope.name AS scope_name,
+              scope.version AS scope_version,
+              x.traceId AS trace_id,
+              x.spanId AS span_id,
+              x.parentSpanId AS parent_span_id,
+              x.name AS name,
+              x.kind AS kind,
+              CAST(x.startTimeUnixNano AS BIGINT) AS start_unix_nano,
+              CAST(x.endTimeUnixNano AS BIGINT) AS end_unix_nano,
+              CAST(x.endTimeUnixNano AS BIGINT) - CAST(x.startTimeUnixNano AS BIGINT) AS duration_ns,
+              COALESCE(x.status.code, 0) AS status_code,
+              x.status.message AS status_message,
+              list_extract(list_filter(x.attributes, a -> a.key='peer.service'),1).value.stringValue AS peer_service,
+              CAST(list_extract(list_filter(x.attributes, a -> a.key='span.seq'),1).value.intValue AS BIGINT) AS span_seq
+            FROM sp
         """,
         "tool_transitions": f"""
             WITH calls AS (

@@ -77,6 +77,7 @@ HEADLINE_QUERIES = [
     "hopping_agg",
     "syslog_star",
     "otlp_logs_ingest",
+    "otlp_traces_ingest",
     "tool_transitions",
     "log_templates",
     "rollup_sets",

@@ -252,8 +252,10 @@ OTLP_EXPORT_LOGS_SCHEMA = T.StructType(
 
 def _attr(entries, key: str):
     """First value for ``key`` in a KeyValue list — string branch first,
-    int branch as fallback (the corpus never uses both on one key)."""
-    hit = F.filter(entries, lambda a: a["key"] == F.lit(key))[0]["value"]
+    int branch as fallback (the corpus never uses both on one key).
+    ``F.get`` (not ``[0]``) so an absent key or empty attribute list is
+    NULL instead of an ANSI INVALID_ARRAY_INDEX error."""
+    hit = F.get(F.filter(entries, lambda a: a["key"] == F.lit(key)), 0)["value"]
     return F.coalesce(hit["stringValue"], hit["intValue"])
 
 
@@ -310,4 +312,195 @@ def parse_otlp_json(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 ),
             )
         ).alias("attributes"),
+    )
+
+
+# --- traces ------------------------------------------------------------------
+
+SPAN_NAMES = ["GET /api", "POST /ingest", "db.query", "cache.get", "publish"]
+# proto SpanKind: INTERNAL=1 SERVER=2 CLIENT=3 PRODUCER=4 CONSUMER=5
+SPAN_KINDS = [1, 2, 3, 4, 5]
+
+
+def generate_otlp_json_trace_requests(n_spans: int, seed: int = 43) -> list[str]:
+    """Deterministic ExportTraceServiceRequest payloads totalling exactly
+    ``n_spans`` spans (views/otlp/proto/trace.rs:203: the span field set).
+    Each request is one trace: a root span plus children whose parent is a
+    uniformly chosen earlier span in the same request — small trees, the
+    shape the trace-assembly operators consume."""
+    rng = np.random.RandomState(seed)
+
+    sizes: list[int] = []
+    left = n_spans
+    while left > 0:
+        s = int(rng.randint(2, 13))
+        sizes.append(min(s, left))
+        left -= min(s, left)
+
+    n = n_spans
+    svc = rng.randint(0, len(SERVICES), size=len(sizes))
+    scope_pick = rng.randint(0, len(SCOPES), size=len(sizes))
+    name_pick = rng.randint(0, len(SPAN_NAMES), size=n)
+    kind_pick = rng.randint(0, len(SPAN_KINDS), size=n)
+    start_off = np.cumsum(rng.randint(1_000, 2_000_000, size=n).astype(np.int64))
+    dur = rng.randint(10_000, 500_000_000, size=n).astype(np.int64)
+    is_error = rng.random_sample(n) < 0.08
+    hexd = np.array(list("0123456789abcdef"))
+    tr = rng.randint(0, 16, size=(len(sizes), 32))
+    sp = rng.randint(0, 16, size=(n, 16))
+    parent_pick = rng.randint(0, 1 << 30, size=n)
+
+    out: list[str] = []
+    span_i = 0
+    for req_i, size in enumerate(sizes):
+        trace_id = "".join(hexd[tr[req_i]])
+        span_ids = ["".join(hexd[sp[span_i + k]]) for k in range(size)]
+        spans = []
+        for k in range(size):
+            i = span_i + k
+            span = {
+                "traceId": trace_id,
+                "spanId": span_ids[k],
+                "name": SPAN_NAMES[name_pick[i]],
+                "kind": SPAN_KINDS[kind_pick[i]],
+                "startTimeUnixNano": str(_EPOCH_NANOS + int(start_off[i])),
+                "endTimeUnixNano": str(_EPOCH_NANOS + int(start_off[i]) + int(dur[i])),
+                "attributes": [
+                    _kv_str("peer.service", SERVICES[(svc[req_i] + 1) % len(SERVICES)]),
+                    _kv_int("span.seq", i),
+                ],
+                "status": (
+                    {"code": 2, "message": "error"} if is_error[i] else {"code": 1}
+                ),
+            }
+            if k > 0:  # root omits parentSpanId (proto3 omits empties)
+                span["parentSpanId"] = span_ids[parent_pick[i] % k]
+            spans.append(span)
+        name, ver = SCOPES[scope_pick[req_i]]
+        out.append(
+            json.dumps(
+                {
+                    "resourceSpans": [
+                        {
+                            "resource": {
+                                "attributes": [
+                                    _kv_str("service.name", SERVICES[svc[req_i]])
+                                ]
+                            },
+                            "scopeSpans": [
+                                {
+                                    "scope": {"name": name, "version": ver},
+                                    "spans": spans,
+                                }
+                            ],
+                        }
+                    ]
+                },
+                separators=(",", ":"),
+            )
+        )
+        span_i += size
+    return out
+
+
+OTLP_EXPORT_TRACES_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "resourceSpans",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField(
+                            "resource",
+                            T.StructType([T.StructField("attributes", _kv_list())]),
+                        ),
+                        T.StructField(
+                            "scopeSpans",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField(
+                                            "scope",
+                                            T.StructType(
+                                                [
+                                                    T.StructField("name", T.StringType()),
+                                                    T.StructField("version", T.StringType()),
+                                                ]
+                                            ),
+                                        ),
+                                        T.StructField(
+                                            "spans",
+                                            T.ArrayType(
+                                                T.StructType(
+                                                    [
+                                                        T.StructField("traceId", T.StringType()),
+                                                        T.StructField("spanId", T.StringType()),
+                                                        T.StructField("parentSpanId", T.StringType()),
+                                                        T.StructField("name", T.StringType()),
+                                                        T.StructField("kind", T.IntegerType()),
+                                                        T.StructField("startTimeUnixNano", T.StringType()),
+                                                        T.StructField("endTimeUnixNano", T.StringType()),
+                                                        T.StructField("attributes", _kv_list()),
+                                                        T.StructField(
+                                                            "status",
+                                                            T.StructType(
+                                                                [
+                                                                    T.StructField("code", T.IntegerType()),
+                                                                    T.StructField("message", T.StringType()),
+                                                                ]
+                                                            ),
+                                                        ),
+                                                    ]
+                                                )
+                                            ),
+                                        ),
+                                    ]
+                                )
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+def parse_otlp_traces_json(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode OTLP/JSON ExportTraceServiceRequest payloads into one flat
+    row per span — the traces twin of :func:`parse_otlp_json`, same
+    zero-Python zero-shuffle scan-side plan. ``status.code`` defaults to
+    0 (UNSET) when omitted, per the proto3 default; a missing
+    ``parentSpanId`` stays NULL (root span)."""
+    req = F.from_json(F.col(payload_col), OTLP_EXPORT_TRACES_SCHEMA)
+    rs = df.withColumn("_rs", F.explode(req["resourceSpans"]))
+    ss = rs.select(
+        F.col("_rs")["resource"]["attributes"].alias("_res_attrs"),
+        F.explode(F.col("_rs")["scopeSpans"]).alias("_ss"),
+    )
+    sp = ss.select(
+        "_res_attrs",
+        F.col("_ss")["scope"]["name"].alias("scope_name"),
+        F.col("_ss")["scope"]["version"].alias("scope_version"),
+        F.explode(F.col("_ss")["spans"]).alias("_sp"),
+    )
+    s = F.col("_sp")
+    start = s["startTimeUnixNano"].cast("long")
+    end = s["endTimeUnixNano"].cast("long")
+    return sp.select(
+        _attr(F.col("_res_attrs"), "service.name").alias("service_name"),
+        "scope_name",
+        "scope_version",
+        s["traceId"].alias("trace_id"),
+        s["spanId"].alias("span_id"),
+        s["parentSpanId"].alias("parent_span_id"),
+        s["name"].alias("name"),
+        s["kind"].alias("kind"),
+        start.alias("start_unix_nano"),
+        end.alias("end_unix_nano"),
+        (end - start).alias("duration_ns"),
+        F.coalesce(s["status"]["code"], F.lit(0)).alias("status_code"),
+        s["status"]["message"].alias("status_message"),
+        _attr(s["attributes"], "peer.service").alias("peer_service"),
+        _attr(s["attributes"], "span.seq").cast("long").alias("span_seq"),
     )

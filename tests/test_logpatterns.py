@@ -198,3 +198,58 @@ class TestRollup:
         )
         assert "Expand" in plan, "rollup must use one Expand, not a union of scans"
         assert plan.count("HashAggregate") >= 2, "partial+final expected"
+
+
+class TestOtlpTracesJson:
+    def test_decode_tree_semantics(self, spark):
+        from otel_arrow_spark.sources.otlp_json import (
+            generate_otlp_json_trace_requests,
+            parse_otlp_traces_json,
+        )
+
+        reqs = generate_otlp_json_trace_requests(200)
+        df = spark.createDataFrame([(p,) for p in reqs], "payload string")
+        flat = parse_otlp_traces_json(df)
+        rows = flat.collect()
+        assert len(rows) == 200
+        by_trace = {}
+        for r in rows:
+            by_trace.setdefault(r.trace_id, []).append(r)
+        for trace_id, spans in by_trace.items():
+            roots = [s for s in spans if s.parent_span_id is None]
+            assert len(roots) == 1, "each request is one tree with one root"
+            ids = {s.span_id for s in spans}
+            for s in spans:
+                if s.parent_span_id is not None:
+                    assert s.parent_span_id in ids, "parents stay in-trace"
+                assert s.duration_ns > 0
+                assert s.end_unix_nano - s.start_unix_nano == s.duration_ns
+        # proto3 default: status.code omitted → 0 never happens here (we
+        # always set code), but error fraction must survive the decode
+        n_err = sum(1 for r in rows if r.status_code == 2)
+        assert 0 < n_err < len(rows)
+
+    def test_status_code_defaults_to_unset(self, spark):
+        import json as _json
+
+        from otel_arrow_spark.sources.otlp_json import parse_otlp_traces_json
+
+        req = {
+            "resourceSpans": [{
+                "resource": {"attributes": [
+                    {"key": "service.name", "value": {"stringValue": "s"}}]},
+                "scopeSpans": [{
+                    "scope": {"name": "app", "version": "1"},
+                    "spans": [{
+                        "traceId": "ab" * 16, "spanId": "cd" * 8,
+                        "name": "x", "kind": 1,
+                        "startTimeUnixNano": "100", "endTimeUnixNano": "250",
+                        "attributes": [],
+                    }],
+                }],
+            }]
+        }
+        df = spark.createDataFrame([(_json.dumps(req),)], "payload string")
+        [r] = parse_otlp_traces_json(df).collect()
+        assert r.status_code == 0 and r.status_message is None
+        assert r.duration_ns == 150 and r.peer_service is None
