@@ -47,11 +47,15 @@ def mine_templates(
     support ≥ ``min_count``: (template, n, n_groups, example).
 
     ``example`` is the lexicographic-min raw message of the template —
-    deterministic, so cross-engine comparison is exact. One hash-aggregate
-    shuffle on the template string; the HAVING filter keeps the result
-    proportional to the *pattern* population, not the corpus, which is
-    what makes the op usable at 10^12 rows (templates are the compressed
-    vocabulary of the log stream — thousands, not trillions).
+    deterministic, so cross-engine comparison is exact. The exact
+    ``countDistinct(group)`` plans as the standard two-phase distinct
+    aggregate — partial on (template, group), exchange, final on
+    template: two shuffles, but the FIRST already collapsed to
+    (template, group) cardinality map-side, so both are sized by the
+    pattern vocabulary, not the corpus — which is what makes the op
+    usable at 10^12 rows (swap in approx_count_distinct to drop the
+    second phase when an estimate suffices). The HAVING filter keeps the
+    result proportional to the pattern population.
     """
     t = df.select(
         template_of(F.col(text_col)).alias("template"),

@@ -457,3 +457,84 @@ def clickhouse_sink(df: DataFrame, url: str, table: str, mode: str = "append", *
             "clickhouse sink requires the ClickHouse JDBC driver on the "
             "classpath (--jars clickhouse-jdbc-<ver>-all.jar)"
         ) from ex
+
+
+def compact_parquet_dir(
+    spark,
+    path: str,
+    target_file_bytes: int = 512 * 1024 * 1024,
+    partition_by: tuple[str, ...] = (),
+    sort_cols: tuple[str, ...] = (),
+    compression: str | None = None,
+) -> dict:
+    """Small-file compaction for a parquet sink directory — the
+    maintenance half of every continuously-ingesting table (streaming
+    micro-batches and per-sink fan-out both produce files sized by
+    trigger interval, not by optimal scan granularity; at 10^12 rows an
+    uncompacted sink becomes a listing/open-cost bottleneck long before
+    a byte of data is read). Iceberg calls this rewrite_data_files; for
+    plain-parquet sinks this is the equivalent rewrite.
+
+    Strategy: size the rewrite from the CURRENT bytes on disk
+    (ceil(bytes/target) output files), repartition — by the hive
+    partition columns when given, so each partition keeps one writer —
+    rewrite into a sibling temp dir, verify the row count survived, then
+    atomically swap directories. A crash before the swap leaves the
+    original untouched; after it, the temp name never collides (rewrite
+    is idempotent).
+
+    Returns {files_before, files_after, bytes_before, bytes_after, rows}.
+    """
+    import glob as _glob
+    import math
+    import os
+    import shutil
+
+    def _stats(p: str) -> tuple[int, int]:
+        fs = [
+            f for f in _glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
+        ]
+        return len(fs), sum(os.path.getsize(f) for f in fs)
+
+    files_before, bytes_before = _stats(path)
+    df = spark.read.parquet(path)
+    rows = df.count()
+    n_out = max(1, math.ceil(bytes_before / target_file_bytes))
+
+    if partition_by:
+        out = df.repartition(*[F.col(c) for c in partition_by])
+    else:
+        out = df.repartition(n_out)
+    order = [c for c in (*partition_by, *sort_cols) if c in df.columns]
+    if order:
+        out = out.sortWithinPartitions(*order)
+
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    old = path.rstrip("/") + ".__compact_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    w = out.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if compression:
+        w = w.option("compression", compression)
+    w.parquet(tmp)
+
+    got = spark.read.parquet(tmp).count()
+    if got != rows:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction row-count mismatch at {path}: {rows} -> {got}; "
+            "original left untouched"
+        )
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    files_after, bytes_after = _stats(path)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes_before": bytes_before,
+        "bytes_after": bytes_after,
+        "rows": rows,
+    }

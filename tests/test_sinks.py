@@ -423,3 +423,53 @@ class TestBucketedCoLocation:
             spark.conf.unset("spark.sql.bucketing.coalesceBucketsInJoin.enabled")
             spark.sql("DROP TABLE IF EXISTS bkt8")
             spark.sql("DROP TABLE IF EXISTS bkt16")
+
+
+class TestCompaction:
+    def test_compacts_preserving_data_and_partitions(self, spark, workdir):
+        import glob
+        import os
+
+        from otel_arrow_spark.sinks import compact_parquet_dir
+        from tests.conftest import assert_df_equal
+
+        path = f"{workdir}/compact_me"
+        src = spark.range(5000).select(
+            F.col("id"),
+            (F.col("id") % 3).cast("string").alias("part"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        # simulate a micro-batch-fragmented sink: many tiny files per partition
+        src.repartition(40).write.partitionBy("part").parquet(path)
+        before = src.orderBy("id")
+        n_files0 = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        assert n_files0 >= 100, "fixture must start fragmented"
+
+        stats = compact_parquet_dir(
+            spark, path, target_file_bytes=1 << 30,
+            partition_by=("part",), sort_cols=("id",),
+        )
+        assert stats["rows"] == 5000
+        assert stats["files_before"] == n_files0
+        assert stats["files_after"] <= 3, "one writer per hive partition"
+        # data survived byte-for-byte, partition layout intact
+        after = spark.read.parquet(path)
+        assert sorted(d for d in os.listdir(path) if d.startswith("part=")) == [
+            "part=0", "part=1", "part=2",
+        ]
+        assert_df_equal(
+            before.select("id", "payload", "part"),
+            after.select("id", "payload", F.col("part").cast("string").alias("part")).orderBy("id"),
+            "compaction must not change data",
+        )
+        # no leftover temp/old dirs
+        assert not os.path.exists(path + ".__compact_tmp")
+        assert not os.path.exists(path + ".__compact_old")
+
+    def test_unpartitioned_sizing(self, spark, workdir):
+        from otel_arrow_spark.sinks import compact_parquet_dir
+
+        path = f"{workdir}/compact_flat"
+        spark.range(2000).repartition(25).write.parquet(path)
+        stats = compact_parquet_dir(spark, path, target_file_bytes=1 << 30)
+        assert stats["files_after"] == 1 and stats["rows"] == 2000

@@ -290,6 +290,51 @@ def main() -> None:
         )
     )
 
+    from otel_arrow_spark.sources.otlp_json import (
+        generate_otlp_json_requests,
+        parse_otlp_json,
+    )
+
+    payloads = spark.createDataFrame(
+        [(p,) for p in generate_otlp_json_requests(2000)], "payload string"
+    )
+    sections.append(
+        (
+            "OTLP/JSON logs decode (from_json + 3 explodes)",
+            "Expected: exactly 3 `Generate` nodes (resourceLogs → scopeLogs "
+            "→ logRecords), zero `Exchange`, zero Python — the scan-side "
+            "decode the reference's OTLP receiver performs.",
+            parse_otlp_json(payloads),
+        )
+    )
+
+    from otel_arrow_spark.operators.logpatterns import mine_templates
+
+    sections.append(
+        (
+            "Log template mining (Drain-family masking)",
+            "Expected: both `regexp_replace` masks in the Project directly "
+            "over the scan; the exact countDistinct plans as the two-phase "
+            "distinct aggregate (partial on (template, group) BEFORE the "
+            "first Exchange), so both shuffles move pattern-vocabulary "
+            "cardinality, not corpus rows.",
+            mine_templates(spark.read.parquet(inp)),
+        )
+    )
+
+    from otel_arrow_spark.textops.analysis import unigram_lm_score
+
+    sections.append(
+        (
+            "Unigram-LM quality scoring",
+            "Expected: vocab `HashAggregate`, token equi-join (AQE "
+            "broadcasts a small vocab), per-doc aggregate, and a "
+            "BroadcastNestedLoopJoin for the 1-row normalizer — never a "
+            "CartesianProduct.",
+            unigram_lm_score(docs),
+        )
+    )
+
     out = [HEADER]
     for title, expect, df in sections:
         plan = df._jdf.queryExecution().explainString(
