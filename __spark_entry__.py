@@ -2139,6 +2139,45 @@ def q_otlp_traces_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _otlp_metrics_corpus_path(n: int) -> str:
+    from otel_arrow_spark.sources.otlp_json import (
+        generate_otlp_json_metric_requests,
+    )
+
+    path = os.path.join(_REPO, ".cache", "otlp", f"metrics_n{n}.parquet")
+    if not os.path.exists(path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        reqs = generate_otlp_json_metric_requests(n)
+        pq.write_table(
+            pa.table({"req_no": list(range(len(reqs))), "payload": reqs}), path
+        )
+    return path
+
+
+def q_otlp_metrics_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP/JSON ExportMetricsServiceRequest decode → one flat row per
+    data point across the Metric oneof's gauge / sum / histogram branches
+    (views/otlp/proto/metrics.rs:10-110 view field sets; OTLP/JSON:
+    uint64 as strings, enums as integers). The oneof is normalized
+    scan-side — per-branch `transform` into one common point struct,
+    `concat`, single `explode` — so the whole decode is still from_json +
+    4 Generates with zero shuffle; the oracle re-decodes the same bytes
+    as a 3-branch UNION ALL."""
+    from otel_arrow_spark.sources.otlp_json import parse_otlp_metrics_json
+
+    n = 2000 if "sf0.001" in sf_dir else (200_000 if "sf0.1/" in sf_dir or sf_dir.endswith("sf0.1") else 20_000)
+    payloads = spark.read.parquet(_otlp_metrics_corpus_path(n))
+    return parse_otlp_metrics_json(payloads).select(
+        "service_name", "scope_name", "scope_version", "metric_name",
+        "metric_unit", "metric_type", "temporality", "is_monotonic",
+        "time_unix_nano", "value", "count", "sum_value",
+        "bucket_counts_str", "explicit_bounds_str", "host_name", "point_seq",
+    )
+
+
 def q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tool-call bigram edges per conversation — the transcript analog of
     the service-graph connector (trace_tree.py service_graph builds
@@ -2237,6 +2276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 additions (never driver-checked) ---
         "otlp_logs_ingest": q_otlp_logs_ingest,
         "otlp_traces_ingest": q_otlp_traces_ingest,
+        "otlp_metrics_ingest": q_otlp_metrics_ingest,
         "tool_transitions": q_tool_transitions,
         "log_templates": q_log_templates,
         "rollup_sets": q_rollup_sets,
@@ -2666,6 +2706,46 @@ def oracle_sql() -> dict[str, str]:
               list_extract(list_filter(x.attributes, a -> a.key='peer.service'),1).value.stringValue AS peer_service,
               CAST(list_extract(list_filter(x.attributes, a -> a.key='span.seq'),1).value.intValue AS BIGINT) AS span_seq
             FROM sp
+        """,
+        "otlp_metrics_ingest": f"""
+            WITH t AS (
+              SELECT json_transform(payload,
+                '{{"resourceMetrics":[{{"resource":{{"attributes":[{{"key":"VARCHAR","value":{{"stringValue":"VARCHAR","intValue":"VARCHAR"}}}}]}},"scopeMetrics":[{{"scope":{{"name":"VARCHAR","version":"VARCHAR"}},"metrics":[{{"name":"VARCHAR","unit":"VARCHAR","gauge":{{"dataPoints":[{{"timeUnixNano":"VARCHAR","asDouble":"DOUBLE","asInt":"VARCHAR","attributes":[{{"key":"VARCHAR","value":{{"stringValue":"VARCHAR","intValue":"VARCHAR"}}}}]}}]}},"sum":{{"dataPoints":[{{"timeUnixNano":"VARCHAR","asDouble":"DOUBLE","asInt":"VARCHAR","attributes":[{{"key":"VARCHAR","value":{{"stringValue":"VARCHAR","intValue":"VARCHAR"}}}}]}}],"aggregationTemporality":"INTEGER","isMonotonic":"BOOLEAN"}},"histogram":{{"dataPoints":[{{"timeUnixNano":"VARCHAR","count":"VARCHAR","sum":"DOUBLE","bucketCounts":["VARCHAR"],"explicitBounds":["DOUBLE"],"attributes":[{{"key":"VARCHAR","value":{{"stringValue":"VARCHAR","intValue":"VARCHAR"}}}}]}}],"aggregationTemporality":"INTEGER"}}}}]}}]}}]}}') AS req
+              FROM read_parquet('{_REPO}/.cache/otlp/metrics_n20000.parquet')),
+            rm AS (SELECT unnest(req.resourceMetrics) AS r FROM t),
+            sm AS (SELECT r.resource AS resource, unnest(r.scopeMetrics) AS s FROM rm),
+            m AS (SELECT resource, s.scope AS scope, unnest(s.metrics) AS mt FROM sm),
+            pts AS (
+              SELECT resource, scope, mt.name AS metric_name, mt.unit AS metric_unit,
+                     'gauge' AS metric_type, NULL::INTEGER AS temporality,
+                     NULL::BOOLEAN AS is_monotonic, p.timeUnixNano AS t,
+                     COALESCE(p.asDouble, CAST(p.asInt AS DOUBLE)) AS value,
+                     NULL::BIGINT AS count, NULL::DOUBLE AS sum_value,
+                     NULL::VARCHAR AS bucket_counts_str,
+                     NULL::VARCHAR AS explicit_bounds_str, p.attributes AS attrs
+              FROM m, unnest(mt.gauge.dataPoints) AS u(p)
+              UNION ALL
+              SELECT resource, scope, mt.name, mt.unit, 'sum',
+                     mt.sum.aggregationTemporality, mt.sum.isMonotonic,
+                     p.timeUnixNano, COALESCE(p.asDouble, CAST(p.asInt AS DOUBLE)),
+                     NULL, NULL, NULL, NULL, p.attributes
+              FROM m, unnest(mt.sum.dataPoints) AS u(p)
+              UNION ALL
+              SELECT resource, scope, mt.name, mt.unit, 'histogram',
+                     mt.histogram.aggregationTemporality, NULL, p.timeUnixNano,
+                     NULL, CAST(p.count AS BIGINT), p.sum,
+                     array_to_string(p.bucketCounts, ','),
+                     array_to_string(p.explicitBounds, ','), p.attributes
+              FROM m, unnest(mt.histogram.dataPoints) AS u(p))
+            SELECT
+              list_extract(list_filter(resource.attributes, a -> a.key='service.name'),1).value.stringValue AS service_name,
+              scope.name AS scope_name, scope.version AS scope_version,
+              metric_name, metric_unit, metric_type, temporality, is_monotonic,
+              CAST(t AS BIGINT) AS time_unix_nano, value, count, sum_value,
+              bucket_counts_str, explicit_bounds_str,
+              list_extract(list_filter(attrs, a -> a.key='host.name'),1).value.stringValue AS host_name,
+              CAST(list_extract(list_filter(attrs, a -> a.key='point.seq'),1).value.intValue AS BIGINT) AS point_seq
+            FROM pts
         """,
         "tool_transitions": f"""
             WITH calls AS (

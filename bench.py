@@ -78,6 +78,7 @@ HEADLINE_QUERIES = [
     "syslog_star",
     "otlp_logs_ingest",
     "otlp_traces_ingest",
+    "otlp_metrics_ingest",
     "tool_transitions",
     "log_templates",
     "rollup_sets",

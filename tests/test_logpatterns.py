@@ -253,3 +253,90 @@ class TestOtlpTracesJson:
         [r] = parse_otlp_traces_json(df).collect()
         assert r.status_code == 0 and r.status_message is None
         assert r.duration_ns == 150 and r.peer_service is None
+
+
+class TestOtlpMetricsJson:
+    def test_decode_oneof_branches(self, spark):
+        from otel_arrow_spark.sources.otlp_json import (
+            generate_otlp_json_metric_requests,
+            parse_otlp_metrics_json,
+        )
+
+        reqs = generate_otlp_json_metric_requests(500)
+        df = spark.createDataFrame([(p,) for p in reqs], "payload string")
+        rows = parse_otlp_metrics_json(df).collect()
+        assert len(rows) == 500
+        kinds = {r.metric_type for r in rows}
+        assert kinds == {"gauge", "sum", "histogram"}
+        for r in rows:
+            assert r.service_name.startswith("service_")
+            assert r.time_unix_nano > 0 and r.point_seq is not None
+            if r.metric_type == "histogram":
+                # count is the sum of its own bucketCounts; bounds = k+1 buckets
+                counts = [int(c) for c in r.bucket_counts_str.split(",")]
+                bounds = r.explicit_bounds_str.split(",")
+                assert r["count"] == sum(counts)
+                assert len(counts) == len(bounds) + 1
+                assert r.value is None and r.sum_value is not None
+                assert r.temporality in (1, 2) and r.is_monotonic is None
+            else:
+                assert r.value is not None and r["count"] is None
+                assert r.bucket_counts_str is None
+                if r.metric_type == "gauge":
+                    assert r.temporality is None and r.is_monotonic is None
+                else:
+                    assert r.temporality in (1, 2)
+                    assert r.is_monotonic is not None
+
+    def test_uint64_string_fields_roundtrip(self, spark):
+        # asInt / count / bucketCounts arrive as proto3-JSON strings and
+        # must cast losslessly past 2^32
+        import json as _json
+
+        from otel_arrow_spark.sources.otlp_json import parse_otlp_metrics_json
+
+        big = (1 << 53) + 111
+        req = {
+            "resourceMetrics": [{
+                "resource": {"attributes": [
+                    {"key": "service.name", "value": {"stringValue": "s"}}]},
+                "scopeMetrics": [{
+                    "scope": {"name": "app", "version": "1"},
+                    "metrics": [{
+                        "name": "m", "unit": "1",
+                        "sum": {
+                            "dataPoints": [{
+                                "timeUnixNano": "100",
+                                "asInt": str(big),
+                                "attributes": [],
+                            }],
+                            "aggregationTemporality": 2,
+                            "isMonotonic": True,
+                        },
+                    }],
+                }],
+            }]
+        }
+        df = spark.createDataFrame([(_json.dumps(req),)], "payload string")
+        [r] = parse_otlp_metrics_json(df).collect()
+        assert r.metric_type == "sum" and r.is_monotonic is True
+        assert r.value == float(big)
+        assert r.host_name is None and r.bucket_counts_str is None
+
+    def test_plan_is_scan_side(self, spark):
+        from otel_arrow_spark.sources.otlp_json import (
+            generate_otlp_json_metric_requests,
+            parse_otlp_metrics_json,
+        )
+
+        reqs = generate_otlp_json_metric_requests(60)
+        df = spark.createDataFrame([(p,) for p in reqs], "payload string")
+        plan = (
+            parse_otlp_metrics_json(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Generate") == 4, "rm, sm, metrics, points"
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan

@@ -308,6 +308,26 @@ def main() -> None:
         )
     )
 
+    from otel_arrow_spark.sources.otlp_json import (
+        generate_otlp_json_metric_requests,
+        parse_otlp_metrics_json,
+    )
+
+    mpayloads = spark.createDataFrame(
+        [(p,) for p in generate_otlp_json_metric_requests(2000)],
+        "payload string",
+    )
+    sections.append(
+        (
+            "OTLP/JSON metrics decode (oneof normalized scan-side)",
+            "Expected: exactly 4 `Generate` nodes (resourceMetrics → "
+            "scopeMetrics → metrics → unified points array), zero "
+            "`Exchange`, zero Python — the gauge/sum/histogram oneof "
+            "becomes one explode via per-branch transform + concat.",
+            parse_otlp_metrics_json(mpayloads),
+        )
+    )
+
     from otel_arrow_spark.operators.logpatterns import mine_templates
 
     sections.append(
