@@ -2174,7 +2174,55 @@ def q_otlp_metrics_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "service_name", "scope_name", "scope_version", "metric_name",
         "metric_unit", "metric_type", "temporality", "is_monotonic",
         "time_unix_nano", "value", "count", "sum_value",
-        "bucket_counts_str", "explicit_bounds_str", "host_name", "point_seq",
+        F.array_join("bucket_counts", ",").alias("bucket_counts_str"),
+        F.array_join("explicit_bounds", ",").alias("explicit_bounds_str"),
+        "host_name", "point_seq",
+    )
+
+
+def q_otlp_hist_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit-histogram ingest→p95 pipeline END-TO-END: OTLP/JSON
+    decode → delta-temporality bucket merge per (service, metric, minute)
+    → histogram_quantile over the MERGED buckets — the composition a
+    latency dashboard runs (temporal_reaggregation_processor/mod.rs
+    feeding docs/data_model.md:63-78 histogram state into a percentile
+    read). Every compared value is engine-exact: bucket merges are
+    integer element-wise sums, the window key is integer minute epoch,
+    and the interpolated p95 derives only from those integers, the fixed
+    bounds, and the rank — no order-dependent float accumulation."""
+    from otel_arrow_spark.operators.metrics import (
+        histogram_delta_merge,
+        histogram_quantile,
+    )
+    from otel_arrow_spark.sources.otlp_json import parse_otlp_metrics_json
+
+    n = 2000 if "sf0.001" in sf_dir else (200_000 if "sf0.1/" in sf_dir or sf_dir.endswith("sf0.1") else 20_000)
+    pts = parse_otlp_metrics_json(
+        spark.read.parquet(_otlp_metrics_corpus_path(n))
+    )
+    hist = pts.where(
+        (F.col("metric_type") == "histogram") & (F.col("temporality") == 1)
+    ).select(
+        "service_name",
+        "metric_name",
+        F.timestamp_micros(F.expr("time_unix_nano div 1000")).alias("ts"),
+        F.col("count").alias("h_count"),
+        F.col("sum_value").alias("h_sum"),
+        F.lit(None).cast("double").alias("h_min"),
+        F.lit(None).cast("double").alias("h_max"),
+        F.col("explicit_bounds").alias("bounds"),
+        "bucket_counts",
+    )
+    merged = histogram_delta_merge(
+        hist, "60 seconds", keys=("service_name", "metric_name")
+    )
+    out = histogram_quantile(merged, 0.95, out_col="p95")
+    return out.select(
+        F.col("window_start").cast("long").alias("window_epoch"),
+        "service_name",
+        "metric_name",
+        "h_count",
+        F.round("p95", 6).alias("p95_r"),
     )
 
 
@@ -2277,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otlp_logs_ingest": q_otlp_logs_ingest,
         "otlp_traces_ingest": q_otlp_traces_ingest,
         "otlp_metrics_ingest": q_otlp_metrics_ingest,
+        "otlp_hist_p95": q_otlp_hist_p95,
         "tool_transitions": q_tool_transitions,
         "log_templates": q_log_templates,
         "rollup_sets": q_rollup_sets,
@@ -2746,6 +2795,66 @@ def oracle_sql() -> dict[str, str]:
               list_extract(list_filter(attrs, a -> a.key='host.name'),1).value.stringValue AS host_name,
               CAST(list_extract(list_filter(attrs, a -> a.key='point.seq'),1).value.intValue AS BIGINT) AS point_seq
             FROM pts
+        """,
+        "otlp_hist_p95": f"""
+            WITH t AS (
+              SELECT json_transform(payload,
+                '{{"resourceMetrics":[{{"resource":{{"attributes":[{{"key":"VARCHAR","value":{{"stringValue":"VARCHAR","intValue":"VARCHAR"}}}}]}},"scopeMetrics":[{{"scope":{{"name":"VARCHAR","version":"VARCHAR"}},"metrics":[{{"name":"VARCHAR","unit":"VARCHAR","histogram":{{"dataPoints":[{{"timeUnixNano":"VARCHAR","count":"VARCHAR","sum":"DOUBLE","bucketCounts":["VARCHAR"],"explicitBounds":["DOUBLE"]}}],"aggregationTemporality":"INTEGER"}}}}]}}]}}]}}') AS req
+              FROM read_parquet('{_REPO}/.cache/otlp/metrics_n20000.parquet')),
+            rm AS (SELECT unnest(req.resourceMetrics) AS r FROM t),
+            sm AS (SELECT r.resource AS resource, unnest(r.scopeMetrics) AS s FROM rm),
+            m AS (SELECT resource, unnest(s.metrics) AS mt FROM sm),
+            pts AS (
+              SELECT
+                list_extract(list_filter(resource.attributes, a -> a.key='service.name'),1).value.stringValue AS service_name,
+                mt.name AS metric_name,
+                (CAST(p.timeUnixNano AS BIGINT) // 60000000000) * 60 AS window_epoch,
+                CAST(p.count AS BIGINT) AS cnt,
+                list_transform(p.bucketCounts, c -> CAST(c AS BIGINT)) AS bc,
+                p.explicitBounds AS bounds
+              FROM m, unnest(mt.histogram.dataPoints) AS u(p)
+              WHERE mt.histogram.aggregationTemporality = 1),
+            be AS (
+              SELECT window_epoch, service_name, metric_name, i,
+                     CAST(sum(c) AS BIGINT) AS c
+              FROM (SELECT window_epoch, service_name, metric_name,
+                           unnest(bc) AS c, generate_subscripts(bc, 1) AS i
+                    FROM pts)
+              GROUP BY 1, 2, 3, 4),
+            barr AS (
+              SELECT window_epoch, service_name, metric_name,
+                     list(c ORDER BY i) AS bc
+              FROM be GROUP BY 1, 2, 3),
+            hc AS (
+              SELECT window_epoch, service_name, metric_name,
+                     CAST(sum(cnt) AS BIGINT) AS h_count, min(bounds) AS bounds
+              FROM pts GROUP BY 1, 2, 3),
+            q AS (
+              SELECT h.window_epoch, h.service_name, h.metric_name, h.h_count,
+                     h.bounds, b.bc,
+                     CAST(list_aggregate(b.bc, 'sum') AS DOUBLE) AS total,
+                     0.95 * CAST(list_aggregate(b.bc, 'sum') AS DOUBLE) AS rank
+              FROM hc h JOIN barr b USING (window_epoch, service_name, metric_name)),
+            q2 AS (
+              SELECT *,
+                     1 + len(list_filter(generate_series(1, len(bc)),
+                               i -> CAST(list_aggregate(bc[1:i], 'sum') AS DOUBLE) < rank)) AS j
+              FROM q),
+            q3 AS (
+              SELECT *,
+                     CASE WHEN j = 1 THEN 0.0 ELSE bounds[j-1] END AS lo,
+                     bounds[j] AS hi,
+                     CASE WHEN j = 1 THEN 0.0
+                          ELSE CAST(list_aggregate(bc[1:j-1], 'sum') AS DOUBLE) END AS prev_cum,
+                     CAST(bc[j] AS DOUBLE) AS in_bucket
+              FROM q2)
+            SELECT window_epoch, service_name, metric_name, h_count,
+                   round(CASE WHEN total = 0 THEN NULL
+                              WHEN j > len(bounds) THEN bounds[len(bounds)]
+                              WHEN in_bucket = 0 THEN hi
+                              ELSE lo + (hi - lo) * (rank - prev_cum) / in_bucket
+                         END, 6) AS p95_r
+            FROM q3
         """,
         "tool_transitions": f"""
             WITH calls AS (

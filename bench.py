@@ -79,6 +79,7 @@ HEADLINE_QUERIES = [
     "otlp_logs_ingest",
     "otlp_traces_ingest",
     "otlp_metrics_ingest",
+    "otlp_hist_p95",
     "tool_transitions",
     "log_templates",
     "rollup_sets",

@@ -545,7 +545,9 @@ def generate_otlp_json_metric_requests(n_points: int, seed: int = 44) -> list[st
     scope_pick = rng.randint(0, len(SCOPES), size=len(sizes))
     mdef_pick = rng.randint(0, len(METRIC_DEFS), size=len(sizes))
     temp_pick = rng.randint(0, 2, size=len(sizes))
-    t_off = np.cumsum(rng.randint(1_000, 3_000_000, size=n).astype(np.int64))
+    # ~0.5 s mean step: 20k points span ~3 h, so minute-windowed
+    # downstream reaggregation sees hundreds of windows, not one
+    t_off = np.cumsum(rng.randint(1_000, 1_000_000_000, size=n).astype(np.int64))
     dval = np.round(rng.random_sample(n) * 1000.0, 3)
     ival = rng.randint(0, 1 << 40, size=n)
     use_int = rng.random_sample(n) < 0.4
@@ -817,8 +819,8 @@ def parse_otlp_metrics_json(df: DataFrame, payload_col: str = "payload") -> Data
         p["value"].alias("value"),
         p["count"].alias("count"),
         p["sum"].alias("sum_value"),
-        F.array_join(p["bucket_counts"], ",").alias("bucket_counts_str"),
-        F.array_join(p["explicit_bounds"], ",").alias("explicit_bounds_str"),
+        p["bucket_counts"].alias("bucket_counts"),
+        p["explicit_bounds"].alias("explicit_bounds"),
         _attr(p["attrs"], "host.name").alias("host_name"),
         _attr(p["attrs"], "point.seq").cast("long").alias("point_seq"),
     )

@@ -273,15 +273,15 @@ class TestOtlpMetricsJson:
             assert r.time_unix_nano > 0 and r.point_seq is not None
             if r.metric_type == "histogram":
                 # count is the sum of its own bucketCounts; bounds = k+1 buckets
-                counts = [int(c) for c in r.bucket_counts_str.split(",")]
-                bounds = r.explicit_bounds_str.split(",")
+                counts = list(r.bucket_counts)
+                bounds = list(r.explicit_bounds)
                 assert r["count"] == sum(counts)
                 assert len(counts) == len(bounds) + 1
                 assert r.value is None and r.sum_value is not None
                 assert r.temporality in (1, 2) and r.is_monotonic is None
             else:
                 assert r.value is not None and r["count"] is None
-                assert r.bucket_counts_str is None
+                assert r.bucket_counts is None
                 if r.metric_type == "gauge":
                     assert r.temporality is None and r.is_monotonic is None
                 else:
@@ -321,7 +321,7 @@ class TestOtlpMetricsJson:
         [r] = parse_otlp_metrics_json(df).collect()
         assert r.metric_type == "sum" and r.is_monotonic is True
         assert r.value == float(big)
-        assert r.host_name is None and r.bucket_counts_str is None
+        assert r.host_name is None and r.bucket_counts is None
 
     def test_plan_is_scan_side(self, spark):
         from otel_arrow_spark.sources.otlp_json import (
