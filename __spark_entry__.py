@@ -2170,12 +2170,29 @@ def q_otlp_metrics_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = 2000 if "sf0.001" in sf_dir else (200_000 if "sf0.1/" in sf_dir or sf_dir.endswith("sf0.1") else 20_000)
     payloads = spark.read.parquet(_otlp_metrics_corpus_path(n))
+    # the summary quantile snapshot compares as integer-encoded pairs
+    # (pct = quantile*100, millis = round(value*1000)) so double→string
+    # formatting can never diverge between engines
+    q_str = F.array_join(
+        F.transform(
+            F.col("quantiles"),
+            lambda s: F.concat_ws(
+                "=",
+                (s["quantile"] * 100).cast("int").cast("string"),
+                F.round(s["value"] * 1000).cast("long").cast("string"),
+            ),
+        ),
+        ",",
+    )
     return parse_otlp_metrics_json(payloads).select(
         "service_name", "scope_name", "scope_version", "metric_name",
         "metric_unit", "metric_type", "temporality", "is_monotonic",
         "time_unix_nano", "value", "count", "sum_value",
         F.array_join("bucket_counts", ",").alias("bucket_counts_str"),
         F.array_join("explicit_bounds", ",").alias("explicit_bounds_str"),
+        "scale", "zero_count", "pos_offset",
+        F.array_join("pos_bucket_counts", ",").alias("pos_bucket_counts_str"),
+        q_str.alias("quantiles_str"),
         "host_name", "point_seq",
     )
 
@@ -2759,7 +2776,7 @@ def oracle_sql() -> dict[str, str]:
         "otlp_metrics_ingest": f"""
             WITH t AS (
               SELECT json_transform(payload,
-                '{{"resourceMetrics":[{{"resource":{{"attributes":[{{"key":"VARCHAR","value":{{"stringValue":"VARCHAR","intValue":"VARCHAR"}}}}]}},"scopeMetrics":[{{"scope":{{"name":"VARCHAR","version":"VARCHAR"}},"metrics":[{{"name":"VARCHAR","unit":"VARCHAR","gauge":{{"dataPoints":[{{"timeUnixNano":"VARCHAR","asDouble":"DOUBLE","asInt":"VARCHAR","attributes":[{{"key":"VARCHAR","value":{{"stringValue":"VARCHAR","intValue":"VARCHAR"}}}}]}}]}},"sum":{{"dataPoints":[{{"timeUnixNano":"VARCHAR","asDouble":"DOUBLE","asInt":"VARCHAR","attributes":[{{"key":"VARCHAR","value":{{"stringValue":"VARCHAR","intValue":"VARCHAR"}}}}]}}],"aggregationTemporality":"INTEGER","isMonotonic":"BOOLEAN"}},"histogram":{{"dataPoints":[{{"timeUnixNano":"VARCHAR","count":"VARCHAR","sum":"DOUBLE","bucketCounts":["VARCHAR"],"explicitBounds":["DOUBLE"],"attributes":[{{"key":"VARCHAR","value":{{"stringValue":"VARCHAR","intValue":"VARCHAR"}}}}]}}],"aggregationTemporality":"INTEGER"}}}}]}}]}}]}}') AS req
+                '{{"resourceMetrics":[{{"resource":{{"attributes":[{{"key":"VARCHAR","value":{{"stringValue":"VARCHAR","intValue":"VARCHAR"}}}}]}},"scopeMetrics":[{{"scope":{{"name":"VARCHAR","version":"VARCHAR"}},"metrics":[{{"name":"VARCHAR","unit":"VARCHAR","gauge":{{"dataPoints":[{{"timeUnixNano":"VARCHAR","asDouble":"DOUBLE","asInt":"VARCHAR","attributes":[{{"key":"VARCHAR","value":{{"stringValue":"VARCHAR","intValue":"VARCHAR"}}}}]}}]}},"sum":{{"dataPoints":[{{"timeUnixNano":"VARCHAR","asDouble":"DOUBLE","asInt":"VARCHAR","attributes":[{{"key":"VARCHAR","value":{{"stringValue":"VARCHAR","intValue":"VARCHAR"}}}}]}}],"aggregationTemporality":"INTEGER","isMonotonic":"BOOLEAN"}},"histogram":{{"dataPoints":[{{"timeUnixNano":"VARCHAR","count":"VARCHAR","sum":"DOUBLE","bucketCounts":["VARCHAR"],"explicitBounds":["DOUBLE"],"attributes":[{{"key":"VARCHAR","value":{{"stringValue":"VARCHAR","intValue":"VARCHAR"}}}}]}}],"aggregationTemporality":"INTEGER"}},"exponentialHistogram":{{"dataPoints":[{{"timeUnixNano":"VARCHAR","count":"VARCHAR","sum":"DOUBLE","scale":"INTEGER","zeroCount":"VARCHAR","positive":{{"offset":"INTEGER","bucketCounts":["VARCHAR"]}},"attributes":[{{"key":"VARCHAR","value":{{"stringValue":"VARCHAR","intValue":"VARCHAR"}}}}]}}],"aggregationTemporality":"INTEGER"}},"summary":{{"dataPoints":[{{"timeUnixNano":"VARCHAR","count":"VARCHAR","sum":"DOUBLE","quantileValues":[{{"quantile":"DOUBLE","value":"DOUBLE"}}],"attributes":[{{"key":"VARCHAR","value":{{"stringValue":"VARCHAR","intValue":"VARCHAR"}}}}]}}]}}}}]}}]}}]}}') AS req
               FROM read_parquet('{_REPO}/.cache/otlp/metrics_n20000.parquet')),
             rm AS (SELECT unnest(req.resourceMetrics) AS r FROM t),
             sm AS (SELECT r.resource AS resource, unnest(r.scopeMetrics) AS s FROM rm),
@@ -2771,27 +2788,54 @@ def oracle_sql() -> dict[str, str]:
                      COALESCE(p.asDouble, CAST(p.asInt AS DOUBLE)) AS value,
                      NULL::BIGINT AS count, NULL::DOUBLE AS sum_value,
                      NULL::VARCHAR AS bucket_counts_str,
-                     NULL::VARCHAR AS explicit_bounds_str, p.attributes AS attrs
+                     NULL::VARCHAR AS explicit_bounds_str,
+                     NULL::INTEGER AS scale, NULL::BIGINT AS zero_count,
+                     NULL::INTEGER AS pos_offset,
+                     NULL::VARCHAR AS pos_bucket_counts_str,
+                     NULL::VARCHAR AS quantiles_str, p.attributes AS attrs
               FROM m, unnest(mt.gauge.dataPoints) AS u(p)
               UNION ALL
               SELECT resource, scope, mt.name, mt.unit, 'sum',
                      mt.sum.aggregationTemporality, mt.sum.isMonotonic,
                      p.timeUnixNano, COALESCE(p.asDouble, CAST(p.asInt AS DOUBLE)),
-                     NULL, NULL, NULL, NULL, p.attributes
+                     NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+                     p.attributes
               FROM m, unnest(mt.sum.dataPoints) AS u(p)
               UNION ALL
               SELECT resource, scope, mt.name, mt.unit, 'histogram',
                      mt.histogram.aggregationTemporality, NULL, p.timeUnixNano,
                      NULL, CAST(p.count AS BIGINT), p.sum,
                      array_to_string(p.bucketCounts, ','),
-                     array_to_string(p.explicitBounds, ','), p.attributes
-              FROM m, unnest(mt.histogram.dataPoints) AS u(p))
+                     array_to_string(p.explicitBounds, ','),
+                     NULL, NULL, NULL, NULL, NULL, p.attributes
+              FROM m, unnest(mt.histogram.dataPoints) AS u(p)
+              UNION ALL
+              SELECT resource, scope, mt.name, mt.unit, 'exp_histogram',
+                     mt.exponentialHistogram.aggregationTemporality, NULL,
+                     p.timeUnixNano, NULL, CAST(p.count AS BIGINT), p.sum,
+                     NULL, NULL, p.scale, CAST(p.zeroCount AS BIGINT),
+                     p.positive."offset",
+                     array_to_string(p.positive.bucketCounts, ','),
+                     NULL, p.attributes
+              FROM m, unnest(mt.exponentialHistogram.dataPoints) AS u(p)
+              UNION ALL
+              SELECT resource, scope, mt.name, mt.unit, 'summary',
+                     NULL, NULL, p.timeUnixNano, NULL,
+                     CAST(p.count AS BIGINT), p.sum, NULL, NULL,
+                     NULL, NULL, NULL, NULL,
+                     array_to_string(list_transform(p.quantileValues,
+                       x -> CAST(CAST(x.quantile * 100 AS INTEGER) AS VARCHAR)
+                            || '=' ||
+                            CAST(CAST(round(x.value * 1000) AS BIGINT) AS VARCHAR)), ','),
+                     p.attributes
+              FROM m, unnest(mt.summary.dataPoints) AS u(p))
             SELECT
               list_extract(list_filter(resource.attributes, a -> a.key='service.name'),1).value.stringValue AS service_name,
               scope.name AS scope_name, scope.version AS scope_version,
               metric_name, metric_unit, metric_type, temporality, is_monotonic,
               CAST(t AS BIGINT) AS time_unix_nano, value, count, sum_value,
               bucket_counts_str, explicit_bounds_str,
+              scale, zero_count, pos_offset, pos_bucket_counts_str, quantiles_str,
               list_extract(list_filter(attrs, a -> a.key='host.name'),1).value.stringValue AS host_name,
               CAST(list_extract(list_filter(attrs, a -> a.key='point.seq'),1).value.intValue AS BIGINT) AS point_seq
             FROM pts

@@ -516,6 +516,8 @@ METRIC_DEFS = [
     ("system.disk.io_ratio", "1", "gauge"),
     ("http.server.duration", "ms", "histogram"),
     ("db.client.latency", "ms", "histogram"),
+    ("rpc.server.duration", "ms", "exp_histogram"),
+    ("http.client.request.size", "By", "summary"),
 ]
 HIST_BOUNDS = [5.0, 10.0, 25.0, 50.0, 100.0, 250.0, 500.0, 1000.0]
 # proto AggregationTemporality: DELTA=1 CUMULATIVE=2
@@ -524,13 +526,15 @@ TEMPORALITIES = [1, 2]
 
 def generate_otlp_json_metric_requests(n_points: int, seed: int = 44) -> list[str]:
     """Deterministic ExportMetricsServiceRequest payloads totalling exactly
-    ``n_points`` data points across the Metric `data` oneof's three main
-    branches — gauge / sum / histogram (views/otlp/proto/metrics.rs:10-110:
-    the NumberDataPoint / HistogramDataPoint view field sets). Per the
-    OTLP/JSON spec: uint64 fields (`timeUnixNano`, `asInt`, `count`,
-    `bucketCounts`) serialize as JSON strings, enums
-    (`aggregationTemporality`) as integers, and absent oneof branches are
-    omitted entirely."""
+    ``n_points`` data points across all five Metric `data` oneof branches —
+    gauge / sum / histogram / exponentialHistogram / summary
+    (views/otlp/proto/metrics.rs:10-110: the NumberDataPoint /
+    HistogramDataPoint / ExponentialHistogramDataPoint / SummaryDataPoint
+    view field sets). Per the OTLP/JSON spec: uint64 fields
+    (`timeUnixNano`, `asInt`, `count`, `bucketCounts`, `zeroCount`)
+    serialize as JSON strings, enums (`aggregationTemporality`) as
+    integers, and absent oneof branches / empty sub-messages (a
+    zero-bucket `negative` side) are omitted entirely."""
     rng = np.random.RandomState(seed)
 
     sizes: list[int] = []
@@ -552,6 +556,7 @@ def generate_otlp_json_metric_requests(n_points: int, seed: int = 44) -> list[st
     ival = rng.randint(0, 1 << 40, size=n)
     use_int = rng.random_sample(n) < 0.4
     bkt = rng.randint(0, 500, size=(n, len(HIST_BOUNDS) + 1))
+    exp_scale = rng.randint(0, 5, size=len(sizes))
 
     out: list[str] = []
     pt_i = 0
@@ -573,6 +578,27 @@ def generate_otlp_json_metric_requests(n_points: int, seed: int = 44) -> list[st
                 pt["sum"] = float(np.round(counts.sum() * dval[i] / 100.0, 3))
                 pt["bucketCounts"] = [str(int(c)) for c in counts]
                 pt["explicitBounds"] = HIST_BOUNDS
+            elif kind == "exp_histogram":
+                counts = bkt[i][:6]
+                zero = int(bkt[i][6] % 50)
+                pt["count"] = str(int(counts.sum()) + zero)
+                pt["sum"] = float(np.round(counts.sum() * dval[i] / 100.0, 3))
+                pt["scale"] = int(exp_scale[req_i])
+                pt["zeroCount"] = str(zero)
+                # durations are positive: the negative side is the empty
+                # message, omitted from the wire per proto3 JSON
+                pt["positive"] = {
+                    "offset": int(ival[i] % 10),
+                    "bucketCounts": [str(int(c)) for c in counts],
+                }
+            elif kind == "summary":
+                pt["count"] = str(int(bkt[i].sum()))
+                pt["sum"] = float(np.round(bkt[i].sum() * dval[i] / 100.0, 3))
+                pt["quantileValues"] = [
+                    {"quantile": 0.5, "value": float(np.round(dval[i] * 0.5, 3))},
+                    {"quantile": 0.9, "value": float(np.round(dval[i] * 0.9, 3))},
+                    {"quantile": 0.99, "value": float(np.round(dval[i] * 0.99, 3))},
+                ]
             elif use_int[i]:
                 pt["asInt"] = str(int(ival[i]))
             else:
@@ -589,6 +615,13 @@ def generate_otlp_json_metric_requests(n_points: int, seed: int = 44) -> list[st
                 "aggregationTemporality": TEMPORALITIES[temp_pick[req_i]],
                 "isMonotonic": name.endswith(("count", "time")),
             }
+        elif kind == "exp_histogram":
+            metric["exponentialHistogram"] = {
+                "dataPoints": pts,
+                "aggregationTemporality": TEMPORALITIES[temp_pick[req_i]],
+            }
+        elif kind == "summary":
+            metric["summary"] = {"dataPoints": pts}
         else:
             metric["histogram"] = {
                 "dataPoints": pts,
@@ -704,6 +737,69 @@ OTLP_EXPORT_METRICS_SCHEMA = T.StructType(
                                                                 ]
                                                             ),
                                                         ),
+                                                        T.StructField(
+                                                            "exponentialHistogram",
+                                                            T.StructType(
+                                                                [
+                                                                    T.StructField(
+                                                                        "dataPoints",
+                                                                        T.ArrayType(
+                                                                            T.StructType(
+                                                                                [
+                                                                                    T.StructField("timeUnixNano", T.StringType()),
+                                                                                    T.StructField("count", T.StringType()),
+                                                                                    T.StructField("sum", T.DoubleType()),
+                                                                                    T.StructField("scale", T.IntegerType()),
+                                                                                    T.StructField("zeroCount", T.StringType()),
+                                                                                    T.StructField(
+                                                                                        "positive",
+                                                                                        T.StructType(
+                                                                                            [
+                                                                                                T.StructField("offset", T.IntegerType()),
+                                                                                                T.StructField("bucketCounts", T.ArrayType(T.StringType())),
+                                                                                            ]
+                                                                                        ),
+                                                                                    ),
+                                                                                    T.StructField("attributes", _kv_list()),
+                                                                                ]
+                                                                            )
+                                                                        ),
+                                                                    ),
+                                                                    T.StructField("aggregationTemporality", T.IntegerType()),
+                                                                ]
+                                                            ),
+                                                        ),
+                                                        T.StructField(
+                                                            "summary",
+                                                            T.StructType(
+                                                                [
+                                                                    T.StructField(
+                                                                        "dataPoints",
+                                                                        T.ArrayType(
+                                                                            T.StructType(
+                                                                                [
+                                                                                    T.StructField("timeUnixNano", T.StringType()),
+                                                                                    T.StructField("count", T.StringType()),
+                                                                                    T.StructField("sum", T.DoubleType()),
+                                                                                    T.StructField(
+                                                                                        "quantileValues",
+                                                                                        T.ArrayType(
+                                                                                            T.StructType(
+                                                                                                [
+                                                                                                    T.StructField("quantile", T.DoubleType()),
+                                                                                                    T.StructField("value", T.DoubleType()),
+                                                                                                ]
+                                                                                            )
+                                                                                        ),
+                                                                                    ),
+                                                                                    T.StructField("attributes", _kv_list()),
+                                                                                ]
+                                                                            )
+                                                                        ),
+                                                                    ),
+                                                                ]
+                                                            ),
+                                                        ),
                                                     ]
                                                 )
                                             ),
@@ -722,20 +818,24 @@ OTLP_EXPORT_METRICS_SCHEMA = T.StructType(
 
 def parse_otlp_metrics_json(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Decode OTLP/JSON ExportMetricsServiceRequest payloads into one flat
-    row per data point, across the gauge / sum / histogram oneof.
+    row per data point, across all five Metric `data` oneof branches
+    (gauge / sum / histogram / exponentialHistogram / summary).
 
     The oneof is normalized scan-side: each branch's dataPoints array is
     `transform`ed into ONE common point struct (number branches fill the
-    value field, histogram fills count/sum/buckets) and the three are
-    `concat`ed, so a single `explode` handles every metric kind — still
-    from_json + 4 Generates, zero shuffle, zero Python, exactly like the
-    logs/traces decoders. Branch tags: metric_type from whichever oneof
-    field is non-NULL; temporality/monotonic NULL where the proto lacks
-    them (gauge)."""
+    value field, histogram fills count/sum/buckets, exp-histogram fills
+    scale/zero/positive-side, summary fills the quantile snapshot) and
+    the five are `concat`ed, so a single `explode` handles every metric
+    kind — still from_json + 4 Generates, zero shuffle, zero Python,
+    exactly like the logs/traces decoders. Branch tags: metric_type from
+    whichever oneof field is non-NULL; temporality/monotonic NULL where
+    the proto lacks them (gauge, summary)."""
     _dn = F.lit(None).cast("double")
     _ln = F.lit(None).cast("long")
+    _in = F.lit(None).cast("int")
     _an = F.lit(None).cast("array<bigint>")
     _bn = F.lit(None).cast("array<double>")
+    _qn = F.lit(None).cast("array<struct<quantile:double,value:double>>")
 
     def _num_pt(p):
         return F.struct(
@@ -745,6 +845,11 @@ def parse_otlp_metrics_json(df: DataFrame, payload_col: str = "payload") -> Data
             _dn.alias("sum"),
             _an.alias("bucket_counts"),
             _bn.alias("explicit_bounds"),
+            _in.alias("scale"),
+            _ln.alias("zero_count"),
+            _in.alias("pos_offset"),
+            _an.alias("pos_bucket_counts"),
+            _qn.alias("quantiles"),
             p["attributes"].alias("attrs"),
         )
 
@@ -758,12 +863,54 @@ def parse_otlp_metrics_json(df: DataFrame, payload_col: str = "payload") -> Data
                 "bucket_counts"
             ),
             p["explicitBounds"].alias("explicit_bounds"),
+            _in.alias("scale"),
+            _ln.alias("zero_count"),
+            _in.alias("pos_offset"),
+            _an.alias("pos_bucket_counts"),
+            _qn.alias("quantiles"),
+            p["attributes"].alias("attrs"),
+        )
+
+    def _exp_pt(p):
+        return F.struct(
+            p["timeUnixNano"].alias("t"),
+            _dn.alias("value"),
+            p["count"].cast("long").alias("count"),
+            p["sum"].alias("sum"),
+            _an.alias("bucket_counts"),
+            _bn.alias("explicit_bounds"),
+            p["scale"].alias("scale"),
+            p["zeroCount"].cast("long").alias("zero_count"),
+            p["positive"]["offset"].alias("pos_offset"),
+            F.transform(
+                p["positive"]["bucketCounts"], lambda c: c.cast("long")
+            ).alias("pos_bucket_counts"),
+            _qn.alias("quantiles"),
+            p["attributes"].alias("attrs"),
+        )
+
+    def _summary_pt(p):
+        return F.struct(
+            p["timeUnixNano"].alias("t"),
+            _dn.alias("value"),
+            p["count"].cast("long").alias("count"),
+            p["sum"].alias("sum"),
+            _an.alias("bucket_counts"),
+            _bn.alias("explicit_bounds"),
+            _in.alias("scale"),
+            _ln.alias("zero_count"),
+            _in.alias("pos_offset"),
+            _an.alias("pos_bucket_counts"),
+            p["quantileValues"].alias("quantiles"),
             p["attributes"].alias("attrs"),
         )
 
     _empty = F.array().cast(
         "array<struct<t:string,value:double,count:bigint,sum:double,"
         "bucket_counts:array<bigint>,explicit_bounds:array<double>,"
+        "scale:int,zero_count:bigint,pos_offset:int,"
+        "pos_bucket_counts:array<bigint>,"
+        "quantiles:array<struct<quantile:double,value:double>>,"
         "attrs:array<struct<key:string,value:struct<stringValue:string,intValue:string>>>>>"
     )
 
@@ -788,11 +935,14 @@ def parse_otlp_metrics_json(df: DataFrame, payload_col: str = "payload") -> Data
         mc["unit"].alias("metric_unit"),
         F.when(mc["gauge"].isNotNull(), F.lit("gauge"))
         .when(mc["sum"].isNotNull(), F.lit("sum"))
+        .when(mc["exponentialHistogram"].isNotNull(), F.lit("exp_histogram"))
+        .when(mc["summary"].isNotNull(), F.lit("summary"))
         .otherwise(F.lit("histogram"))
         .alias("metric_type"),
         F.coalesce(
             mc["sum"]["aggregationTemporality"],
             mc["histogram"]["aggregationTemporality"],
+            mc["exponentialHistogram"]["aggregationTemporality"],
         ).alias("temporality"),
         mc["sum"]["isMonotonic"].alias("is_monotonic"),
         F.explode(
@@ -801,6 +951,15 @@ def parse_otlp_metrics_json(df: DataFrame, payload_col: str = "payload") -> Data
                 F.coalesce(F.transform(mc["sum"]["dataPoints"], _num_pt), _empty),
                 F.coalesce(
                     F.transform(mc["histogram"]["dataPoints"], _hist_pt), _empty
+                ),
+                F.coalesce(
+                    F.transform(
+                        mc["exponentialHistogram"]["dataPoints"], _exp_pt
+                    ),
+                    _empty,
+                ),
+                F.coalesce(
+                    F.transform(mc["summary"]["dataPoints"], _summary_pt), _empty
                 ),
             )
         ).alias("_p"),
@@ -821,6 +980,11 @@ def parse_otlp_metrics_json(df: DataFrame, payload_col: str = "payload") -> Data
         p["sum"].alias("sum_value"),
         p["bucket_counts"].alias("bucket_counts"),
         p["explicit_bounds"].alias("explicit_bounds"),
+        p["scale"].alias("scale"),
+        p["zero_count"].alias("zero_count"),
+        p["pos_offset"].alias("pos_offset"),
+        p["pos_bucket_counts"].alias("pos_bucket_counts"),
+        p["quantiles"].alias("quantiles"),
         _attr(p["attrs"], "host.name").alias("host_name"),
         _attr(p["attrs"], "point.seq").cast("long").alias("point_seq"),
     )

@@ -267,7 +267,7 @@ class TestOtlpMetricsJson:
         rows = parse_otlp_metrics_json(df).collect()
         assert len(rows) == 500
         kinds = {r.metric_type for r in rows}
-        assert kinds == {"gauge", "sum", "histogram"}
+        assert kinds == {"gauge", "sum", "histogram", "exp_histogram", "summary"}
         for r in rows:
             assert r.service_name.startswith("service_")
             assert r.time_unix_nano > 0 and r.point_seq is not None
@@ -279,6 +279,21 @@ class TestOtlpMetricsJson:
                 assert len(counts) == len(bounds) + 1
                 assert r.value is None and r.sum_value is not None
                 assert r.temporality in (1, 2) and r.is_monotonic is None
+            elif r.metric_type == "exp_histogram":
+                # count = zeroCount + positive-side buckets; negative side
+                # was the empty message, omitted from the wire
+                pos = list(r.pos_bucket_counts)
+                assert r["count"] == r.zero_count + sum(pos)
+                assert 0 <= r.scale <= 4 and 0 <= r.pos_offset <= 9
+                assert r.temporality in (1, 2)
+                assert r.value is None and r.bucket_counts is None
+            elif r.metric_type == "summary":
+                # quantile snapshot: 50/90/99 in order, values scale with q
+                qs = [(x["quantile"], x["value"]) for x in r.quantiles]
+                assert [q for q, _ in qs] == [0.5, 0.9, 0.99]
+                assert qs[0][1] <= qs[1][1] <= qs[2][1]
+                assert r["count"] is not None and r.sum_value is not None
+                assert r.temporality is None and r.is_monotonic is None
             else:
                 assert r.value is not None and r["count"] is None
                 assert r.bucket_counts is None
