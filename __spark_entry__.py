@@ -2197,6 +2197,31 @@ def q_otlp_metrics_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_otlp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP/JSON decode → ENCODE → decode round-trip
+    (go/pkg/otel/logs/otlp/logs.go: the reference's columnar→OTLP inverse,
+    proven there by assert.Equiv round-trip tests — this is the same
+    proof as a driver query): the Spark side re-batches the parsed rows
+    into new ExportLogsServiceRequest payloads (encode_otlp_json — new
+    grouping, nondeterministic record order, NULL fields re-omitted) and
+    parses them back; the oracle is the PLAIN single decode of the
+    original bytes. Hash equality means the exporter encoding lost
+    nothing."""
+    from otel_arrow_spark.sources.otlp_json import (
+        encode_otlp_json,
+        parse_otlp_json,
+    )
+
+    n = 2000 if "sf0.001" in sf_dir else (200_000 if "sf0.1/" in sf_dir or sf_dir.endswith("sf0.1") else 20_000)
+    payloads = spark.read.parquet(_otlp_corpus_path(n))
+    rt = parse_otlp_json(encode_otlp_json(parse_otlp_json(payloads)))
+    return rt.select(
+        "service_name", "environment", "scope_name", "scope_version",
+        "time_unix_nano", "severity_number", "severity_text", "body",
+        "trace_id", "span_id", "dropped_attributes_count", "event_index",
+    )
+
+
 def q_otlp_hist_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The explicit-histogram ingest→p95 pipeline END-TO-END: OTLP/JSON
     decode → delta-temporality bucket merge per (service, metric, minute)
@@ -2343,6 +2368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otlp_traces_ingest": q_otlp_traces_ingest,
         "otlp_metrics_ingest": q_otlp_metrics_ingest,
         "otlp_hist_p95": q_otlp_hist_p95,
+        "otlp_roundtrip": q_otlp_roundtrip,
         "tool_transitions": q_tool_transitions,
         "log_templates": q_log_templates,
         "rollup_sets": q_rollup_sets,
@@ -2723,7 +2749,7 @@ def _emb_neardup_oracle_sql(n_planes: int = 16, seed: int = 42) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "otlp_logs_ingest": f"""
             WITH t AS (
               SELECT json_transform(payload,
@@ -4645,3 +4671,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
     }
+    # the round-trip query compares against the PLAIN single decode
+    # of the same bytes: encode must lose nothing
+    d["otlp_roundtrip"] = d["otlp_logs_ingest"]
+    return d

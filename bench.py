@@ -80,6 +80,7 @@ HEADLINE_QUERIES = [
     "otlp_traces_ingest",
     "otlp_metrics_ingest",
     "otlp_hist_p95",
+    "otlp_roundtrip",
     "tool_transitions",
     "log_templates",
     "rollup_sets",

@@ -988,3 +988,102 @@ def parse_otlp_metrics_json(df: DataFrame, payload_col: str = "payload") -> Data
         _attr(p["attrs"], "host.name").alias("host_name"),
         _attr(p["attrs"], "point.seq").cast("long").alias("point_seq"),
     )
+
+
+# --- encode (exporter side) ---------------------------------------------------
+
+
+def encode_otlp_json(
+    df: DataFrame,
+    n_buckets: int = 64,
+    int_attr_keys: tuple[str, ...] = ("event.index",),
+) -> DataFrame:
+    """Inverse of :func:`parse_otlp_json`: flat log rows back to OTLP/JSON
+    ExportLogsServiceRequest payloads — the exporter half of the protocol
+    (go/pkg/otel/logs/otlp/logs.go is the reference's columnar→OTLP
+    inverse; this is the same re-nesting with Catalyst building the
+    batches). One request per (resource attributes, scope, bucket): rows
+    sharing a resource+scope re-batch together, the bucket (a stable hash
+    of the timestamp) bounding request size — exactly the exporter's
+    batching shuffle, the ONE shuffle this op needs at any scale.
+
+    Proto3 JSON fidelity: int64s re-serialize as strings (`timeUnixNano`
+    stays the string form of the BIGINT), AnyValue branches are rebuilt
+    from the flat map (`int_attr_keys` go back to ``intValue``, the rest
+    to ``stringValue``), and absent-on-the-wire fields (NULL trace ids,
+    zero droppedAttributesCount) are omitted again because ``to_json``
+    drops NULL fields — so parse∘encode∘parse is row-identical even
+    though record order inside a payload is nondeterministic
+    (collect_list order).
+
+    Returns a DataFrame with a single ``payload`` string column.
+    """
+    attr_entries = F.transform(
+        F.map_entries(F.col("attributes")),
+        lambda e: F.struct(
+            e["key"].alias("key"),
+            F.struct(
+                F.when(~e["key"].isin(*int_attr_keys), e["value"]).alias(
+                    "stringValue"
+                ),
+                F.when(e["key"].isin(*int_attr_keys), e["value"]).alias(
+                    "intValue"
+                ),
+            ).alias("value"),
+        ),
+    )
+    record = F.struct(
+        F.col("time_unix_nano").cast("string").alias("timeUnixNano"),
+        F.col("severity_number").alias("severityNumber"),
+        F.col("severity_text").alias("severityText"),
+        F.struct(F.col("body").alias("stringValue")).alias("body"),
+        attr_entries.alias("attributes"),
+        F.col("trace_id").alias("traceId"),
+        F.col("span_id").alias("spanId"),
+        F.when(
+            F.col("dropped_attributes_count") > 0,
+            F.col("dropped_attributes_count"),
+        ).alias("droppedAttributesCount"),
+    )
+
+    def _kv(key: str, val):
+        return F.struct(
+            F.lit(key).alias("key"),
+            F.struct(val.alias("stringValue")).alias("value"),
+        )
+
+    grouped = (
+        df.withColumn("_rec", record)
+        .withColumn(
+            "_bucket", F.pmod(F.xxhash64("time_unix_nano"), F.lit(n_buckets))
+        )
+        .groupBy(
+            "service_name", "environment", "scope_name", "scope_version",
+            "_bucket",
+        )
+        .agg(F.collect_list("_rec").alias("_recs"))
+    )
+    payload = F.to_json(
+        F.struct(
+            F.array(
+                F.struct(
+                    F.struct(
+                        F.array(
+                            _kv("service.name", F.col("service_name")),
+                            _kv("deployment.environment", F.col("environment")),
+                        ).alias("attributes")
+                    ).alias("resource"),
+                    F.array(
+                        F.struct(
+                            F.struct(
+                                F.col("scope_name").alias("name"),
+                                F.col("scope_version").alias("version"),
+                            ).alias("scope"),
+                            F.col("_recs").alias("logRecords"),
+                        )
+                    ).alias("scopeLogs"),
+                )
+            ).alias("resourceLogs")
+        )
+    )
+    return grouped.select(payload.alias("payload"))

@@ -355,3 +355,60 @@ class TestOtlpMetricsJson:
         assert plan.count("Generate") == 4, "rm, sm, metrics, points"
         assert "Exchange" not in plan
         assert "EvalPython" not in plan
+
+
+class TestOtlpEncode:
+    def test_roundtrip_identity(self, spark):
+        from otel_arrow_spark.sources.otlp_json import (
+            encode_otlp_json,
+            generate_otlp_json_requests,
+            parse_otlp_json,
+        )
+
+        reqs = generate_otlp_json_requests(400)
+        df = spark.createDataFrame([(p,) for p in reqs], "payload string")
+        flat = parse_otlp_json(df)
+        rt = parse_otlp_json(encode_otlp_json(flat, n_buckets=8))
+        key = lambda r: r.event_index  # noqa: E731
+        a = sorted(flat.collect(), key=key)
+        b = sorted(rt.collect(), key=key)
+        assert a == b, "parse∘encode∘parse must be row-identity"
+
+    def test_null_fields_omitted_on_wire(self, spark):
+        # proto3 JSON: NULL trace ids / zero dropped counts must vanish
+        # from the payload, not serialize as null/0
+        from otel_arrow_spark.sources.otlp_json import (
+            encode_otlp_json,
+            generate_otlp_json_requests,
+            parse_otlp_json,
+        )
+
+        reqs = generate_otlp_json_requests(200)
+        df = spark.createDataFrame([(p,) for p in reqs], "payload string")
+        flat = parse_otlp_json(df)
+        payloads = [r.payload for r in encode_otlp_json(flat).collect()]
+        assert not any('"traceId":null' in p for p in payloads)
+        assert not any('"droppedAttributesCount":0' in p for p in payloads)
+        assert any('"intValue":"' in p for p in payloads), (
+            "AnyValue int branch must be rebuilt as a quoted string"
+        )
+
+    def test_one_shuffle_plan(self, spark):
+        from otel_arrow_spark.sources.otlp_json import (
+            encode_otlp_json,
+            generate_otlp_json_requests,
+            parse_otlp_json,
+        )
+
+        reqs = generate_otlp_json_requests(100)
+        df = spark.createDataFrame([(p,) for p in reqs], "payload string")
+        plan = (
+            encode_otlp_json(parse_otlp_json(df))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") == 1, (
+            "encode is the exporter's batching shuffle and nothing else"
+        )
+        assert "EvalPython" not in plan
