@@ -2197,6 +2197,41 @@ def q_otlp_metrics_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_series_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection (operators/anomaly.py — the
+    alerting query downstream of temporal reaggregation;
+    series_decompose_anomalies' un-seasonal core): per event_type, each
+    point scored against the mean/std of its 20 trailing points,
+    baseline excluding the point itself. Values quantized to cents so
+    the frame sums are exact integers in both engines — windowed avg/
+    stddev internals (streaming frame vs segment tree) can then never
+    disagree; the oracle replays the identical Σv/Σv² arithmetic."""
+    from otel_arrow_spark.operators.anomaly import rolling_zscore_anomalies
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id",
+        "ts",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    out = rolling_zscore_anomalies(
+        ev,
+        key_cols=("event_type",),
+        ts_col="ts",
+        value_col="v",
+        lookback=20,
+        min_points=10,
+        z_thresh=3.0,
+        tiebreak=("event_id",),
+    )
+    return out.select(
+        "event_type",
+        "event_id",
+        F.col("v").alias("v_cents"),
+        F.round("z", 6).alias("z_r"),
+    )
+
+
 def q_otlp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OTLP/JSON decode → ENCODE → decode round-trip
     (go/pkg/otel/logs/otlp/logs.go: the reference's columnar→OTLP inverse,
@@ -2369,6 +2404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otlp_metrics_ingest": q_otlp_metrics_ingest,
         "otlp_hist_p95": q_otlp_hist_p95,
         "otlp_roundtrip": q_otlp_roundtrip,
+        "series_anomalies": q_series_anomalies,
         "tool_transitions": q_tool_transitions,
         "log_templates": q_log_templates,
         "rollup_sets": q_rollup_sets,
@@ -2865,6 +2901,28 @@ def oracle_sql() -> dict[str, str]:
               list_extract(list_filter(attrs, a -> a.key='host.name'),1).value.stringValue AS host_name,
               CAST(list_extract(list_filter(attrs, a -> a.key='point.seq'),1).value.intValue AS BIGINT) AS point_seq
             FROM pts
+        """,
+        "series_anomalies": """
+            WITH q AS (
+              SELECT event_type, ts, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS v
+              FROM events),
+            w AS (
+              SELECT event_type, event_id, v,
+                     count(v) OVER win AS n,
+                     CAST(sum(v) OVER win AS DOUBLE) AS s1,
+                     CAST(sum(v * v) OVER win AS DOUBLE) AS s2
+              FROM q
+              WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                             ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+            z AS (
+              SELECT event_type, event_id, v,
+                     greatest((s2 - s1 * s1 / n) / (n - 1), 0.0) AS var,
+                     (v - s1 / n) / sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) AS z,
+                     n
+              FROM w)
+            SELECT event_type, event_id, v AS v_cents, round(z, 6) AS z_r
+            FROM z WHERE n >= 10 AND var > 0 AND abs(z) > 3.0
         """,
         "otlp_hist_p95": f"""
             WITH t AS (

@@ -81,6 +81,7 @@ HEADLINE_QUERIES = [
     "otlp_metrics_ingest",
     "otlp_hist_p95",
     "otlp_roundtrip",
+    "series_anomalies",
     "tool_transitions",
     "log_templates",
     "rollup_sets",
