@@ -2427,12 +2427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "critical_path": q_critical_path,
         "corpus_clean": q_corpus_clean,
         # --- oldest veterans: last driver row r3 or earlier — rotated back in ---
-        "span_links": q_span_links,
         "hist_star": q_hist_star,
-        "resource_scope": q_resource_scope,
-        "fork_topics": q_fork_topics,
-        "opl_program": q_opl_program,
-        "dedup_clusters": q_dedup_clusters,
         "stratified_sample": q_stratified_sample,
         "classifier_score": q_classifier_score,
         "span_cascade": q_span_cascade,
@@ -2463,6 +2458,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_broadcast": q_enrich_broadcast,
         "route_counts": q_route_counts,
         "parse_events": q_parse_events,
+        # --- r4-green and unchanged in r5: queue behind the never-
+        #     recently-checked veterans for the r6 window ---
+        "span_links": q_span_links,
+        "resource_scope": q_resource_scope,
+        "fork_topics": q_fork_topics,
+        "opl_program": q_opl_program,
+        "dedup_clusters": q_dedup_clusters,
         # --- past the 50-entry window: all driver-green in r4 (CORRECTNESS_r04)
         #     or re-verified locally this round (temperature_mix: fixture
         #     output unchanged by the NULL-source fix; syslog_parse: v2
