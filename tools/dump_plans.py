@@ -328,6 +328,35 @@ def main() -> None:
         )
     )
 
+    from otel_arrow_spark.sources.otlp_json import encode_otlp_json
+
+    sections.append(
+        (
+            "OTLP/JSON logs encode (exporter re-batching)",
+            "Expected: exactly one `Exchange` (the exporter's batching "
+            "shuffle on resource+scope+bucket), `collect_list` in a "
+            "partial+final ObjectHashAggregate, `to_json` in the final "
+            "Project, zero Python.",
+            encode_otlp_json(parse_otlp_json(payloads)),
+        )
+    )
+
+    from otel_arrow_spark.operators.anomaly import rolling_zscore_anomalies
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sections.append(
+        (
+            "Rolling z-score anomalies",
+            "Expected: ONE `Window` node (all three frame statistics "
+            "share it — chained withColumn would triple the frame "
+            "passes), one `Exchange` on the series key, no Python.",
+            rolling_zscore_anomalies(
+                events, key_cols=("event_type",), ts_col="ts",
+                value_col="value", tiebreak=("event_id",),
+            ),
+        )
+    )
+
     from otel_arrow_spark.operators.logpatterns import mine_templates
 
     sections.append(
