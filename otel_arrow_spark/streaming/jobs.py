@@ -423,16 +423,47 @@ def stream_otlp_json_ingest(
     the pipeline: each arriving request file decodes in place, no
     shuffle anywhere.
     """
-    from otel_arrow_spark.sources.otlp_json import parse_otlp_json
+    return stream_otlp_decode(
+        spark, input_dir, output_dir, checkpoint_dir,
+        signal="logs", available_now=available_now,
+    )
 
+
+def stream_otlp_decode(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    signal: str = "logs",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Signal-generic streaming OTLP/JSON decode: ``signal`` picks the
+    logs / traces / metrics parser; the rest is identical because every
+    decoder is a stateless narrow expression chain — the batch plan IS
+    the micro-batch plan for all three (the reference's per-signal
+    receivers share one pipeline runtime the same way,
+    receivers/otlp_receiver/mod.rs)."""
+    from otel_arrow_spark.sources.otlp_json import (
+        parse_otlp_json,
+        parse_otlp_metrics_json,
+        parse_otlp_traces_json,
+    )
+
+    parsers = {
+        "logs": parse_otlp_json,
+        "traces": parse_otlp_traces_json,
+        "metrics": parse_otlp_metrics_json,
+    }
+    if signal not in parsers:
+        raise ValueError(f"signal must be one of {sorted(parsers)}, got {signal!r}")
     batch_like = spark.read.parquet(input_dir)
     stream = (
         spark.readStream.schema(batch_like.schema).parquet(input_dir)
     )
-    flat = parse_otlp_json(stream)
+    flat = parsers[signal](stream)
     writer = (
         flat.writeStream.format("parquet")
-        .option("path", f"{output_dir}/otlp_logs")
+        .option("path", f"{output_dir}/otlp_{signal}")
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )

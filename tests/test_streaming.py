@@ -458,3 +458,57 @@ def test_stream_otlp_json_matches_batch(spark, workdir):
         "stream vs batch OTLP/JSON decode",
     )
     assert got.count() == 400
+
+
+def test_stream_otlp_metrics_matches_batch(spark, workdir):
+    """Streaming metrics decode == batch decode: the five-branch oneof
+    normalization is stateless, so the stream shares the batch plan."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from otel_arrow_spark.sources.otlp_json import (
+        generate_otlp_json_metric_requests,
+        parse_otlp_metrics_json,
+    )
+    from otel_arrow_spark.streaming.jobs import stream_otlp_decode
+    from tests.conftest import assert_df_equal
+
+    reqs = generate_otlp_json_metric_requests(400)
+    indir = f"{workdir}/otlpm_in"
+    os.makedirs(indir, exist_ok=True)
+    half = len(reqs) // 2
+    for i, chunk in enumerate([reqs[:half], reqs[half:]]):
+        pq.write_table(pa.table({"payload": chunk}), f"{indir}/part-{i}.parquet")
+
+    q = stream_otlp_decode(
+        spark, indir, f"{workdir}/otlpm_out", f"{workdir}/otlpm_ckpt",
+        signal="metrics", available_now=True,
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(f"{workdir}/otlpm_out/otlp_metrics")
+
+    batch = parse_otlp_metrics_json(
+        spark.createDataFrame([(p,) for p in reqs], "payload string")
+    )
+
+    def canon(df):
+        return df.withColumn("quantiles", F.to_json("quantiles"))
+
+    assert_df_equal(
+        canon(got).orderBy("point_seq", "metric_type"),
+        canon(batch.select(*got.columns)).orderBy("point_seq", "metric_type"),
+        "stream vs batch OTLP metrics decode",
+    )
+    assert got.count() == 400
+
+
+def test_stream_otlp_decode_rejects_unknown_signal(spark, workdir):
+    import pytest
+
+    from otel_arrow_spark.streaming.jobs import stream_otlp_decode
+
+    with pytest.raises(ValueError, match="signal must be one of"):
+        stream_otlp_decode(spark, workdir, workdir, workdir, signal="profiles")
