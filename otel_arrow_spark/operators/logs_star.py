@@ -188,6 +188,12 @@ def decode_logs_star(tables: dict[str, DataFrame],
       pair — two shuffles from raw parquet, but ZERO Exchange when both
       tables were written with sinks.write_bucketed on the id pair
       (bucketed scans pre-partition the groupBy AND the join).
+
+    Either way the decode is COLUMN-PRUNABLE: a consumer selecting k
+    columns pays k conditional-first aggregates, not the full width —
+    Catalyst eliminates the unused ones through the union/pivot
+    (plan-pinned in tests), so "decode then project" costs the same as
+    a hand-written partial decode at any scale.
     """
     spec = spec or LogsStarSpec()
     logs = tables["logs"]

@@ -228,3 +228,37 @@ def test_spec_generic_over_syslog_shape(spark):
     assert orig.exceptAll(got).count() == 0
     # the format scope dim is tiny and dictionary-encoded
     assert star["scope_attrs"].count() == 3  # rfc5424 / rfc3164 / cef
+
+
+class TestDecodePruning:
+    def test_consumer_projection_prunes_decode_aggregates(self, spark):
+        """A consumer reading ONE column through the union-agg decode must
+        pay ONE conditional-first aggregate (plus body_type, which the
+        left-join-semantics filter needs) — not the full star width."""
+        import re
+
+        from otel_arrow_spark.operators.logs_star import (
+            decode_logs_star,
+            encode_logs_star,
+        )
+
+        df = spark.createDataFrame(
+            [(f"c{i}", i, "2026-01-01", "INFO", 9, "t" * 8, "s" * 8,
+              "hello", "bash", "core", "ls", "ok", "alice", "agent")
+             for i in range(50)],
+            "conv_id string, turn_idx int, ts string, severity_text string, "
+            "severity_number int, trace_id string, span_id string, "
+            "text string, tool string, component string, tool_called string, "
+            "call_status string, owner string, role_class string",
+        )
+        back = decode_logs_star(encode_logs_star(df))
+        plan = (
+            back.select("severity_text")
+            .groupBy("severity_text")
+            .count()
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        survivors = sorted(set(re.findall(r"first\((\w+)", plan)))
+        assert survivors == ["body_type", "severity_text"], survivors
