@@ -2257,6 +2257,31 @@ def q_otlp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_otlp_traces_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traces decode → ENCODE → decode round-trip (the traces twin of
+    otlp_roundtrip; go/pkg/otel/traces is the reference's inverse
+    direction). encode_otlp_traces_json re-batches TRACE-COHERENTLY
+    (spans of one trace land in one request — the tail-sampling exporter
+    contract) and the oracle is the plain single decode of the original
+    bytes."""
+    from otel_arrow_spark.sources.otlp_json import (
+        encode_otlp_traces_json,
+        parse_otlp_traces_json,
+    )
+
+    n = 2000 if "sf0.001" in sf_dir else (200_000 if "sf0.1/" in sf_dir or sf_dir.endswith("sf0.1") else 20_000)
+    payloads = spark.read.parquet(_otlp_traces_corpus_path(n))
+    rt = parse_otlp_traces_json(
+        encode_otlp_traces_json(parse_otlp_traces_json(payloads))
+    )
+    return rt.select(
+        "service_name", "scope_name", "scope_version", "trace_id",
+        "span_id", "parent_span_id", "name", "kind", "start_unix_nano",
+        "end_unix_nano", "duration_ns", "status_code", "status_message",
+        "peer_service", "span_seq",
+    )
+
+
 def q_otlp_hist_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The explicit-histogram ingest→p95 pipeline END-TO-END: OTLP/JSON
     decode → delta-temporality bucket merge per (service, metric, minute)
@@ -2404,6 +2429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otlp_metrics_ingest": q_otlp_metrics_ingest,
         "otlp_hist_p95": q_otlp_hist_p95,
         "otlp_roundtrip": q_otlp_roundtrip,
+        "otlp_traces_roundtrip": q_otlp_traces_roundtrip,
         "series_anomalies": q_series_anomalies,
         "tool_transitions": q_tool_transitions,
         "log_templates": q_log_templates,
@@ -4734,4 +4760,5 @@ def oracle_sql() -> dict[str, str]:
     # the round-trip query compares against the PLAIN single decode
     # of the same bytes: encode must lose nothing
     d["otlp_roundtrip"] = d["otlp_logs_ingest"]
+    d["otlp_traces_roundtrip"] = d["otlp_traces_ingest"]
     return d

@@ -81,6 +81,7 @@ HEADLINE_QUERIES = [
     "otlp_metrics_ingest",
     "otlp_hist_p95",
     "otlp_roundtrip",
+    "otlp_traces_roundtrip",
     "series_anomalies",
     "tool_transitions",
     "log_templates",

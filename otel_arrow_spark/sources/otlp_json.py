@@ -1087,3 +1087,85 @@ def encode_otlp_json(
         )
     )
     return grouped.select(payload.alias("payload"))
+
+
+def encode_otlp_traces_json(df: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """Inverse of :func:`parse_otlp_traces_json`: flat span rows back to
+    OTLP/JSON ExportTraceServiceRequest payloads — the traces twin of
+    :func:`encode_otlp_json` (go/pkg/otel/traces/otlp is the reference's
+    inverse direction). Batching: one request per (resource, scope,
+    trace-id hash bucket) — spans of one trace always land in ONE request
+    (trace-coherent batching, what a tail-sampling exporter needs), with
+    the bucket bounding request size. Same single batching shuffle.
+
+    Proto3 fidelity: NULL parentSpanId (roots) and empty status messages
+    are omitted from the wire; status is re-nested; the span attributes
+    are rebuilt from the typed flat columns.
+    """
+    record = F.struct(
+        F.col("trace_id").alias("traceId"),
+        F.col("span_id").alias("spanId"),
+        F.col("parent_span_id").alias("parentSpanId"),
+        F.col("name").alias("name"),
+        F.col("kind").alias("kind"),
+        F.col("start_unix_nano").cast("string").alias("startTimeUnixNano"),
+        F.col("end_unix_nano").cast("string").alias("endTimeUnixNano"),
+        F.array(
+            F.struct(
+                F.lit("peer.service").alias("key"),
+                F.struct(
+                    F.col("peer_service").alias("stringValue"),
+                    F.lit(None).cast("string").alias("intValue"),
+                ).alias("value"),
+            ),
+            F.struct(
+                F.lit("span.seq").alias("key"),
+                F.struct(
+                    F.lit(None).cast("string").alias("stringValue"),
+                    F.col("span_seq").cast("string").alias("intValue"),
+                ).alias("value"),
+            ),
+        ).alias("attributes"),
+        F.struct(
+            F.when(F.col("status_code") != 0, F.col("status_code")).alias(
+                "code"
+            ),
+            F.col("status_message").alias("message"),
+        ).alias("status"),
+    )
+    grouped = (
+        df.withColumn("_rec", record)
+        .withColumn(
+            "_bucket", F.pmod(F.xxhash64("trace_id"), F.lit(n_buckets))
+        )
+        .groupBy("service_name", "scope_name", "scope_version", "_bucket")
+        .agg(F.collect_list("_rec").alias("_recs"))
+    )
+    payload = F.to_json(
+        F.struct(
+            F.array(
+                F.struct(
+                    F.struct(
+                        F.array(
+                            F.struct(
+                                F.lit("service.name").alias("key"),
+                                F.struct(
+                                    F.col("service_name").alias("stringValue")
+                                ).alias("value"),
+                            )
+                        ).alias("attributes")
+                    ).alias("resource"),
+                    F.array(
+                        F.struct(
+                            F.struct(
+                                F.col("scope_name").alias("name"),
+                                F.col("scope_version").alias("version"),
+                            ).alias("scope"),
+                            F.col("_recs").alias("spans"),
+                        )
+                    ).alias("scopeSpans"),
+                )
+            ).alias("resourceSpans")
+        )
+    )
+    return grouped.select(payload.alias("payload"))

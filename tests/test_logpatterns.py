@@ -412,3 +412,37 @@ class TestOtlpEncode:
             "encode is the exporter's batching shuffle and nothing else"
         )
         assert "EvalPython" not in plan
+
+
+class TestOtlpTracesEncode:
+    def test_roundtrip_and_trace_coherence(self, spark):
+        import json as _json
+
+        from otel_arrow_spark.sources.otlp_json import (
+            encode_otlp_traces_json,
+            generate_otlp_json_trace_requests,
+            parse_otlp_traces_json,
+        )
+
+        reqs = generate_otlp_json_trace_requests(300)
+        df = spark.createDataFrame([(p,) for p in reqs], "payload string")
+        flat = parse_otlp_traces_json(df)
+        payloads = encode_otlp_traces_json(flat, n_buckets=8).collect()
+        rt = parse_otlp_traces_json(
+            spark.createDataFrame(payloads, "payload string")
+        )
+        key = lambda r: (r.trace_id, r.span_id)  # noqa: E731
+        assert sorted(flat.collect(), key=key) == sorted(rt.collect(), key=key)
+        # trace coherence: all spans of a trace in ONE payload
+        owner = {}
+        for i, r in enumerate(payloads):
+            for rs in _json.loads(r.payload)["resourceSpans"]:
+                for ss in rs["scopeSpans"]:
+                    for sp in ss["spans"]:
+                        owner.setdefault(sp["traceId"], set()).add(i)
+        assert all(len(v) == 1 for v in owner.values())
+        # proto3 omission: roots carry no parentSpanId, UNSET no code
+        assert not any(
+            '"parentSpanId":null' in r.payload for r in payloads
+        )
+        assert not any('"code":0' in r.payload for r in payloads)
