@@ -2282,6 +2282,47 @@ def q_otlp_traces_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_otlp_metrics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metrics decode → ENCODE → decode round-trip across all five
+    Metric oneof branches (the metrics twin of otlp_roundtrip;
+    go/pkg/otel/metrics is the reference's inverse direction). Number
+    points re-serialize as asDouble — wire-branch normalization the flat
+    rows are invariant to — and the oracle is the plain single decode of
+    the original bytes."""
+    from otel_arrow_spark.sources.otlp_json import (
+        encode_otlp_metrics_json,
+        parse_otlp_metrics_json,
+    )
+
+    n = 2000 if "sf0.001" in sf_dir else (200_000 if "sf0.1/" in sf_dir or sf_dir.endswith("sf0.1") else 20_000)
+    payloads = spark.read.parquet(_otlp_metrics_corpus_path(n))
+    rt = parse_otlp_metrics_json(
+        encode_otlp_metrics_json(parse_otlp_metrics_json(payloads))
+    )
+    q_str = F.array_join(
+        F.transform(
+            F.col("quantiles"),
+            lambda s: F.concat_ws(
+                "=",
+                (s["quantile"] * 100).cast("int").cast("string"),
+                F.round(s["value"] * 1000).cast("long").cast("string"),
+            ),
+        ),
+        ",",
+    )
+    return rt.select(
+        "service_name", "scope_name", "scope_version", "metric_name",
+        "metric_unit", "metric_type", "temporality", "is_monotonic",
+        "time_unix_nano", "value", "count", "sum_value",
+        F.array_join("bucket_counts", ",").alias("bucket_counts_str"),
+        F.array_join("explicit_bounds", ",").alias("explicit_bounds_str"),
+        "scale", "zero_count", "pos_offset",
+        F.array_join("pos_bucket_counts", ",").alias("pos_bucket_counts_str"),
+        q_str.alias("quantiles_str"),
+        "host_name", "point_seq",
+    )
+
+
 def q_otlp_hist_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The explicit-histogram ingest→p95 pipeline END-TO-END: OTLP/JSON
     decode → delta-temporality bucket merge per (service, metric, minute)
@@ -2430,6 +2471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otlp_hist_p95": q_otlp_hist_p95,
         "otlp_roundtrip": q_otlp_roundtrip,
         "otlp_traces_roundtrip": q_otlp_traces_roundtrip,
+        "otlp_metrics_roundtrip": q_otlp_metrics_roundtrip,
         "series_anomalies": q_series_anomalies,
         "tool_transitions": q_tool_transitions,
         "log_templates": q_log_templates,
@@ -4761,4 +4803,5 @@ def oracle_sql() -> dict[str, str]:
     # of the same bytes: encode must lose nothing
     d["otlp_roundtrip"] = d["otlp_logs_ingest"]
     d["otlp_traces_roundtrip"] = d["otlp_traces_ingest"]
+    d["otlp_metrics_roundtrip"] = d["otlp_metrics_ingest"]
     return d

@@ -82,6 +82,7 @@ HEADLINE_QUERIES = [
     "otlp_hist_p95",
     "otlp_roundtrip",
     "otlp_traces_roundtrip",
+    "otlp_metrics_roundtrip",
     "series_anomalies",
     "tool_transitions",
     "log_templates",

@@ -1169,3 +1169,138 @@ def encode_otlp_traces_json(df: DataFrame, n_buckets: int = 64) -> DataFrame:
         )
     )
     return grouped.select(payload.alias("payload"))
+
+
+def encode_otlp_metrics_json(df: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """Inverse of :func:`parse_otlp_metrics_json`: flat data-point rows
+    back to OTLP/JSON ExportMetricsServiceRequest payloads across all
+    five Metric oneof branches — completing the bidirectional OTLP
+    surface for the third signal (go/pkg/otel/metrics is the reference's
+    inverse direction). One request per (resource, scope, metric,
+    branch metadata, time-hash bucket); the branch struct is rebuilt
+    conditionally and ``to_json`` drops the four absent oneof fields.
+
+    Number points re-serialize as ``asDouble`` regardless of the
+    original wire branch: the parse coalesces asInt/asDouble into one
+    double, so the int-vs-double distinction is wire-level only — the
+    FLAT rows round-trip exactly (doubles are lossless for |v| < 2^53,
+    and OTLP consumers treat the two branches as the same number).
+    """
+    is_num = F.col("metric_type").isin("gauge", "sum")
+    is_hist = F.col("metric_type") == "histogram"
+    is_exp = F.col("metric_type") == "exp_histogram"
+    is_summary = F.col("metric_type") == "summary"
+    _sn = F.lit(None).cast("string")
+
+    point = F.struct(
+        F.col("time_unix_nano").cast("string").alias("timeUnixNano"),
+        F.when(is_num, F.col("value")).alias("asDouble"),
+        F.when(~is_num, F.col("count").cast("string")).alias("count"),
+        F.when(~is_num, F.col("sum_value")).alias("sum"),
+        F.when(
+            is_hist,
+            F.transform(F.col("bucket_counts"), lambda c: c.cast("string")),
+        ).alias("bucketCounts"),
+        F.when(is_hist, F.col("explicit_bounds")).alias("explicitBounds"),
+        F.when(is_exp, F.col("scale")).alias("scale"),
+        F.when(is_exp, F.col("zero_count").cast("string")).alias("zeroCount"),
+        F.when(
+            is_exp,
+            F.struct(
+                F.col("pos_offset").alias("offset"),
+                F.transform(
+                    F.col("pos_bucket_counts"), lambda c: c.cast("string")
+                ).alias("bucketCounts"),
+            ),
+        ).alias("positive"),
+        F.when(is_summary, F.col("quantiles")).alias("quantileValues"),
+        F.array(
+            F.struct(
+                F.lit("host.name").alias("key"),
+                F.struct(
+                    F.col("host_name").alias("stringValue"),
+                    _sn.alias("intValue"),
+                ).alias("value"),
+            ),
+            F.struct(
+                F.lit("point.seq").alias("key"),
+                F.struct(
+                    _sn.alias("stringValue"),
+                    F.col("point_seq").cast("string").alias("intValue"),
+                ).alias("value"),
+            ),
+        ).alias("attributes"),
+    )
+    grouped = (
+        df.withColumn("_pt", point)
+        .withColumn(
+            "_bucket", F.pmod(F.xxhash64("time_unix_nano"), F.lit(n_buckets))
+        )
+        .groupBy(
+            "service_name", "scope_name", "scope_version", "metric_name",
+            "metric_unit", "metric_type", "temporality", "is_monotonic",
+            "_bucket",
+        )
+        .agg(F.collect_list("_pt").alias("_pts"))
+    )
+    t = F.col("metric_type")
+    metric = F.struct(
+        F.col("metric_name").alias("name"),
+        F.col("metric_unit").alias("unit"),
+        F.when(t == "gauge", F.struct(F.col("_pts").alias("dataPoints"))).alias(
+            "gauge"
+        ),
+        F.when(
+            t == "sum",
+            F.struct(
+                F.col("_pts").alias("dataPoints"),
+                F.col("temporality").alias("aggregationTemporality"),
+                F.col("is_monotonic").alias("isMonotonic"),
+            ),
+        ).alias("sum"),
+        F.when(
+            t == "histogram",
+            F.struct(
+                F.col("_pts").alias("dataPoints"),
+                F.col("temporality").alias("aggregationTemporality"),
+            ),
+        ).alias("histogram"),
+        F.when(
+            t == "exp_histogram",
+            F.struct(
+                F.col("_pts").alias("dataPoints"),
+                F.col("temporality").alias("aggregationTemporality"),
+            ),
+        ).alias("exponentialHistogram"),
+        F.when(
+            t == "summary", F.struct(F.col("_pts").alias("dataPoints"))
+        ).alias("summary"),
+    )
+    payload = F.to_json(
+        F.struct(
+            F.array(
+                F.struct(
+                    F.struct(
+                        F.array(
+                            F.struct(
+                                F.lit("service.name").alias("key"),
+                                F.struct(
+                                    F.col("service_name").alias("stringValue")
+                                ).alias("value"),
+                            )
+                        ).alias("attributes")
+                    ).alias("resource"),
+                    F.array(
+                        F.struct(
+                            F.struct(
+                                F.col("scope_name").alias("name"),
+                                F.col("scope_version").alias("version"),
+                            ).alias("scope"),
+                            F.array(metric).alias("metrics"),
+                        )
+                    ).alias("scopeMetrics"),
+                )
+            ).alias("resourceMetrics")
+        )
+    )
+    return grouped.select(payload.alias("payload"))

@@ -446,3 +446,55 @@ class TestOtlpTracesEncode:
             '"parentSpanId":null' in r.payload for r in payloads
         )
         assert not any('"code":0' in r.payload for r in payloads)
+
+
+class TestOtlpMetricsEncode:
+    def test_roundtrip_all_branches(self, spark):
+        from otel_arrow_spark.sources.otlp_json import (
+            encode_otlp_metrics_json,
+            generate_otlp_json_metric_requests,
+            parse_otlp_metrics_json,
+        )
+
+        reqs = generate_otlp_json_metric_requests(400)
+        df = spark.createDataFrame([(p,) for p in reqs], "payload string")
+        flat = parse_otlp_metrics_json(df)
+        rt = parse_otlp_metrics_json(encode_otlp_metrics_json(flat, n_buckets=8))
+        key = lambda r: (r.point_seq, r.metric_type)  # noqa: E731
+        a = sorted(flat.collect(), key=key)
+        b = sorted(rt.collect(), key=key)
+        assert a == b
+        assert {r.metric_type for r in b} == {
+            "gauge", "sum", "histogram", "exp_histogram", "summary"
+        }
+
+    def test_absent_oneof_branches_omitted(self, spark):
+        from otel_arrow_spark.sources.otlp_json import (
+            encode_otlp_metrics_json,
+            generate_otlp_json_metric_requests,
+            parse_otlp_metrics_json,
+        )
+
+        reqs = generate_otlp_json_metric_requests(200)
+        df = spark.createDataFrame([(p,) for p in reqs], "payload string")
+        payloads = [
+            r.payload
+            for r in encode_otlp_metrics_json(
+                parse_otlp_metrics_json(df)
+            ).collect()
+        ]
+        import json as _json
+
+        for p in payloads:
+            for rm in _json.loads(p)["resourceMetrics"]:
+                for sm in rm["scopeMetrics"]:
+                    for m in sm["metrics"]:
+                        branches = [
+                            k for k in (
+                                "gauge", "sum", "histogram",
+                                "exponentialHistogram", "summary",
+                            ) if k in m
+                        ]
+                        assert len(branches) == 1, (
+                            f"exactly one oneof branch on the wire, got {branches}"
+                        )
