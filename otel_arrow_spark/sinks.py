@@ -538,3 +538,68 @@ def compact_parquet_dir(
         "bytes_after": bytes_after,
         "rows": rows,
     }
+
+
+def expire_partitions(
+    spark,
+    path: str,
+    partition_col: str,
+    keep_from: str,
+    dry_run: bool = False,
+) -> dict:
+    """Retention enforcement for a hive-partitioned parquet sink: drop
+    every ``partition_col=<value>`` directory whose value sorts strictly
+    below ``keep_from`` — the plain-parquet analog of Iceberg's
+    expire_snapshots + a retention DELETE, and the operational sibling of
+    :func:`compact_parquet_dir` (a continuously-ingesting table needs
+    both: compaction bounds file count, retention bounds history).
+
+    Deleting whole partition directories is the ONLY scale-safe shape for
+    retention: it is pure metadata work (no row rewrite, no scan), which
+    is exactly why telemetry sinks partition by day/hour in the first
+    place. Values compare as strings — zero-padded date/hour partition
+    values (the layout route_to_sinks/partitioned writers produce) sort
+    correctly; the guard refuses non-hive directories rather than
+    guessing.
+
+    Returns {dropped: [values...], kept: [values...], freed_bytes}.
+    """
+    import glob as _glob
+    import os
+    import shutil
+
+    prefix = f"{partition_col}="
+    parts = sorted(
+        d for d in os.listdir(path)
+        if os.path.isdir(os.path.join(path, d)) and d.startswith(prefix)
+    )
+    if not parts:
+        raise ValueError(
+            f"{path} has no {prefix}* partition directories — refusing to "
+            "expire from an unpartitioned or differently-partitioned sink"
+        )
+    stray = [
+        d for d in os.listdir(path)
+        if os.path.isdir(os.path.join(path, d)) and not d.startswith(prefix)
+    ]
+    if stray:
+        raise ValueError(
+            f"{path} mixes partition layouts ({stray[:3]}…) — refusing"
+        )
+    dropped, kept, freed = [], [], 0
+    for d in parts:
+        val = d[len(prefix):]
+        if val < keep_from:
+            freed += sum(
+                os.path.getsize(f)
+                for f in _glob.glob(
+                    os.path.join(path, d, "**", "*"), recursive=True
+                )
+                if os.path.isfile(f)
+            )
+            dropped.append(val)
+            if not dry_run:
+                shutil.rmtree(os.path.join(path, d))
+        else:
+            kept.append(val)
+    return {"dropped": dropped, "kept": kept, "freed_bytes": freed}

@@ -473,3 +473,43 @@ class TestCompaction:
         spark.range(2000).repartition(25).write.parquet(path)
         stats = compact_parquet_dir(spark, path, target_file_bytes=1 << 30)
         assert stats["files_after"] == 1 and stats["rows"] == 2000
+
+
+class TestRetention:
+    def test_expires_below_watermark_only(self, spark, workdir):
+        import os
+
+        from otel_arrow_spark.sinks import expire_partitions
+
+        path = f"{workdir}/retained"
+        spark.range(300).select(
+            F.col("id"),
+            F.concat(
+                F.lit("2026-01-0"), ((F.col("id") % 5) + 1).cast("string")
+            ).alias("day"),
+        ).write.partitionBy("day").parquet(path)
+
+        # dry run reports but deletes nothing
+        stats = expire_partitions(
+            spark, path, "day", keep_from="2026-01-03", dry_run=True
+        )
+        assert stats["dropped"] == ["2026-01-01", "2026-01-02"]
+        assert len([d for d in os.listdir(path) if d.startswith("day=")]) == 5
+
+        stats = expire_partitions(spark, path, "day", keep_from="2026-01-03")
+        assert stats["dropped"] == ["2026-01-01", "2026-01-02"]
+        assert stats["kept"] == ["2026-01-03", "2026-01-04", "2026-01-05"]
+        assert stats["freed_bytes"] > 0
+        left = spark.read.parquet(path)
+        assert left.select("day").distinct().count() == 3
+        assert left.count() == 180  # 3 of 5 uniform day groups survive
+
+    def test_refuses_unpartitioned_and_mixed(self, spark, workdir):
+        import pytest
+
+        from otel_arrow_spark.sinks import expire_partitions
+
+        flat = f"{workdir}/flat_sink"
+        spark.range(10).write.parquet(flat)
+        with pytest.raises(ValueError, match="refusing"):
+            expire_partitions(spark, flat, "day", keep_from="x")
