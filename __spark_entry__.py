@@ -2197,6 +2197,29 @@ def q_otlp_metrics_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_top_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL ``top-nested`` (hierarchical top-k, public ADX semantics)
+    through the query front-end: top event types by count, within each
+    the top users by value — plans/opl.py TopNestedStage (level-k
+    aggregate + left_semi prefix restriction + ranked window, levels
+    joined back). Values quantized to cents so both engines rank
+    identical exact integers; ties break on the column value asc on both
+    sides."""
+    from otel_arrow_spark.plans.opl import run_opl
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_type",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    res = run_opl(
+        "events | top-nested 3 of event_type by count(), "
+        "top-nested 5 of user_id by sum(v_cents)",
+        {"events": ev},
+    )
+    return res.default
+
+
 def q_series_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomaly detection (operators/anomaly.py — the
     alerting query downstream of temporal reaggregation;
@@ -2473,6 +2496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otlp_traces_roundtrip": q_otlp_traces_roundtrip,
         "otlp_metrics_roundtrip": q_otlp_metrics_roundtrip,
         "series_anomalies": q_series_anomalies,
+        "kql_top_nested": q_kql_top_nested,
         "tool_transitions": q_tool_transitions,
         "log_templates": q_log_templates,
         "rollup_sets": q_rollup_sets,
@@ -2971,6 +2995,28 @@ def oracle_sql() -> dict[str, str]:
               list_extract(list_filter(attrs, a -> a.key='host.name'),1).value.stringValue AS host_name,
               CAST(list_extract(list_filter(attrs, a -> a.key='point.seq'),1).value.intValue AS BIGINT) AS point_seq
             FROM pts
+        """,
+        "kql_top_nested": """
+            WITH q AS (
+              SELECT event_type, user_id,
+                     CAST(round(value * 100) AS BIGINT) AS v_cents
+              FROM events),
+            l1 AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS aggregated_event_type
+              FROM q GROUP BY 1
+              QUALIFY row_number() OVER (
+                ORDER BY aggregated_event_type DESC, event_type ASC) <= 3),
+            l2 AS (
+              SELECT q.event_type, q.user_id,
+                     CAST(sum(q.v_cents) AS BIGINT) AS aggregated_user_id
+              FROM q SEMI JOIN l1 ON q.event_type = l1.event_type
+              GROUP BY 1, 2
+              QUALIFY row_number() OVER (
+                PARTITION BY q.event_type
+                ORDER BY aggregated_user_id DESC, q.user_id ASC) <= 5)
+            SELECT l1.event_type, l1.aggregated_event_type,
+                   l2.user_id, l2.aggregated_user_id
+            FROM l1 JOIN l2 USING (event_type)
         """,
         "series_anomalies": """
             WITH q AS (

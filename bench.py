@@ -84,6 +84,7 @@ HEADLINE_QUERIES = [
     "otlp_traces_roundtrip",
     "otlp_metrics_roundtrip",
     "series_anomalies",
+    "kql_top_nested",
     "tool_transitions",
     "log_templates",
     "rollup_sets",

@@ -219,6 +219,17 @@ class TopStage:
 
 
 @dataclass
+class TopNestedStage:
+    """KQL ``top-nested N of Col by agg(...), top-nested ...`` —
+    hierarchical top-k: level k keeps the top-Nk values of its column
+    WITHIN each surviving combination of the outer levels' values, each
+    level ranked by its own aggregate over the raw rows (public KQL
+    semantics; ADX docs). levels = [(n, column, agg_name, agg_args)]."""
+
+    levels: list
+
+
+@dataclass
 class DistinctStage:
     columns: list | None  # None == distinct *
 
@@ -750,6 +761,27 @@ class _Parser:
                 self.next()
                 keys.append(self._sort_key())
             return SortStage(keys)
+        if t.text == "top" and self.peek() and self.peek().text == "-":
+            # KQL `top-nested N of Col by agg(...), top-nested ...`
+            self.next()
+            kw = self.next()
+            if kw.text != "nested":
+                raise OplSyntaxError("expected top-nested")
+            levels = [self._top_nested_level()]
+            while self.at(","):
+                self.next()
+                nxt = self.next()
+                if not (nxt.text == "top" and self.peek()
+                        and self.peek().text == "-"):
+                    raise OplSyntaxError(
+                        "top-nested continuation expects 'top-nested'"
+                    )
+                self.next()
+                kw = self.next()
+                if kw.text != "nested":
+                    raise OplSyntaxError("expected top-nested")
+                levels.append(self._top_nested_level())
+            return TopNestedStage(levels)
         if t.text == "top":
             # KQL `top N by expr [asc|desc]`
             n = self.next()
@@ -869,6 +901,24 @@ class _Parser:
             raise OplSyntaxError("set target must be a field or attributes['k']")
         self.expect("=")
         return (target, self.expr())
+
+    def _top_nested_level(self):
+        n = self.next()
+        if n.kind != "num":
+            raise OplSyntaxError("top-nested expects a number")
+        if not self.at("of"):
+            raise OplSyntaxError("top-nested expects 'of <column>'")
+        self.next()
+        col = self.next()
+        if col.kind != "ident":
+            raise OplSyntaxError("top-nested 'of' expects a column name")
+        if not self.at("by"):
+            raise OplSyntaxError("top-nested expects 'by <aggregate>'")
+        self.next()
+        call = self.atom()
+        if not isinstance(call, Call):
+            raise OplSyntaxError("top-nested 'by' expects an aggregate call")
+        return (int(n.text), col.text, call.name, list(call.args))
 
     def _agg(self):
         alias = self.next().text
@@ -1399,6 +1449,53 @@ def _apply_stages(
             df = df.orderBy(key.desc() if stage.descending else key.asc()).limit(
                 stage.n
             )
+        elif isinstance(stage, TopNestedStage):
+            # Level k: aggregate the RAW rows on the first k columns,
+            # keep only rows whose (k-1)-prefix survived (left_semi), rank
+            # within the prefix (row_number desc on the aggregate, column
+            # asc as the deterministic tiebreak), keep ≤ Nk. Joining the
+            # level frames back together yields the KQL output shape
+            # (Col1, aggregated_Col1, Col2, aggregated_Col2, …). Post-
+            # aggregate data is top-k-bounded, so the level-1 empty
+            # partitionBy (a single-partition window) ranks at most
+            # |distinct Col1| rows — never raw-corpus rows.
+            from pyspark.sql import Window as _W
+
+            src = df
+            kept = None
+            result = None
+            prefix: list[str] = []
+            for n, col, aggname, args in stage.levels:
+                fn = _AGG_FUNCTIONS.get(aggname)
+                if fn is None:
+                    raise OplSyntaxError(f"unknown aggregate {aggname!r}")
+                cols_ = [compile_expr(a, env) for a in args]
+                try:
+                    agg_col = fn(*cols_)
+                except TypeError as ex:
+                    raise OplSyntaxError(
+                        f"aggregate {aggname!r}: wrong argument count"
+                    ) from ex
+                out_name = f"aggregated_{col}"
+                g = src.groupBy(*prefix, col).agg(agg_col.alias(out_name))
+                if kept is not None:
+                    g = g.join(kept, prefix, "left_semi")
+                w = (
+                    _W.partitionBy(*[F.col(c) for c in prefix])
+                    .orderBy(F.col(out_name).desc(), F.col(col).asc())
+                )
+                g = (
+                    g.withColumn("__rk", F.row_number().over(w))
+                    .where(F.col("__rk") <= n)
+                    .drop("__rk")
+                )
+                if result is None:
+                    result = g
+                else:
+                    result = result.join(g, prefix)
+                prefix = [*prefix, col]
+                kept = g.select(*prefix)
+            df = result
         elif isinstance(stage, DistinctStage):
             df = (
                 df.distinct()

@@ -653,3 +653,54 @@ class TestKqlParse:
             run_opl("t | parse text with 'x' a b", {"t": df})
         with _pytest.raises(OplSyntaxError, match="with"):
             run_opl("t | parse text 'x' a", {"t": df})
+
+
+class TestTopNested:
+    def _events(self, spark):
+        rows = []
+        # type A: 6 rows, B: 4, C: 2 — top-2 types = A, B
+        for t, users in (("A", [1, 1, 1, 2, 2, 3]), ("B", [7, 7, 8, 9]),
+                         ("C", [5, 5])):
+            rows += [(t, u, 10 * u) for u in users]
+        return spark.createDataFrame(rows, "t string, u long, v long")
+
+    def test_hierarchical_topk(self, spark):
+        from otel_arrow_spark.plans.opl import run_opl
+
+        out = run_opl(
+            "events | top-nested 2 of t by count(), "
+            "top-nested 2 of u by sum(v)",
+            {"events": self._events(spark)},
+        ).default
+        got = sorted((r.t, r.aggregated_t, r.u, r.aggregated_u)
+                     for r in out.collect())
+        # A: u=2 sum 40 > u=1 sum 30 > u=3 sum 30... top-2 by sum desc,
+        # tiebreak u asc: (2,40),(1,30). B: (7,140),(9,90) > (8,80)
+        assert got == [
+            ("A", 6, 1, 30), ("A", 6, 2, 40),
+            ("B", 4, 7, 140), ("B", 4, 9, 90),
+        ]
+
+    def test_single_level_equals_plain_top_by_agg(self, spark):
+        from otel_arrow_spark.plans.opl import run_opl
+
+        out = run_opl(
+            "events | top-nested 1 of t by count()",
+            {"events": self._events(spark)},
+        ).default.collect()
+        assert [(r.t, r.aggregated_t) for r in out] == [("A", 6)]
+
+    def test_syntax_errors(self, spark):
+        import pytest
+
+        from otel_arrow_spark.plans.opl import OplSyntaxError, run_opl
+
+        ev = self._events(spark)
+        for bad in (
+            "events | top-nested of t by count()",
+            "events | top-nested 2 t by count()",
+            "events | top-nested 2 of t count()",
+            "events | top-nested 2 of t by u",
+        ):
+            with pytest.raises(OplSyntaxError):
+                run_opl(bad, {"events": ev})
