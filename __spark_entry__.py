@@ -2479,6 +2479,103 @@ def q_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tail_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-based trace sampling (the OTel collector tailsampling
+    processor's policy model, whole-trace decision after all spans are
+    seen): error / latency / deterministic-hash policies in one unordered
+    window over trace_id — one Exchange, no self-join, kept traces come
+    back whole. Rolls up to per-policy trace/span counts so the output is
+    compact at any scale."""
+    from otel_arrow_spark.operators.sample import tail_sample
+
+    p = _spans_dir(sf_dir)
+    spans = spark.read.parquet(f"{p}/spans.parquet")
+    kept = tail_sample(spans, latency_ms=500, keep_prefix="10")
+    return kept.groupBy("sample_policy").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.countDistinct("trace_id").alias("n_traces"),
+        F.sum((F.col("status_code") == 2).cast("long")).alias("n_error_spans"),
+    )
+
+
+def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn rate (Google SRE workbook ch.5 multiwindow
+    multi-burn-rate over the per-sink error aggregates the engine
+    publishes): hourly buckets, daily long window, alert = short>2 AND
+    long>1. Burn values are single IEEE divisions of exact counts —
+    engine-replayable without rounding."""
+    from otel_arrow_spark.operators.slo import burn_rate
+
+    return burn_rate(
+        _t(spark, sf_dir, "events"),
+        error_pred=F.col("event_type") == "error",
+        slo=0.75,
+        short="hour",
+        long="day",
+        threshold=2.0,
+    )
+
+
+def q_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tenant rate limiting (keyed generalization of the zip sampler,
+    samplers/zip.rs:4-18): keep the earliest 2 events per (user, hour),
+    deterministic via the event_id tiebreak; rolled up per user so the
+    output stays compact."""
+    from otel_arrow_spark.operators.sample import throttle
+
+    kept = throttle(
+        _t(spark, sf_dir, "events"),
+        keys=("user_id",),
+        max_per_window=2,
+        window_duration="1 hour",
+        tiebreak=("event_id",),
+    )
+    return kept.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("event_id").alias("sum_event_id"),
+    )
+
+
+def q_traceparent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3C trace-context propagation: format a traceparent header from
+    each span's ids (deterministically corrupting every 37th row and
+    clearing the sampled flag on multiples of 3), parse it back with
+    functions.parse_traceparent, and verify the round-trip — valid rows
+    must recover their ids exactly; corrupted rows must parse as
+    invalid/NULL (a receiver must not fabricate context)."""
+    from otel_arrow_spark.functions import parse_traceparent
+
+    p = _spans_dir(sf_dir)
+    spans = spark.read.parquet(f"{p}/spans.parquet")
+    header = F.when(
+        F.col("id") % 37 == 0,
+        F.concat(F.lit("zz-"), F.col("trace_id"), F.lit("-garbage")),
+    ).otherwise(
+        F.concat_ws(
+            "-",
+            F.lit("00"),
+            F.col("trace_id"),
+            F.col("span_id_hex"),
+            F.when(F.col("id") % 3 == 0, F.lit("00")).otherwise(F.lit("01")),
+        )
+    )
+    parsed = spans.select(
+        "id", "trace_id", "span_id_hex", parse_traceparent(header).alias("ctx")
+    )
+    return parsed.select(
+        "id",
+        F.col("ctx.trace_id").alias("ctx_trace_id"),
+        F.col("ctx.span_id").alias("ctx_span_id"),
+        F.col("ctx.sampled").alias("ctx_sampled"),
+        F.col("ctx.valid").alias("ctx_valid"),
+        (
+            F.col("ctx.valid")
+            & (F.col("ctx.trace_id") == F.col("trace_id"))
+            & (F.col("ctx.span_id") == F.col("span_id_hex"))
+        ).alias("roundtrip_ok"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = least-proven-first: the driver correctness-checks
     only the FIRST 50 entries, so queries that are new or changed this
@@ -2488,6 +2585,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     goes more than ~2 rounds without a driver row."""
     return {
         # --- round-5 additions (never driver-checked) ---
+        "tail_sample": q_tail_sample,
+        "slo_burn": q_slo_burn,
+        "throttle": q_throttle,
+        "traceparent": q_traceparent,
         "otlp_logs_ingest": q_otlp_logs_ingest,
         "otlp_traces_ingest": q_otlp_traces_ingest,
         "otlp_metrics_ingest": q_otlp_metrics_ingest,
@@ -2880,6 +2981,82 @@ def _emb_neardup_oracle_sql(n_planes: int = 16, seed: int = 42) -> str:
 
 def oracle_sql() -> dict[str, str]:
     d = {
+        "tail_sample": f"""
+            WITH t AS (
+              SELECT trace_id, status_code,
+                max(CASE WHEN status_code = 2 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY trace_id) AS has_err,
+                (max(epoch_us(start_ts) + duration_ms * 1000)
+                   OVER (PARTITION BY trace_id)
+                 - min(epoch_us(start_ts)) OVER (PARTITION BY trace_id))
+                  / 1000.0 AS trace_ms,
+                substr(md5(trace_id), 1, 2) AS h
+              FROM read_parquet('{_REPO}/.cache/spans/n20000/spans.parquet')),
+            k AS (
+              SELECT trace_id, status_code,
+                CASE WHEN has_err = 1 THEN 'error'
+                     WHEN trace_ms > 500 THEN 'latency'
+                     WHEN h < '10' THEN 'prob' END AS sample_policy
+              FROM t)
+            SELECT sample_policy, count(*) AS n_spans,
+                   count(DISTINCT trace_id) AS n_traces,
+                   sum(CASE WHEN status_code = 2 THEN 1 ELSE 0 END) AS n_error_spans
+            FROM k WHERE sample_policy IS NOT NULL
+            GROUP BY sample_policy
+        """,
+        "slo_burn": """
+            WITH b AS (
+              SELECT date_trunc('hour', ts) AS bucket_start,
+                     count(*) AS n_events,
+                     sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+              FROM events GROUP BY 1)
+            SELECT bucket_start, n_events, n_errors,
+                   n_errors / n_events / 0.25 AS short_burn,
+                   (sum(n_errors) OVER w) / (sum(n_events) OVER w) / 0.25 AS long_burn,
+                   (n_errors / n_events / 0.25 > 2.0
+                    AND (sum(n_errors) OVER w) / (sum(n_events) OVER w) / 0.25 > 1.0)
+                     AS alert
+            FROM b WINDOW w AS (PARTITION BY date_trunc('day', bucket_start))
+        """,
+        "throttle": """
+            WITH r AS (
+              SELECT user_id, event_id,
+                row_number() OVER (
+                  PARTITION BY user_id, date_trunc('hour', ts)
+                  ORDER BY ts, event_id) AS rn
+              FROM events)
+            SELECT user_id, count(*) AS n_kept, sum(event_id) AS sum_event_id
+            FROM r WHERE rn <= 2 GROUP BY user_id
+        """,
+        "traceparent": f"""
+            WITH h AS (
+              SELECT id, trace_id, span_id_hex,
+                CASE WHEN id % 37 = 0
+                     THEN 'zz-' || trace_id || '-garbage'
+                     ELSE '00-' || trace_id || '-' || span_id_hex || '-' ||
+                          (CASE WHEN id % 3 = 0 THEN '00' ELSE '01' END)
+                END AS tp
+              FROM read_parquet('{_REPO}/.cache/spans/n20000/spans.parquet')),
+            p AS (
+              SELECT id, trace_id, span_id_hex, tp,
+                (regexp_matches(tp,
+                   '^[0-9a-f]{{2}}-[0-9a-f]{{32}}-[0-9a-f]{{16}}-[0-9a-f]{{2}}$')
+                 AND substr(tp, 1, 2) <> 'ff'
+                 AND substr(tp, 4, 32) <> repeat('0', 32)
+                 AND substr(tp, 37, 16) <> repeat('0', 16)) AS valid
+              FROM h)
+            SELECT id,
+              CASE WHEN valid THEN substr(tp, 4, 32) END AS ctx_trace_id,
+              CASE WHEN valid THEN substr(tp, 37, 16) END AS ctx_span_id,
+              CASE WHEN valid
+                   THEN substr(tp, 55, 1) IN ('1','3','5','7','9','b','d','f')
+              END AS ctx_sampled,
+              coalesce(valid, false) AS ctx_valid,
+              coalesce(valid
+                       AND substr(tp, 4, 32) = trace_id
+                       AND substr(tp, 37, 16) = span_id_hex, false) AS roundtrip_ok
+            FROM p
+        """,
         "otlp_logs_ingest": f"""
             WITH t AS (
               SELECT json_transform(payload,

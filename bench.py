@@ -95,6 +95,10 @@ HEADLINE_QUERIES = [
     "table_profile",
     "vocab_stats",
     "hash_split",
+    "tail_sample",
+    "slo_burn",
+    "throttle",
+    "traceparent",
 ]
 
 

@@ -22,6 +22,7 @@ from otel_arrow_spark.functions.scalar import (  # noqa: F401
     opl_join,
     opl_replace,
     opl_substring,
+    parse_traceparent,
     regexp_capture,
     regexp_substr,
     sha256,

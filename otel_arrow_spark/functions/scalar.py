@@ -218,3 +218,41 @@ def uuid7(ts, entropy) -> Column:
         F.concat(variant_digit, F.substring(rand_b, 1, 3)),
         F.substring(rand_b, 4, 12),
     )
+
+
+def parse_traceparent(tp) -> Column:
+    """Parse a W3C ``traceparent`` header (public spec, w3.org/TR/
+    trace-context: ``{version:2x}-{trace_id:32x}-{span_id:16x}-{flags:2x}``)
+    into a struct ``(trace_id, span_id, sampled, valid)`` — the context-
+    propagation counterpart of the receivers' trace-id columns.
+
+    Validity follows the spec: exact shape, lowercase hex, version ``ff``
+    forbidden, all-zero trace-id/span-id forbidden. Invalid headers yield
+    ``valid=false`` with NULL fields (a receiver must not fabricate
+    context). ``sampled`` is bit 0 of the flags octet — tested via the
+    low hex digit's parity, which replays identically in any engine
+    without a hex→int conversion builtin.
+
+    Pure expressions (rlike + substring): codegen-friendly, no UDF.
+    """
+    c = _c(tp)
+    shape = c.rlike(
+        "^[0-9a-f]{2}-[0-9a-f]{32}-[0-9a-f]{16}-[0-9a-f]{2}$"
+    )
+    version = F.substring(c, 1, 2)
+    trace_id = F.substring(c, 4, 32)
+    span_id = F.substring(c, 37, 16)
+    flags = F.substring(c, 54, 2)
+    valid = (
+        shape
+        & (version != "ff")
+        & (trace_id != "0" * 32)
+        & (span_id != "0" * 16)
+    )
+    sampled = F.substring(flags, 2, 1).isin("1", "3", "5", "7", "9", "b", "d", "f")
+    return F.struct(
+        F.when(valid, trace_id).alias("trace_id"),
+        F.when(valid, span_id).alias("span_id"),
+        F.when(valid, sampled).alias("sampled"),
+        F.coalesce(valid, F.lit(False)).alias("valid"),
+    )

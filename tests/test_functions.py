@@ -127,3 +127,39 @@ def test_uuid7_shape_and_time_ordering(spark):
     # deterministic
     rows2 = _one(df, uuid7("ts", "e"))
     assert [r.v for r in rows] == [r.v for r in rows2]
+
+
+class TestParseTraceparent:
+    CASES = [
+        # (header, valid, sampled)
+        ("00-" + "ab" * 16 + "-" + "cd" * 8 + "-01", True, True),
+        ("00-" + "ab" * 16 + "-" + "cd" * 8 + "-00", True, False),
+        ("01-" + "ab" * 16 + "-" + "cd" * 8 + "-ff", True, True),  # future version ok
+        ("ff-" + "ab" * 16 + "-" + "cd" * 8 + "-01", False, None),  # version ff forbidden
+        ("00-" + "0" * 32 + "-" + "cd" * 8 + "-01", False, None),  # zero trace id
+        ("00-" + "ab" * 16 + "-" + "0" * 16 + "-01", False, None),  # zero span id
+        ("00-" + "AB" * 16 + "-" + "cd" * 8 + "-01", False, None),  # uppercase hex
+        ("garbage", False, None),
+        (None, False, None),
+    ]
+
+    def test_spec_cases(self, spark):
+        from otel_arrow_spark.functions import parse_traceparent
+
+        df = spark.createDataFrame(
+            [(i, h) for i, (h, _, _) in enumerate(self.CASES)], "i int, tp string"
+        )
+        out = {
+            r.i: r
+            for r in df.select("i", parse_traceparent("tp").alias("c"))
+            .select("i", "c.*")
+            .collect()
+        }
+        for i, (hdr, valid, sampled) in enumerate(self.CASES):
+            assert out[i].valid is valid, hdr
+            assert out[i].sampled == sampled if sampled is not None else out[i].sampled is None
+            if valid:
+                assert out[i].trace_id == hdr[3:35]
+                assert out[i].span_id == hdr[36:52]
+            else:
+                assert out[i].trace_id is None and out[i].span_id is None

@@ -183,6 +183,124 @@ class TestSampling:
         assert 0.05 < frac < 0.15
 
 
+class TestTailSample:
+    @pytest.fixture(scope="class")
+    def spans_df(self, spark):
+        # trace A: has an error span; trace B: slow (wall 2000ms);
+        # trace C: fast, clean — kept only if its md5 falls under the
+        # probabilistic prefix (per-trace deterministic, asserted below)
+        rows = [
+            (1, "a" * 32, 0, "2024-01-01 00:00:00", 10),
+            (2, "a" * 32, 2, "2024-01-01 00:00:00.005", 10),
+            (3, "b" * 32, 0, "2024-01-01 00:00:00", 2000),
+            (4, "b" * 32, 0, "2024-01-01 00:00:01", 50),
+            (5, "c" * 32, 0, "2024-01-01 00:00:00", 5),
+        ]
+        return spark.createDataFrame(
+            rows, "id long, trace_id string, status_code int, start_ts string, duration_ms long"
+        ).withColumn("start_ts", F.col("start_ts").cast("timestamp_ntz"))
+
+    def test_policies_and_whole_trace(self, spans_df):
+        from otel_arrow_spark.operators.sample import tail_sample
+
+        out = tail_sample(spans_df, latency_ms=500, keep_prefix="10").collect()
+        by_id = {r.id: r.sample_policy for r in out}
+        # error policy wins for the WHOLE trace, including its ok spans
+        assert by_id[1] == "error" and by_id[2] == "error"
+        # latency policy: trace wall = max end - min start = 2000ms > 500
+        assert by_id[3] == "latency" and by_id[4] == "latency"
+        # trace c: md5('ccc…') prefix decides; either absent or 'prob'
+        assert by_id.get(5) in (None, "prob")
+
+    def test_latency_is_trace_wall_not_span_sum(self, spark):
+        from otel_arrow_spark.operators.sample import tail_sample
+
+        # two 300ms spans overlapping: wall 400ms < 500 → dropped even
+        # though summed durations (600ms) exceed the threshold
+        df = spark.createDataFrame(
+            [
+                (1, "d" * 32, 0, "2024-01-01 00:00:00", 300),
+                (2, "d" * 32, 0, "2024-01-01 00:00:00.1", 300),
+            ],
+            "id long, trace_id string, status_code int, start_ts string, duration_ms long",
+        ).withColumn("start_ts", F.col("start_ts").cast("timestamp_ntz"))
+        out = tail_sample(df, latency_ms=500, keep_prefix="00")
+        assert out.filter(F.col("sample_policy") == "latency").count() == 0
+
+    def test_single_exchange(self, spans_df):
+        from otel_arrow_spark.operators.sample import tail_sample
+
+        plan = tail_sample(spans_df)._jdf.queryExecution().executedPlan().toString()
+        # every policy rides ONE unordered window on trace_id: exactly one
+        # hash Exchange, no join operators
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Join" not in plan
+
+
+class TestThrottle:
+    def test_caps_per_key_and_window_earliest(self, spark):
+        from otel_arrow_spark.operators.sample import throttle
+
+        rows = [
+            (i, "u1", f"2024-01-01 00:{i:02d}:00") for i in range(5)
+        ] + [(10, "u2", "2024-01-01 00:30:00")]
+        df = spark.createDataFrame(rows, "event_id long, user_id string, ts string").withColumn(
+            "ts", F.col("ts").cast("timestamp_ntz")
+        )
+        out = throttle(
+            df, keys=("user_id",), max_per_window=2, window_duration="1 hour",
+            tiebreak=("event_id",),
+        )
+        kept = sorted(r.event_id for r in out.collect())
+        # u1 keeps its EARLIEST two of five; u2 under quota keeps its one
+        assert kept == [0, 1, 10]
+
+    def test_window_boundary_resets_quota(self, spark):
+        from otel_arrow_spark.operators.sample import throttle
+
+        df = spark.createDataFrame(
+            [(1, "u", "2024-01-01 00:59:00"), (2, "u", "2024-01-01 01:00:00")],
+            "event_id long, user_id string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        out = throttle(df, keys=("user_id",), max_per_window=1,
+                       window_duration="1 hour", tiebreak=("event_id",))
+        assert out.count() == 2
+
+
+class TestBurnRate:
+    def test_short_and_long_burn_math(self, spark):
+        from otel_arrow_spark.operators.slo import burn_rate
+
+        # hour 0: 3/4 errors (short burn 3.0 @ slo .75); hour 1: 0/4;
+        # day ratio 3/8 → long burn 1.5 → hour-0 alert fires, hour-1 not
+        rows = [(i, "error" if i < 3 else "ok", f"2024-01-01 00:0{i}:00") for i in range(4)]
+        rows += [(i + 4, "ok", f"2024-01-01 01:0{i}:00") for i in range(4)]
+        df = spark.createDataFrame(rows, "event_id long, event_type string, ts string").withColumn(
+            "ts", F.col("ts").cast("timestamp_ntz")
+        )
+        out = {
+            r.bucket_start.hour: r
+            for r in burn_rate(df, F.col("event_type") == "error", slo=0.75).collect()
+        }
+        assert out[0].short_burn == 3.0 and out[1].short_burn == 0.0
+        assert out[0].long_burn == 1.5 and out[1].long_burn == 1.5
+        assert out[0].alert is True and out[1].alert is False
+
+    def test_long_window_partitions_by_day(self, spark):
+        from otel_arrow_spark.operators.slo import burn_rate
+
+        # identical hours on two days must not share a long window
+        rows = [(1, "error", "2024-01-01 05:00:00"), (2, "ok", "2024-01-02 05:00:00")]
+        df = spark.createDataFrame(rows, "event_id long, event_type string, ts string").withColumn(
+            "ts", F.col("ts").cast("timestamp_ntz")
+        )
+        out = sorted(
+            burn_rate(df, F.col("event_type") == "error", slo=0.75).collect(),
+            key=lambda r: r.bucket_start,
+        )
+        assert out[0].long_burn == 4.0 and out[1].long_burn == 0.0
+
+
 class TestFlow:
     def test_conditional_branches_exclusive_first_match(self, spark):
         df = spark.createDataFrame([(i,) for i in range(10)], "x int")
