@@ -130,3 +130,119 @@ def sessionize_conversations(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+TAIL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("trace_id", T.StringType()),
+        T.StructField("status_code", T.IntegerType()),
+        T.StructField("start_ts", T.TimestampType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sample_policy", T.StringType()),
+    ]
+)
+
+TAIL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("statuses", T.ArrayType(T.IntegerType())),
+        T.StructField("start_us", T.ArrayType(T.LongType())),
+        T.StructField("dur_ms", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _tail_fn(latency_ms: int, keep_prefix: str, wait_ms: int):
+    import hashlib
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        trace_id = key[0]
+        if state.hasTimedOut:
+            ids, statuses, start_us, dur_ms = state.get
+            state.remove()
+            # the whole-trace decision, same policy order as the batch
+            # operator (operators/sample.py tail_sample)
+            if any(s == 2 for s in statuses):
+                policy = "error"
+            else:
+                wall_ms = (
+                    max(su + dm * 1000 for su, dm in zip(start_us, dur_ms))
+                    - min(start_us)
+                ) / 1000.0
+                if wall_ms > latency_ms:
+                    policy = "latency"
+                elif hashlib.md5(trace_id.encode()).hexdigest()[:2] < keep_prefix:
+                    policy = "prob"
+                else:
+                    policy = None
+            if policy is not None:
+                yield pd.DataFrame(
+                    {
+                        "id": ids,
+                        "trace_id": trace_id,
+                        "status_code": statuses,
+                        "start_ts": [pd.Timestamp(u * 1000) for u in start_us],
+                        "duration_ms": dur_ms,
+                        "sample_policy": policy,
+                    }
+                )
+            return
+        ids: list = []
+        statuses: list = []
+        start_us: list = []
+        dur_ms: list = []
+        if state.exists:
+            ids, statuses, start_us, dur_ms = (list(x) for x in state.get)
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf["id"])
+            statuses.extend(int(x) for x in pdf["status_code"])
+            start_us.extend(_us(x) for x in pdf["start_ts"])
+            dur_ms.extend(int(x) for x in pdf["duration_ms"])
+        state.update((ids, statuses, start_us, dur_ms))
+        state.setTimeoutTimestamp(max(start_us) // 1000 + wait_ms)
+        return
+        yield  # pragma: no cover — makes fn a generator in both paths
+
+    return fn
+
+
+def tail_sample_stream(
+    spans_stream: DataFrame,
+    latency_ms: int = 500,
+    keep_prefix: str = "10",
+    decision_wait: str = "30 seconds",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming tail-based trace sampling: buffer each trace's spans in
+    state, decide keep/drop once the trace has been idle for
+    ``decision_wait`` (event time), and emit kept traces WHOLE — the OTel
+    collector tailsampling processor's actual runtime shape (its
+    ``decision_wait`` buffer), where the batch form
+    (operators/sample.py:tail_sample) is the replay. Policies and their
+    precedence are identical to the batch operator, so stream==batch
+    parity holds per emitted trace (the md5 fallback uses the same
+    hex-prefix rule; Python hashlib.md5 == Spark md5 on utf8).
+
+    State is the spans of OPEN traces only — bounded by trace width ×
+    concurrently-undecided traces, the same bound the collector's
+    num_traces cap manages; decided traces drop their state immediately.
+    """
+    num, unit = decision_wait.split()
+    wait_ms = int(num) * {"seconds": 1_000, "minutes": 60_000, "hours": 3_600_000}[unit]
+    stream = spans_stream.withColumn(
+        "start_ts", F.col("start_ts").cast("timestamp")
+    ).withWatermark("start_ts", watermark)
+    return (
+        stream.select("id", "trace_id", "status_code", "start_ts", "duration_ms")
+        .groupBy("trace_id")
+        .applyInPandasWithState(
+            _tail_fn(latency_ms, keep_prefix, wait_ms),
+            outputStructType=TAIL_OUT_SCHEMA,
+            stateStructType=TAIL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

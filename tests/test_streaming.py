@@ -512,3 +512,86 @@ def test_stream_otlp_decode_rejects_unknown_signal(spark, workdir):
 
     with pytest.raises(ValueError, match="signal must be one of"):
         stream_otlp_decode(spark, workdir, workdir, workdir, signal="profiles")
+
+
+def test_tail_sample_stream_matches_batch(spark, workdir):
+    """Streaming tail sampler == batch tail_sample per emitted trace:
+    same policy, same whole-trace span set, each trace decided once.
+    Traces are temporally compact (spans within 10 s), as real traces
+    are, so the 60 s decision_wait never splits one trace's decision."""
+    import numpy as np
+    import pandas as pd
+
+    from otel_arrow_spark.operators.sample import tail_sample
+    from otel_arrow_spark.streaming.stateful import tail_sample_stream
+
+    rng = np.random.RandomState(11)
+    n_traces = 200
+    rows = []
+    sid = 0
+    base = pd.Timestamp("2024-01-01")
+    for t in range(n_traces):
+        t0 = base + pd.Timedelta(seconds=int(rng.randint(0, 1800)))
+        for _ in range(int(rng.randint(3, 7))):
+            rows.append(
+                {
+                    "id": sid,
+                    "trace_id": f"{t:032x}",
+                    "status_code": int(2 if rng.random_sample() < 0.05 else 0),
+                    "start_ts": t0 + pd.Timedelta(milliseconds=int(rng.randint(0, 10_000))),
+                    "duration_ms": int(rng.randint(1, 800)),
+                }
+            )
+            sid += 1
+    pdf = pd.DataFrame(rows).sort_values("start_ts")
+    pdf["start_ts"] = pdf["start_ts"].astype("datetime64[us]")
+    d = f"{workdir}/tail_spans"
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    for i, part in enumerate(np.array_split(pdf, 4)):
+        part.to_parquet(f"{d}/part-{i:02d}.parquet", index=False)
+
+    batch_df = spark.read.parquet(d)
+    want = tail_sample(batch_df, latency_ms=500, keep_prefix="10")
+    want_rows = {
+        r.trace_id: r for r in
+        want.groupBy("trace_id", "sample_policy")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("sum_id"))
+        .collect()
+    }
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = f"{workdir}/tail_out"
+    q = (
+        tail_sample_stream(
+            stream, latency_ms=500, keep_prefix="10",
+            decision_wait="60 seconds", watermark="1 second",
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{workdir}/tail_ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    got_rows = {
+        r.trace_id: r for r in
+        got.groupBy("trace_id", "sample_policy")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("sum_id"))
+        .collect()
+    }
+    # each emitted trace: decided once, whole, same policy as batch
+    assert got.groupBy("trace_id").count().count() == len(got_rows)
+    for tid, r in got_rows.items():
+        w = want_rows[tid]
+        assert (r.sample_policy, r.n, r.sum_id) == (w.sample_policy, w.n, w.sum_id), tid
+    # traces idle past the final watermark all emitted (only the tail
+    # ~minute of event time may stay open)
+    assert len(got_rows) >= 0.8 * len(want_rows)
