@@ -2576,6 +2576,38 @@ def q_traceparent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution (SURVEY §1.4 — Optional columns + dictionary
+    index-width upgrade as parquet generations): generation 1 predates
+    the `props`/`value` columns and carries a narrow INT event_id;
+    generation 2 has the widened BIGINT id and both new columns.
+    `evolved_union` reads them as ONE frame — absent columns NULL,
+    numerics widened — exactly the reference's schema-update semantics
+    (go/pkg/otel/common/schema/update/schema_update_request.go:27-62).
+    The aggregate pins both behaviors: sum_id proves the widening
+    (int ids summed in 64-bit), n_props/n_value prove generation-1 rows
+    read NULL for the late columns. min/max are order-independent, so no
+    float-sum nondeterminism enters the hash."""
+    from otel_arrow_spark.sources.evolution import evolved_union
+
+    ev = _t(spark, sf_dir, "events")
+    g1 = ev.filter(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").cast("int").alias("event_id"), "event_type"
+    )
+    g2 = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "event_type", "value", "props"
+    )
+    u = evolved_union(g1, g2)
+    return u.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("sum_id"),
+        F.count("props").alias("n_props"),
+        F.count("value").alias("n_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = least-proven-first: the driver correctness-checks
     only the FIRST 50 entries, so queries that are new or changed this
@@ -2614,6 +2646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "table_profile": q_table_profile,
         "kql_make_series": q_kql_make_series,
+        "schema_evolution": q_schema_evolution,
         # --- implementation or oracle changed in round 5 ---
         "sessionize": q_sessionize,
         "logs_star": q_logs_star,
@@ -3342,6 +3375,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(dur_s AS BIGINT)) AS BIGINT) AS sum_dur,
                    CAST(sum(CAST(alen_s AS BIGINT)) AS BIGINT) AS sum_args
             FROM p WHERE st <> '' GROUP BY 1, 2
+        """,
+        "schema_evolution": """
+            WITH g1 AS (
+              SELECT CAST(event_id AS INTEGER) AS event_id, event_type
+              FROM events WHERE event_id % 2 = 0),
+            g2 AS (
+              SELECT event_id, event_type, value, props
+              FROM events WHERE event_id % 2 = 1),
+            u AS (
+              SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+                     CAST(NULL AS DOUBLE) AS value, CAST(NULL AS VARCHAR) AS props
+              FROM g1
+              UNION ALL
+              SELECT event_id, event_type, value, props FROM g2)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(event_id) AS BIGINT) AS sum_id,
+                   CAST(count(props) AS BIGINT) AS n_props,
+                   CAST(count(value) AS BIGINT) AS n_value,
+                   round(CAST(min(value) AS DOUBLE), 4) AS min_value,
+                   round(CAST(max(value) AS DOUBLE), 4) AS max_value
+            FROM u GROUP BY 1
         """,
         "gap_detect": """
             WITH g AS (

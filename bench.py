@@ -99,6 +99,7 @@ HEADLINE_QUERIES = [
     "slo_burn",
     "throttle",
     "traceparent",
+    "schema_evolution",
 ]
 
 
