@@ -2608,6 +2608,61 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cum_number_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-sum number data points named via the metrics dim
+    (broadcast) — the shared input of the temporality-conversion queries."""
+    p = _metrics_dir(sf_dir)
+    metrics = spark.read.parquet(f"{p}/metrics.parquet")
+    ndp = spark.read.parquet(f"{p}/number_data_points.parquet")
+    return ndp.join(
+        F.broadcast(
+            metrics.where(F.col("metric_type") == 1).select(
+                F.col("id").alias("parent_id"), "name"
+            )
+        ),
+        "parent_id",
+    ).select("name", F.col("stream").cast("int").alias("stream"), "ts", "double_value")
+
+
+def q_temporality_c2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cumulative_to_delta (operators/metrics.py — the collector's
+    cumulativetodelta processor): per-stream adjacent differences with
+    reset handling, start_ts = previous point's ts, first point dropped.
+    One lag window per stream; the oracle replays the same lag. Deltas
+    of 3-dp fixture values round at 6 dp on both engines."""
+    from otel_arrow_spark.operators.metrics import cumulative_to_delta
+
+    out = cumulative_to_delta(
+        _cum_number_streams(spark, sf_dir), keys=("name", "stream")
+    )
+    return out.select(
+        "name", "stream", "start_ts", "ts",
+        F.round("double_value", 6).alias("delta_value"),
+    )
+
+
+def q_temporality_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """delta_to_cumulative ∘ cumulative_to_delta (the collector's two
+    temporality processors composed): restores each cumulative stream
+    minus its unobserved baseline — value - first_value, anchored at the
+    stream's first timestamp. Both windows share one partitioning; the
+    oracle states the algebraic identity directly (first_value window)
+    rather than replaying the fold, so it is an independent derivation."""
+    from otel_arrow_spark.operators.metrics import (
+        cumulative_to_delta,
+        delta_to_cumulative,
+    )
+
+    back = delta_to_cumulative(
+        cumulative_to_delta(_cum_number_streams(spark, sf_dir), keys=("name", "stream")),
+        keys=("name", "stream"),
+    )
+    return back.select(
+        "name", "stream", "start_ts", "ts",
+        F.round("double_value", 6).alias("cum_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = least-proven-first: the driver correctness-checks
     only the FIRST 50 entries, so queries that are new or changed this
@@ -2647,6 +2702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": q_table_profile,
         "kql_make_series": q_kql_make_series,
         "schema_evolution": q_schema_evolution,
+        "temporality_c2d": q_temporality_c2d,
+        "temporality_roundtrip": q_temporality_roundtrip,
         # --- implementation or oracle changed in round 5 ---
         "sessionize": q_sessionize,
         "logs_star": q_logs_star,
@@ -4565,6 +4622,45 @@ def oracle_sql() -> dict[str, str]:
                             THEN round(25.0 + 100.0*(0.9*(b1+b2+b3+b4) - b1 - b2)/b3, 6)
                         ELSE 125.0 END AS p90_r
             FROM g
+        """,
+        "temporality_c2d": f"""
+            WITH m AS (
+                SELECT id, name
+                FROM read_parquet('{_REPO}/.cache/metrics/n20000/metrics.parquet')
+                WHERE metric_type = 1),
+            d AS (
+                SELECT m.name, CAST(n.stream AS INT) AS stream, n.ts, n.double_value
+                FROM read_parquet('{_REPO}/.cache/metrics/n20000/number_data_points.parquet') n
+                JOIN m ON n.parent_id = m.id),
+            l AS (
+                SELECT name, stream, ts, double_value,
+                       lag(double_value) OVER w AS prev,
+                       lag(ts) OVER w AS prev_ts
+                FROM d WINDOW w AS (PARTITION BY name, stream ORDER BY ts))
+            SELECT name, stream, prev_ts AS start_ts, ts,
+                   round(CASE WHEN double_value >= prev THEN double_value - prev
+                              ELSE double_value END, 6) AS delta_value
+            FROM l WHERE prev IS NOT NULL
+        """,
+        "temporality_roundtrip": f"""
+            WITH m AS (
+                SELECT id, name
+                FROM read_parquet('{_REPO}/.cache/metrics/n20000/metrics.parquet')
+                WHERE metric_type = 1),
+            d AS (
+                SELECT m.name, CAST(n.stream AS INT) AS stream, n.ts, n.double_value
+                FROM read_parquet('{_REPO}/.cache/metrics/n20000/number_data_points.parquet') n
+                JOIN m ON n.parent_id = m.id),
+            f AS (
+                SELECT name, stream, ts,
+                       first_value(double_value) OVER w AS v0,
+                       first_value(ts) OVER w AS ts0,
+                       row_number() OVER w AS rn,
+                       double_value
+                FROM d WINDOW w AS (PARTITION BY name, stream ORDER BY ts))
+            SELECT name, stream, ts0 AS start_ts, ts,
+                   round(double_value - v0, 6) AS cum_value
+            FROM f WHERE rn > 1
         """,
         "counter_rate": f"""
             WITH m AS (

@@ -100,6 +100,8 @@ HEADLINE_QUERIES = [
     "throttle",
     "traceparent",
     "schema_evolution",
+    "temporality_c2d",
+    "temporality_roundtrip",
 ]
 
 

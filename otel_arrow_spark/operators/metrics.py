@@ -576,6 +576,77 @@ def counter_rate(
     )
 
 
+def cumulative_to_delta(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("metric_name",),
+    ts_col: str = "ts",
+    value_col: str = "double_value",
+    tiebreak: tuple[str, ...] = (),
+) -> DataFrame:
+    """Convert CUMULATIVE sum streams to DELTA temporality (the OTel
+    collector's cumulativetodelta processor, public contrib module):
+    per stream ordered by (ts, tiebreak), each emitted point is the
+    difference from the previous point with ``start_ts`` = the previous
+    point's timestamp (the interval the delta covers). The first point
+    of a stream only anchors state and is DROPPED — there is no interval
+    to attribute it to. A raw-value drop is a counter reset: the
+    post-reset value is its own delta (counter restarted from ~0), the
+    same reset rule counter_rate applies.
+
+    Plan: ONE Window node over the stream keys (single Exchange); pure
+    lag/filter expressions, codegen'd, no Python. Scale: partitions by
+    stream identity — the cardinality that grows with the fleet — never
+    by time, so a 100× longer retention widens partitions, not the
+    shuffle key space.
+    """
+    w = Window.partitionBy(*keys).orderBy(ts_col, *tiebreak)
+    out = (
+        df.withColumn("_prev", F.lag(value_col).over(w))
+        .withColumn("_prev_ts", F.lag(ts_col).over(w))
+        .filter(F.col("_prev").isNotNull())
+    )
+    delta = F.when(
+        F.col(value_col) >= F.col("_prev"), F.col(value_col) - F.col("_prev")
+    ).otherwise(F.col(value_col))
+    return out.select(
+        *keys,
+        F.col("_prev_ts").alias("start_ts"),
+        F.col(ts_col).alias(ts_col),
+        delta.alias(value_col),
+    )
+
+
+def delta_to_cumulative(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("metric_name",),
+    ts_col: str = "ts",
+    value_col: str = "double_value",
+    tiebreak: tuple[str, ...] = (),
+) -> DataFrame:
+    """Convert DELTA sum streams to CUMULATIVE temporality (the OTel
+    collector's deltatocumulative processor): per stream ordered by
+    (ts, tiebreak), each point carries the running sum of all deltas so
+    far, and every emitted point's ``start_ts`` is pinned to the
+    stream's FIRST observed start (the fixed cumulative anchor the data
+    model requires). Inverse of cumulative_to_delta up to the unobserved
+    baseline: d2c(c2d(s)) = s - s.first_value.
+
+    Plan: ONE Window node (running frame + first-value share the same
+    partitioning/ordering → one Exchange, one Sort); left-associated
+    fold in a deterministic total order, so the IEEE sum sequence is
+    engine-reproducible.
+    """
+    w = Window.partitionBy(*keys).orderBy(ts_col, *tiebreak)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    anchor = "start_ts" if "start_ts" in df.columns else ts_col
+    return df.select(
+        *keys,
+        F.first(anchor).over(run).alias("start_ts"),
+        F.col(ts_col).alias(ts_col),
+        F.sum(value_col).over(run).alias(value_col),
+    )
+
+
 def exp_histogram_quantile(
     df: DataFrame,
     q: float,

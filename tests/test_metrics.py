@@ -876,3 +876,73 @@ class TestQuantileFuzz:
             assert got is not None and abs(got - want) < 1e-9, (counts, qq)
 
         run()
+
+
+class TestTemporalityConversion:
+    """cumulative_to_delta / delta_to_cumulative — the collector's two
+    temporality processors as one-window operators."""
+
+    def _cum(self, spark):
+        rows = [("m", "s0", ts(0), 0.0), ("m", "s0", ts(10), 5.0),
+                ("m", "s0", ts(20), 7.0), ("m", "s0", ts(30), 2.0),  # reset
+                ("m", "s0", ts(40), 9.0),
+                ("m", "s1", ts(5), 100.0)]  # lone point: anchors, emits nothing
+        return spark.createDataFrame(
+            rows, "metric_name string, stream string, ts timestamp, double_value double"
+        )
+
+    def test_c2d_deltas_resets_and_start_ts(self, spark):
+        from otel_arrow_spark.operators.metrics import cumulative_to_delta
+
+        out = cumulative_to_delta(
+            self._cum(spark), keys=("metric_name", "stream")
+        ).collect()
+        got = {(r.stream, str(r.ts)): (r.double_value, str(r.start_ts)) for r in out}
+        assert len(out) == 4  # first point per stream dropped; s1 emits nothing
+        assert got[("s0", "2026-01-01 00:00:10")] == (5.0, "2026-01-01 00:00:00")
+        assert got[("s0", "2026-01-01 00:00:20")] == (2.0, "2026-01-01 00:00:10")
+        # reset: post-reset raw value is its own delta
+        assert got[("s0", "2026-01-01 00:00:30")] == (2.0, "2026-01-01 00:00:20")
+        assert got[("s0", "2026-01-01 00:00:40")] == (7.0, "2026-01-01 00:00:30")
+
+    def test_d2c_running_sum_and_anchor(self, spark):
+        from otel_arrow_spark.operators.metrics import delta_to_cumulative
+
+        rows = [("m", ts(10), ts(0), 5.0), ("m", ts(20), ts(10), 2.0),
+                ("m", ts(30), ts(20), 3.0)]
+        df = spark.createDataFrame(
+            rows, "metric_name string, ts timestamp, start_ts timestamp, double_value double"
+        )
+        out = {str(r.ts): (r.double_value, str(r.start_ts))
+               for r in delta_to_cumulative(df, keys=("metric_name",)).collect()}
+        assert out["2026-01-01 00:00:10"] == (5.0, "2026-01-01 00:00:00")
+        assert out["2026-01-01 00:00:20"] == (7.0, "2026-01-01 00:00:00")
+        assert out["2026-01-01 00:00:30"] == (10.0, "2026-01-01 00:00:00")
+
+    def test_roundtrip_restores_minus_baseline(self, spark):
+        from otel_arrow_spark.operators.metrics import (
+            cumulative_to_delta,
+            delta_to_cumulative,
+        )
+
+        cum = self._cum(spark).filter("stream = 's0' and double_value <> 2.0")
+        # monotonic series 0,5,7,9 → deltas 5,2,2 → cumulative 5,7,9 = orig - 0
+        back = delta_to_cumulative(
+            cumulative_to_delta(cum, keys=("metric_name", "stream")),
+            keys=("metric_name", "stream"),
+        )
+        got = {str(r.ts): r.double_value for r in back.collect()}
+        assert got == {"2026-01-01 00:00:10": 5.0, "2026-01-01 00:00:20": 7.0,
+                       "2026-01-01 00:00:40": 9.0}
+
+    def test_one_exchange_no_python(self, spark):
+        from otel_arrow_spark.operators.metrics import (
+            cumulative_to_delta,
+            delta_to_cumulative,
+        )
+
+        df = self._cum(spark)
+        for op in (cumulative_to_delta, delta_to_cumulative):
+            plan = op(df, keys=("metric_name", "stream"))._jdf.queryExecution() \
+                .executedPlan().toString()
+            assert plan.count("Exchange") == 1 and "EvalPython" not in plan
