@@ -2663,6 +2663,24 @@ def q_temporality_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (operators/downsample.py — Jugel et al. VLDB'14,
+    the dashboard-rendering reducer over reaggregated series): ≤4 anchor
+    points per (metric, stream, 15-min bucket) in ONE algebraic
+    partial+final aggregate. All compared values are selections (min_by/
+    max_by), never sums — engine-exact with no rounding convention."""
+    from otel_arrow_spark.operators.downsample import m4_downsample
+
+    p = _metrics_dir(sf_dir)
+    metrics = spark.read.parquet(f"{p}/metrics.parquet")
+    ndp = spark.read.parquet(f"{p}/number_data_points.parquet")
+    named = ndp.join(
+        F.broadcast(metrics.select(F.col("id").alias("parent_id"), "name")),
+        "parent_id",
+    ).select("name", F.col("stream").cast("int").alias("stream"), "ts", "double_value")
+    return m4_downsample(named, "15 minutes", keys=("name", "stream"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = least-proven-first: the driver correctness-checks
     only the FIRST 50 entries, so queries that are new or changed this
@@ -2704,6 +2722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution": q_schema_evolution,
         "temporality_c2d": q_temporality_c2d,
         "temporality_roundtrip": q_temporality_roundtrip,
+        "m4_downsample": q_m4_downsample,
         # --- implementation or oracle changed in round 5 ---
         "sessionize": q_sessionize,
         "logs_star": q_logs_star,
@@ -4622,6 +4641,36 @@ def oracle_sql() -> dict[str, str]:
                             THEN round(25.0 + 100.0*(0.9*(b1+b2+b3+b4) - b1 - b2)/b3, 6)
                         ELSE 125.0 END AS p90_r
             FROM g
+        """,
+        "m4_downsample": f"""
+            WITH d AS (
+                SELECT m.name, CAST(n.stream AS INT) AS stream,
+                       time_bucket(INTERVAL '15 minutes', n.ts) AS window_start,
+                       n.ts, n.double_value
+                FROM read_parquet('{_REPO}/.cache/metrics/n20000/number_data_points.parquet') n
+                JOIN read_parquet('{_REPO}/.cache/metrics/n20000/metrics.parquet') m
+                  ON n.parent_id = m.id),
+            r AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY name, stream, window_start
+                                          ORDER BY ts) AS rn_f,
+                       row_number() OVER (PARTITION BY name, stream, window_start
+                                          ORDER BY ts DESC) AS rn_l,
+                       row_number() OVER (PARTITION BY name, stream, window_start
+                                          ORDER BY double_value, ts) AS rn_min,
+                       row_number() OVER (PARTITION BY name, stream, window_start
+                                          ORDER BY double_value DESC, ts) AS rn_max
+                FROM d)
+            SELECT name, stream, window_start,
+                   max(CASE WHEN rn_f = 1 THEN ts END) AS first_ts,
+                   max(CASE WHEN rn_f = 1 THEN double_value END) AS first_v,
+                   max(CASE WHEN rn_l = 1 THEN ts END) AS last_ts,
+                   max(CASE WHEN rn_l = 1 THEN double_value END) AS last_v,
+                   max(CASE WHEN rn_min = 1 THEN ts END) AS min_ts,
+                   max(CASE WHEN rn_min = 1 THEN double_value END) AS min_v,
+                   max(CASE WHEN rn_max = 1 THEN ts END) AS max_ts,
+                   max(CASE WHEN rn_max = 1 THEN double_value END) AS max_v
+            FROM r GROUP BY 1, 2, 3
         """,
         "temporality_c2d": f"""
             WITH m AS (

@@ -102,6 +102,7 @@ HEADLINE_QUERIES = [
     "schema_evolution",
     "temporality_c2d",
     "temporality_roundtrip",
+    "m4_downsample",
 ]
 
 
