@@ -103,6 +103,7 @@ HEADLINE_QUERIES = [
     "temporality_c2d",
     "temporality_roundtrip",
     "m4_downsample",
+    "zonemap_prune",
 ]
 
 
