@@ -246,3 +246,84 @@ def tail_sample_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+D2C_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType()),
+        T.StructField("stream", T.IntegerType()),
+        T.StructField("start_ts", T.TimestampType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("double_value", T.DoubleType()),
+    ]
+)
+
+D2C_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("total", T.DoubleType()),
+        T.StructField("anchor_us", T.LongType()),
+    ]
+)
+
+
+def _d2c_fn():
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        name, stream_id = key
+        total, anchor_us = (state.get if state.exists else (0.0, None))
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        if anchor_us is None:
+            anchor_us = _us(rows["ts"].iloc[0])
+        # left-fold in ts order starting from the carried total — the
+        # exact add sequence the batch running-sum window performs, so
+        # stream == batch bit-for-bit under in-order arrival. The carry
+        # must seed the fold (cumsum([total, v…])), NOT be added to each
+        # prefix afterwards: (Σv)+total associates differently in IEEE
+        # than ((total+v1)+v2)… and would drift off the batch fold.
+        import numpy as np
+
+        vals = rows["double_value"].astype("float64").to_numpy()
+        cum = np.cumsum(np.concatenate(([total], vals)))[1:]
+        state.update((float(cum[-1]), int(anchor_us)))
+        yield pd.DataFrame(
+            {
+                "name": name,
+                "stream": stream_id,
+                "start_ts": pd.Timestamp(anchor_us * 1000),
+                "ts": rows["ts"].values,
+                "double_value": cum,
+            }
+        )
+
+    return fn
+
+
+def delta_to_cumulative_stream(delta_stream: DataFrame) -> DataFrame:
+    """Streaming delta→cumulative conversion — the OTel collector's
+    deltatocumulative processor in its ACTUAL runtime shape: a stateful
+    per-stream accumulator that adds each arriving delta onto the running
+    total and stamps every emitted point with the stream's first-observed
+    anchor timestamp. The batch form (operators/metrics.py
+    delta_to_cumulative) is the replay; under per-stream in-order arrival
+    (the processor's own contract — it drops out-of-order points) the
+    emitted points match the batch window fold bit-for-bit, because both
+    are the same left-associated IEEE add sequence
+    (test_streaming.test_d2c_stream_matches_batch).
+
+    State per stream = (total, anchor) — two scalars, the collector's
+    own per-stream memory bound; no timeout, matching its keep-alive
+    default (add an event-time timeout for the max_stale eviction
+    behavior if stream churn demands it).
+    """
+    return (
+        delta_stream.select("name", "stream", "ts", "double_value")
+        .groupBy("name", "stream")
+        .applyInPandasWithState(
+            _d2c_fn(),
+            outputStructType=D2C_OUT_SCHEMA,
+            stateStructType=D2C_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

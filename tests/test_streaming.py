@@ -595,3 +595,72 @@ def test_tail_sample_stream_matches_batch(spark, workdir):
     # traces idle past the final watermark all emitted (only the tail
     # ~minute of event time may stay open)
     assert len(got_rows) >= 0.8 * len(want_rows)
+
+
+def test_d2c_stream_matches_batch(spark, workdir):
+    """Streaming deltatocumulative == batch delta_to_cumulative
+    bit-for-bit: same left-associated IEEE fold per stream, same anchor.
+    Input files are split along time so per-stream arrival is in order
+    across micro-batches (the processor's own in-order contract)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from otel_arrow_spark.operators.metrics import delta_to_cumulative
+    from otel_arrow_spark.streaming.stateful import delta_to_cumulative_stream
+
+    rng = np.random.RandomState(7)
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    for name in ["m.a", "m.b"]:
+        for stream in range(3):
+            t = 0
+            for _ in range(40):
+                t += int(rng.randint(1, 30))
+                rows.append(
+                    {
+                        "name": name,
+                        "stream": stream,
+                        "ts": base + pd.Timedelta(seconds=t),
+                        "double_value": round(float(rng.exponential(5.0)), 3),
+                    }
+                )
+    pdf = pd.DataFrame(rows).sort_values("ts")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf["stream"] = pdf["stream"].astype("int32")
+    d = f"{workdir}/d2c_in"
+    os.makedirs(d, exist_ok=True)
+    for i, part in enumerate(np.array_split(pdf, 4)):  # time-split → in order
+        part.to_parquet(f"{d}/part-{i:02d}.parquet", index=False)
+
+    batch_df = spark.read.parquet(d)
+    want = {
+        (r.name, r.stream, str(r.ts)): (r.double_value, str(r.start_ts))
+        for r in delta_to_cumulative(
+            batch_df, keys=("name", "stream")
+        ).collect()
+    }
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = f"{workdir}/d2c_out"
+    q = (
+        delta_to_cumulative_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{workdir}/d2c_ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.name, r.stream, str(r.ts)): (r.double_value, str(r.start_ts))
+        for r in spark.read.parquet(out).collect()
+    }
+    assert len(got) == len(want) == len(pdf)
+    assert got == want  # bit-for-bit: same fold, same anchor
