@@ -289,3 +289,29 @@ def test_chunking_and_quantile_stay_jvm_shuffle_free(spark):
         0.9,
     ))
     assert "Exchange" not in q_plan and "EvalPython" not in q_plan
+
+
+def test_temporality_roundtrip_single_exchange(spark):
+    """cumulative_to_delta → delta_to_cumulative composes into ONE
+    Exchange + ONE Sort: both Window nodes require the same (key, order)
+    distribution, so Catalyst plans the second window directly over the
+    first's sorted output — the whole round-trip is a single sorted
+    pass. A second Sort or Exchange would mean the conversions don't
+    share their partitioning (the M4/downsample docs rely on this
+    composition being free)."""
+    from otel_arrow_spark.operators.metrics import (
+        cumulative_to_delta,
+        delta_to_cumulative,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    series = ev.selectExpr("event_type as metric_name", "ts",
+                           "value as double_value")
+    plan = plan_of(delta_to_cumulative(
+        cumulative_to_delta(series, keys=("metric_name",)),
+        keys=("metric_name",),
+    ))
+    assert plan.count("Exchange") == 1
+    assert plan.count("Sort ") <= 1 or plan.count("+- Sort") == 1
+    assert plan.count("Window") == 2
+    assert "EvalPython" not in plan

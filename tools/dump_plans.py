@@ -384,6 +384,45 @@ def main() -> None:
         )
     )
 
+    from otel_arrow_spark.operators.downsample import m4_downsample
+
+    sections.append(
+        (
+            "M4 time-series downsampling",
+            "Expected: ONE partial+final `HashAggregate` pair around a "
+            "single `Exchange` on (series, bucket) — min_by/max_by are "
+            "algebraic, so map-side combine collapses every partition to "
+            "≤4 candidate points per group before the shuffle. No "
+            "`Window`, no Python.",
+            m4_downsample(
+                events.selectExpr("event_type as metric_name", "ts",
+                                  "value as double_value"),
+                "15 minutes",
+            ),
+        )
+    )
+
+    from otel_arrow_spark.operators.metrics import (
+        cumulative_to_delta,
+        delta_to_cumulative,
+    )
+
+    series = events.selectExpr("event_type as metric_name", "ts",
+                               "value as double_value")
+    sections.append(
+        (
+            "Temporality round-trip (cumulativetodelta → deltatocumulative)",
+            "Expected: each conversion is ONE `Window` node; the second "
+            "window reuses the first's (key, order) partitioning, so the "
+            "whole round-trip is a single `Exchange` + `Sort` — lag, "
+            "running sum and first-value all ride one sorted pass.",
+            delta_to_cumulative(
+                cumulative_to_delta(series, keys=("metric_name",)),
+                keys=("metric_name",),
+            ),
+        )
+    )
+
     out = [HEADER]
     for title, expect, df in sections:
         plan = df._jdf.queryExecution().explainString(
