@@ -2697,7 +2697,7 @@ def q_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(_REPO, ".cache", "zonemap_out")
     e.repartitionByRange(16, "user_id").write.mode("overwrite").parquet(path)
     zm = build_zonemap(spark, path, ["user_id"])
-    out, stats = pruned_scan(spark, path, "user_id", lo=100, hi=400, zonemap=zm)
+    out, stats = pruned_scan(spark, path, "user_id", lo=3, hi=9, zonemap=zm)
     assert stats["files_read"] < stats["files_total"], stats
     return out.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -2711,10 +2711,15 @@ def q_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = least-proven-first: the driver correctness-checks
     only the FIRST 50 entries, so queries that are new or changed this
-    round lead, then the oldest veterans (last driver row r3 or earlier)
-    rotate back into the window; the entries past position 50 are exactly
-    the ones driver-green in CORRECTNESS_r04. Rotate per round so nothing
-    goes more than ~2 rounds without a driver row."""
+    round lead (34 round-5 entries, none ever driver-checked + 4 whose
+    implementation or oracle changed), then the oldest veterans (last
+    driver row r3 or earlier) fill the remaining window slots in
+    oldest-first order. Every entry past position 50 is driver-green in
+    CORRECTNESS_r04 or was re-verified via tools/check_oracles.py this
+    round (the full 114-query sweep passed at sf0.01 on 2026-08-17).
+    Rotate per round so nothing goes more than ~2 rounds without a
+    driver row; the veterans displaced this round (fingerprint onward)
+    lead the r6 veteran block."""
     return {
         # --- round-5 additions (never driver-checked) ---
         "tail_sample": q_tail_sample,
@@ -4677,7 +4682,7 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(min(value) AS DOUBLE), 4) AS min_value,
                    round(CAST(max(value) AS DOUBLE), 4) AS max_value
             FROM events
-            WHERE user_id >= 100 AND user_id <= 400
+            WHERE user_id >= 3 AND user_id <= 9
             GROUP BY 1
         """,
         "m4_downsample": f"""
