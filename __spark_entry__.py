@@ -1904,6 +1904,46 @@ def q_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hist_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_fraction over the same merged delta buckets as
+    hist_quantile (operators/metrics.py): the inverse Prometheus query —
+    estimated share of observations inside a value range per (metric,
+    stream, window). Two ranges: [0, 25] lands exactly on bucket edges
+    (exact share), [10, 100] interpolates inside buckets 2 and 3. The
+    oracle replays the linear interpolation on the summed per-bucket
+    counts (bounds are fixed at 5/25/125 in the fixture)."""
+    from otel_arrow_spark.operators.filter import cascade_filter
+    from otel_arrow_spark.operators.metrics import (
+        histogram_delta_merge,
+        histogram_fraction,
+    )
+
+    p = _metrics_dir(sf_dir)
+    metrics = spark.read.parquet(f"{p}/metrics.parquet")
+    hdp = spark.read.parquet(f"{p}/histogram_dp.parquet")
+    kept, dps = cascade_filter(metrics, hdp, F.col("metric_type") == 2)
+    named = dps.join(
+        F.broadcast(kept.select(F.col("id").alias("parent_id"), "name")),
+        "parent_id",
+    )
+    merged = histogram_delta_merge(
+        named.select("name", "stream", "ts", "h_count", "h_sum", "h_min",
+                     "h_max", "bounds", "bucket_counts"),
+        "15 minutes",
+        keys=("name", "stream"),
+    )
+    out = histogram_fraction(
+        histogram_fraction(merged, 0.0, 25.0, out_col="frac_le25"),
+        10.0, 100.0, out_col="frac_mid",
+    )
+    return out.select(
+        "name", "stream", "window_start",
+        F.col("h_count").cast("long").alias("h_count"),
+        F.round("frac_le25", 6).alias("frac_le25_r"),
+        F.round("frac_mid", 6).alias("frac_mid_r"),
+    )
+
+
 def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """counter_rate (operators/metrics.py): PromQL-style increase/rate of
     cumulative sums with counter-reset handling, per (metric, stream,
@@ -2708,20 +2748,57 @@ def q_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter data skipping (sources/bloomskip.py — the per-file
+    membership-sketch half of Iceberg's file statistics, complementing
+    the zonemap's min/max half): events HASH-clustered on user_id into
+    16 files — a layout whose per-file ranges all span the whole domain,
+    so the range sidecar cannot prune — then an IN-predicate scan that
+    opens only files whose bloom admits a probe value. Pruning is
+    planning-only (no false negatives + residual filter), so the
+    aggregate must equal the oracle's full-scan filter; the files_read <
+    files_total guard asserts skipping actually happened."""
+    from otel_arrow_spark.sources.bloomskip import (
+        bloom_pruned_scan,
+        build_bloom_manifest,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = os.path.join(_REPO, ".cache", "bloomskip_out")
+    e.repartition(16, "user_id").write.mode("overwrite").parquet(path)
+    zm = build_bloom_manifest(spark, path, "user_id")
+    out, stats = bloom_pruned_scan(
+        spark, path, "user_id", [3, 42, 97], manifest=zm
+    )
+    assert stats["files_read"] < stats["files_total"], stats
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("event_id").alias("sum_id"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = least-proven-first: the driver correctness-checks
     only the FIRST 50 entries, so queries that are new or changed this
-    round lead (34 round-5 entries, none ever driver-checked + 4 whose
+    round lead (36 round-5 entries, none ever driver-checked + 4 whose
     implementation or oracle changed), then the oldest veterans (last
     driver row r3 or earlier) fill the remaining window slots in
     oldest-first order. Every entry past position 50 is driver-green in
     CORRECTNESS_r04 or was re-verified via tools/check_oracles.py this
-    round (the full 114-query sweep passed at sf0.01 on 2026-08-17).
+    round (the full 114-query sweep passed at sf0.01 on 2026-08-17;
+    hist_fraction and bloom_prune joined after and passed the same check).
     Rotate per round so nothing goes more than ~2 rounds without a
     driver row; the veterans displaced this round (fingerprint onward)
     lead the r6 veteran block."""
     return {
         # --- round-5 additions (never driver-checked) ---
+        "hist_fraction": q_hist_fraction,
+        "bloom_prune": q_bloom_prune,
         "tail_sample": q_tail_sample,
         "slo_burn": q_slo_burn,
         "throttle": q_throttle,
@@ -4674,6 +4751,46 @@ def oracle_sql() -> dict[str, str]:
                             THEN round(25.0 + 100.0*(0.9*(b1+b2+b3+b4) - b1 - b2)/b3, 6)
                         ELSE 125.0 END AS p90_r
             FROM g
+        """,
+        "hist_fraction": f"""
+            WITH m AS (
+                SELECT id, name
+                FROM read_parquet('{_REPO}/.cache/metrics/n20000/metrics.parquet')
+                WHERE metric_type = 2),
+            d AS (
+                SELECT h.*, m.name,
+                       time_bucket(INTERVAL '15 minutes', h.ts) AS window_start
+                FROM read_parquet('{_REPO}/.cache/metrics/n20000/histogram_dp.parquet') h
+                JOIN m ON h.parent_id = m.id),
+            g AS (
+                SELECT name, stream, window_start,
+                       CAST(sum(h_count) AS BIGINT) AS h_count,
+                       CAST(sum(bucket_counts[1]) AS DOUBLE) AS b1,
+                       CAST(sum(bucket_counts[2]) AS DOUBLE) AS b2,
+                       CAST(sum(bucket_counts[3]) AS DOUBLE) AS b3,
+                       CAST(sum(bucket_counts[4]) AS DOUBLE) AS b4
+                FROM d GROUP BY 1, 2, 3)
+            -- bounds fixed at 5/25/125: cum(25)=b1+b2 (edge-exact),
+            -- cum(10)=b1+0.25*b2, cum(100)=b1+b2+0.75*b3 (interpolated)
+            SELECT name, stream, window_start, h_count,
+                   CASE WHEN b1+b2+b3+b4 = 0 THEN NULL
+                        ELSE round((b1+b2) / (b1+b2+b3+b4), 6)
+                   END AS frac_le25_r,
+                   CASE WHEN b1+b2+b3+b4 = 0 THEN NULL
+                        ELSE round(((b1+b2+0.75*b3) - (b1+0.25*b2))
+                                   / (b1+b2+b3+b4), 6)
+                   END AS frac_mid_r
+            FROM g
+        """,
+        "bloom_prune": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(sum(event_id) AS BIGINT) AS sum_id,
+                   round(CAST(min(value) AS DOUBLE), 4) AS min_value,
+                   round(CAST(max(value) AS DOUBLE), 4) AS max_value
+            FROM events
+            WHERE user_id IN (3, 42, 97)
+            GROUP BY 1
         """,
         "zonemap_prune": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,

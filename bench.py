@@ -104,6 +104,8 @@ HEADLINE_QUERIES = [
     "temporality_roundtrip",
     "m4_downsample",
     "zonemap_prune",
+    "hist_fraction",
+    "bloom_prune",
 ]
 
 

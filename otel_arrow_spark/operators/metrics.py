@@ -526,6 +526,80 @@ def histogram_quantile(
     return df.withColumn(out_col, est)
 
 
+def histogram_fraction(
+    df: DataFrame,
+    lower: float,
+    upper: float,
+    bounds_col: str = "bounds",
+    counts_col: str = "bucket_counts",
+    out_col: str = "fraction",
+) -> DataFrame:
+    """Estimated fraction of observations in ``[lower, upper]`` from
+    explicit histogram buckets (Prometheus ``histogram_fraction``
+    semantics, the inverse query of :func:`histogram_quantile`): linear
+    interpolation inside the bucket containing each boundary, so
+    ``histogram_fraction(0, q_x, h) ≈ x`` when ``q_x`` is the x-quantile.
+
+    Conventions match histogram_quantile: bucket i counts observations in
+    ``(bounds[i-1], bounds[i]]`` with bucket 0 starting at 0 (non-negative
+    observations assumed, Prometheus's classic-histogram convention), and
+    the overflow bucket (beyond the last finite bound) contributes fully
+    once the boundary passes the last bound — the same clamp the quantile
+    applies. NULL where total count is 0.
+
+    Pure expressions, zero shuffle, same O(k²) bounded prefix-slice
+    arithmetic as the quantile — one ``cum_at`` evaluation per boundary.
+    """
+    if upper < lower:
+        raise ValueError(f"upper {upper} < lower {lower}")
+    counts = F.col(counts_col).cast("array<double>")
+    bounds = F.col(bounds_col).cast("array<double>")
+    total = F.aggregate(counts, F.lit(0.0), lambda a, x: a + x)
+    k = F.size(counts)
+
+    def cum(i):  # inclusive prefix sum of buckets[0..i]
+        return F.aggregate(
+            F.slice(counts, 1, i + 1), F.lit(0.0), lambda a, x: a + x
+        )
+
+    def cum_at(x: float):
+        # cumulative estimated count of observations <= x
+        xl = F.lit(float(x))
+        # first bucket whose upper bound reaches x (NULL → overflow zone)
+        # NULL (not an error) when x is beyond every finite bound — F.get
+        # tolerates the empty match that ANSI getItem(0) rejects
+        idx = F.get(
+            F.filter(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.try_element_at(bounds, i + 1) >= xl,
+            ),
+            F.lit(0),
+        )
+        lo = F.when(idx == 0, F.lit(0.0)).otherwise(
+            F.try_element_at(bounds, idx)
+        )
+        hi = F.try_element_at(bounds, idx + 1)
+        prev_cum = F.when(idx == 0, F.lit(0.0)).otherwise(cum(idx - 1))
+        in_bucket = F.try_element_at(counts, idx + 1)
+        frac_in = F.greatest(
+            F.lit(0.0), F.least(F.lit(1.0), (xl - lo) / (hi - lo))
+        )
+        return (
+            F.when(xl <= 0, F.lit(0.0))
+            # x beyond every finite bound → everything, incl. overflow
+            .when(idx.isNull() | (idx >= F.size(bounds)), total)
+            .when(hi == lo, prev_cum + in_bucket)  # degenerate bucket
+            .otherwise(prev_cum + in_bucket * frac_in)
+        )
+
+    est = F.when(total == 0, F.lit(None).cast("double")).otherwise(
+        F.greatest(
+            F.lit(0.0), (cum_at(upper) - cum_at(lower)) / total
+        )
+    )
+    return df.withColumn(out_col, est)
+
+
 def counter_rate(
     df: DataFrame,
     period: str = "60 seconds",

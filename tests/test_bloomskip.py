@@ -1,0 +1,98 @@
+"""Bloom-filter data-skipping tests (sources/bloomskip.py)."""
+
+from pyspark.sql import functions as F
+
+from otel_arrow_spark.sources.bloomskip import (
+    bloom_pruned_scan,
+    build_bloom_manifest,
+    write_bloom_manifest,
+)
+
+
+def _write_hash_clustered(spark, path, n=1000, files=8):
+    """n rows HASH-clustered on k — every file's [min, max] spans the
+    whole domain, so a zone map cannot prune; the bloom can."""
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    df.repartition(files, "k").write.mode("overwrite").parquet(path)
+    return df
+
+
+class TestBloomSkip:
+    def test_manifest_bounded_and_parameterized(self, spark, workdir):
+        p = f"{workdir}/bl1"
+        _write_hash_clustered(spark, p)
+        zm = build_bloom_manifest(spark, p, "k", m_bits=1024, k=3)
+        rows = zm.collect()
+        assert len({r.file for r in rows}) == 8
+        # long format is bounded by m_bits/64 words per file
+        assert all(0 <= r.word < 1024 // 64 for r in rows)
+        assert all(r.m_bits == 1024 and r.k == 3 for r in rows)
+
+    def test_point_lookup_prunes_and_matches_full_scan(self, spark, workdir):
+        p = f"{workdir}/bl2"
+        _write_hash_clustered(spark, p)
+        write_bloom_manifest(spark, p, "k")
+        out, stats = bloom_pruned_scan(spark, p, "k", [97])
+        assert stats["files_read"] < stats["files_total"] == 8
+        assert [r.k for r in out.collect()] == [97]
+
+    def test_no_false_negatives_across_all_values(self, spark, workdir):
+        """Every present value must be found — blooms can over-read,
+        never under-read. Probes all 200 keys in one IN-scan."""
+        p = f"{workdir}/bl3"
+        _write_hash_clustered(spark, p, n=200, files=4)
+        zm = build_bloom_manifest(spark, p, "k", m_bits=2048, k=4)
+        out, stats = bloom_pruned_scan(
+            spark, p, "k", list(range(200)), manifest=zm
+        )
+        assert out.count() == 200
+        assert stats["files_read"] == 4  # all files genuinely needed
+
+    def test_absent_value_reads_few_or_no_files(self, spark, workdir):
+        p = f"{workdir}/bl4"
+        _write_hash_clustered(spark, p)
+        zm = build_bloom_manifest(spark, p, "k")
+        out, stats = bloom_pruned_scan(
+            spark, p, "k", [10**12], manifest=zm
+        )
+        assert out.count() == 0
+        assert out.columns == ["k", "v"]
+        # 4096-bit bloom at ~125 values/file: false-positive odds are
+        # small; allow at most one accidental file
+        assert stats["files_read"] <= 1
+
+    def test_string_column(self, spark, workdir):
+        p = f"{workdir}/bl5"
+        df = spark.range(300).select(
+            F.concat(F.lit("user-"), F.col("id")).alias("u"),
+            F.col("id").alias("n"),
+        )
+        df.repartition(6, "u").write.mode("overwrite").parquet(p)
+        zm = build_bloom_manifest(spark, p, "u")
+        out, stats = bloom_pruned_scan(
+            spark, p, "u", ["user-7", "user-250"], manifest=zm
+        )
+        assert sorted(r.u for r in out.collect()) == ["user-250", "user-7"]
+        assert stats["files_read"] < stats["files_total"]
+
+    def test_zonemap_cannot_prune_this_layout(self, spark, workdir):
+        """The motivating contrast: same layout, range sidecar reads
+        every file for a point predicate; the bloom reads fewer."""
+        from otel_arrow_spark.sources.zonemap import build_zonemap, pruned_scan
+
+        p = f"{workdir}/bl6"
+        _write_hash_clustered(spark, p)
+        zm_range = build_zonemap(spark, p, ["k"])
+        _, s_range = pruned_scan(spark, p, "k", lo=97, hi=97, zonemap=zm_range)
+        zm_bloom = build_bloom_manifest(spark, p, "k")
+        _, s_bloom = bloom_pruned_scan(spark, p, "k", [97], manifest=zm_bloom)
+        assert s_range["files_read"] == s_range["files_total"]
+        assert s_bloom["files_read"] < s_bloom["files_total"]
+
+    def test_sidecar_ignored_by_data_scans(self, spark, workdir):
+        p = f"{workdir}/bl7"
+        _write_hash_clustered(spark, p)
+        write_bloom_manifest(spark, p, "k")
+        assert spark.read.parquet(p).count() == 1000

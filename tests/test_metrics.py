@@ -736,6 +736,69 @@ class TestHistogramQuantile:
         assert "EvalPython" not in plan and "Exchange" not in plan
 
 
+class TestHistogramFraction:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [([5.0, 25.0, 125.0], [2, 2, 4, 2])],
+            "bounds array<double>, bucket_counts array<long>",
+        )
+
+    def test_hand_cases(self, spark):
+        from otel_arrow_spark.operators.metrics import histogram_fraction
+
+        df = self._df(spark)
+        # exact bucket edges: [0,25] covers buckets 0+1 → 4/10
+        assert histogram_fraction(df, 0.0, 25.0).collect()[0].fraction == 0.4
+        # interpolated: cum(10) = 2 + 2*(10-5)/20 = 2.5; cum(100) =
+        # 4 + 4*(100-25)/100 = 7 → (7-2.5)/10
+        got = histogram_fraction(df, 10.0, 100.0).collect()[0].fraction
+        assert abs(got - 0.45) < 1e-9
+        # beyond the last bound → includes the overflow bucket: everything
+        assert histogram_fraction(df, 0.0, 1e9).collect()[0].fraction == 1.0
+        # degenerate range
+        assert histogram_fraction(df, 25.0, 25.0).collect()[0].fraction == 0.0
+
+    def test_zero_total_is_null(self, spark):
+        from otel_arrow_spark.operators.metrics import histogram_fraction
+
+        df = spark.createDataFrame(
+            [([5.0, 25.0], [0, 0, 0])],
+            "bounds array<double>, bucket_counts array<long>",
+        )
+        assert histogram_fraction(df, 0.0, 10.0).collect()[0].fraction is None
+
+    def test_inverse_of_quantile(self, spark):
+        """histogram_fraction(0, q_x) recovers x — the two estimators share
+        one interpolation rule, so the round-trip is exact wherever the
+        quantile lands inside a finite bucket."""
+        from otel_arrow_spark.operators.metrics import (
+            histogram_fraction,
+            histogram_quantile,
+        )
+
+        df = self._df(spark)
+        for x in (0.2, 0.4, 0.5, 0.75):
+            qx = histogram_quantile(df, x).collect()[0].quantile
+            back = histogram_fraction(df, 0.0, qx).collect()[0].fraction
+            assert abs(back - x) < 1e-9, (x, qx, back)
+
+    def test_rejects_inverted_range(self, spark):
+        import pytest as _pytest
+
+        from otel_arrow_spark.operators.metrics import histogram_fraction
+
+        with _pytest.raises(ValueError):
+            histogram_fraction(self._df(spark), 10.0, 5.0)
+
+    def test_plan_pure_jvm(self, spark):
+        from otel_arrow_spark.operators.metrics import histogram_fraction
+
+        df = self._df(spark)
+        plan = histogram_fraction(df, 1.0, 30.0)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "EvalPython" not in plan and "Exchange" not in plan
+
+
 class TestCounterRate:
     def test_increase_with_reset(self, spark):
         from otel_arrow_spark.operators.metrics import counter_rate
