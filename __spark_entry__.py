@@ -2237,6 +2237,28 @@ def q_otlp_metrics_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_top_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL ``top-hitters`` through the query front-end (plans/opl.py
+    TopHittersStage): most frequent event types, and heaviest users by
+    summed value — exact groupBy + TakeOrderedAndProject with ADX's
+    approximate_* output-name convention. Cents quantization and
+    value-asc tiebreaks make both engines rank identical integers."""
+    from otel_arrow_spark.plans.opl import run_opl
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_type",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    types = run_opl(
+        "events | top-hitters 3 of event_type", {"events": ev}
+    ).default
+    users = run_opl(
+        "events | top-hitters 5 of user_id by v_cents", {"events": ev}
+    ).default
+    return types.join(users, how="cross")
+
+
 def q_kql_top_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KQL ``top-nested`` (hierarchical top-k, public ADX semantics)
     through the query front-end: top event types by count, within each
@@ -2782,10 +2804,29 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-batch exact dedup (textops/dedup.py
+    dedup_against_index): a historical fingerprint index (docs with
+    doc_id %% 3 == 0) filters today's batch (the rest) — within-batch
+    min-id keep, then a left_anti on the 16-byte fingerprints; history
+    bodies never participate. The oracle replays both rules in SQL."""
+    from otel_arrow_spark.textops.dedup import (
+        dedup_against_index,
+        text_fingerprints,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    history = d.where(F.col("doc_id") % 3 == 0)
+    batch = d.where(F.col("doc_id") % 3 != 0)
+    return dedup_against_index(batch, text_fingerprints(history)).select(
+        "doc_id", "n_chars"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = least-proven-first: the driver correctness-checks
     only the FIRST 50 entries, so queries that are new or changed this
-    round lead (36 round-5 entries, none ever driver-checked + 4 whose
+    round lead (38 round-5 entries, none ever driver-checked + 4 whose
     implementation or oracle changed), then the oldest veterans (last
     driver row r3 or earlier) fill the remaining window slots in
     oldest-first order. Every entry past position 50 is driver-green in
@@ -2799,6 +2840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 additions (never driver-checked) ---
         "hist_fraction": q_hist_fraction,
         "bloom_prune": q_bloom_prune,
+        "dedup_incremental": q_dedup_incremental,
+        "kql_top_hitters": q_kql_top_hitters,
         "tail_sample": q_tail_sample,
         "slo_burn": q_slo_burn,
         "throttle": q_throttle,
@@ -3392,6 +3435,25 @@ def oracle_sql() -> dict[str, str]:
               CAST(list_extract(list_filter(attrs, a -> a.key='point.seq'),1).value.intValue AS BIGINT) AS point_seq
             FROM pts
         """,
+        "kql_top_hitters": """
+            WITH q AS (
+              SELECT event_type, user_id,
+                     CAST(round(value * 100) AS BIGINT) AS v_cents
+              FROM events),
+            t AS (
+              SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS approximate_count_event_type
+              FROM q GROUP BY 1
+              QUALIFY row_number() OVER (
+                ORDER BY approximate_count_event_type DESC, event_type ASC) <= 3),
+            u AS (
+              SELECT user_id,
+                     CAST(sum(v_cents) AS BIGINT) AS approximate_sum_v_cents
+              FROM q GROUP BY 1
+              QUALIFY row_number() OVER (
+                ORDER BY approximate_sum_v_cents DESC, user_id ASC) <= 5)
+            SELECT * FROM t CROSS JOIN u
+        """,
         "kql_top_nested": """
             WITH q AS (
               SELECT event_type, user_id,
@@ -3745,6 +3807,18 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 'except', o_orderkey FROM (SELECT * FROM hi EXCEPT SELECT * FROM pri)
             ) GROUP BY src
+        """,
+        "dedup_incremental": """
+            WITH h AS (
+                SELECT DISTINCT md5(text) AS fp
+                FROM documents WHERE doc_id % 3 = 0),
+            b AS (
+                SELECT doc_id, n_chars, md5(text) AS fp
+                FROM documents WHERE doc_id % 3 <> 0)
+            SELECT b.doc_id, b.n_chars
+            FROM b
+            WHERE b.doc_id IN (SELECT min(doc_id) FROM b GROUP BY fp)
+              AND NOT EXISTS (SELECT 1 FROM h WHERE h.fp = b.fp)
         """,
         "dedup_exact": """
             SELECT doc_id, n_chars FROM documents

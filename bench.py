@@ -106,6 +106,8 @@ HEADLINE_QUERIES = [
     "zonemap_prune",
     "hist_fraction",
     "bloom_prune",
+    "dedup_incremental",
+    "kql_top_hitters",
 ]
 
 

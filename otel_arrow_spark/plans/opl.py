@@ -230,6 +230,19 @@ class TopNestedStage:
 
 
 @dataclass
+class TopHittersStage:
+    """KQL ``top-hitters N of Col [by NumCol]`` — most frequent values of
+    Col (or highest sum of NumCol per value). ADX computes this
+    approximately; here the aggregate is exact (groupBy + TakeOrdered),
+    with the output names keeping ADX's ``approximate_count_Col`` /
+    ``approximate_sum_NumCol`` convention so queries port verbatim."""
+
+    n: int
+    column: str
+    by: str | None  # None == rank by row count
+
+
+@dataclass
 class DistinctStage:
     columns: list | None  # None == distinct *
 
@@ -762,11 +775,33 @@ class _Parser:
                 keys.append(self._sort_key())
             return SortStage(keys)
         if t.text == "top" and self.peek() and self.peek().text == "-":
-            # KQL `top-nested N of Col by agg(...), top-nested ...`
+            # KQL `top-nested ...` / `top-hitters N of Col [by NumCol]`
             self.next()
             kw = self.next()
+            if kw.text == "hitters":
+                n = self.next()
+                if n.kind != "num":
+                    raise OplSyntaxError("top-hitters expects a number")
+                if not self.at("of"):
+                    raise OplSyntaxError("top-hitters expects 'of <column>'")
+                self.next()
+                col = self.next()
+                if col.kind != "ident":
+                    raise OplSyntaxError(
+                        "top-hitters 'of' expects a column name"
+                    )
+                by = None
+                if self.at("by"):
+                    self.next()
+                    byc = self.next()
+                    if byc.kind != "ident":
+                        raise OplSyntaxError(
+                            "top-hitters 'by' expects a column name"
+                        )
+                    by = byc.text
+                return TopHittersStage(int(n.text), col.text, by)
             if kw.text != "nested":
-                raise OplSyntaxError("expected top-nested")
+                raise OplSyntaxError("expected top-nested or top-hitters")
             levels = [self._top_nested_level()]
             while self.at(","):
                 self.next()
@@ -1496,6 +1531,22 @@ def _apply_stages(
                 prefix = [*prefix, col]
                 kept = g.select(*prefix)
             df = result
+        elif isinstance(stage, TopHittersStage):
+            # one partial+final hash aggregate, then TakeOrderedAndProject
+            # over the aggregate's (distinct-value-bounded) output; value
+            # asc as the deterministic tiebreak
+            if stage.by is None:
+                out = f"approximate_count_{stage.column}"
+                agg = F.count(F.lit(1))
+            else:
+                out = f"approximate_sum_{stage.by}"
+                agg = F.sum(stage.by)
+            df = (
+                df.groupBy(stage.column)
+                .agg(agg.alias(out))
+                .orderBy(F.col(out).desc(), F.col(stage.column).asc())
+                .limit(stage.n)
+            )
         elif isinstance(stage, DistinctStage):
             df = (
                 df.distinct()

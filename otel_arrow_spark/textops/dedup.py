@@ -66,6 +66,46 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def text_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct md5 fingerprints of a corpus — the persisted dedup index
+    row format (one 32-hex ``fp`` column; 16 bytes of entropy, same key
+    :func:`dedup_exact` groups on)."""
+    return df.select(F.md5(F.col(text_col)).alias("fp")).distinct()
+
+
+def dedup_against_index(
+    df: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental cross-batch exact dedup: keep rows of ``df`` whose
+    text was seen neither in the historical ``index`` (a
+    :func:`text_fingerprints` frame, usually read back from parquet) nor
+    earlier in this batch (lowest-``id_col`` representative wins, the
+    :func:`dedup_exact` rule).
+
+    This is the daily-crawl shape: yesterday's corpus is represented
+    only by fingerprints, so the history side of the join carries
+    16-byte keys — never old documents. Both joins are fingerprint-keyed
+    (within-batch min-id keep, then a left_anti against the index) and
+    the bodies shuffle at most once, in the final left_semi recovery.
+    After a run, append ``text_fingerprints(survivors)`` to the index
+    (parquet append is sufficient: the left_anti is insensitive to
+    duplicate index rows, so no rewrite/compaction is ever required for
+    correctness).
+    """
+    fp = F.md5(F.col(text_col))
+    keep = (
+        df.select(F.col(id_col), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .join(index.select("fp"), on="fp", how="left_anti")
+        .select(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
 # --- shingling / MinHash ------------------------------------------------------
 
 

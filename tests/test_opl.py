@@ -655,6 +655,61 @@ class TestKqlParse:
             run_opl("t | parse text 'x' a", {"t": df})
 
 
+class TestTopHitters:
+    def _events(self, spark):
+        rows = []
+        for t, users in (("A", [1, 1, 1, 2, 2, 3]), ("B", [7, 7, 8, 9]),
+                         ("C", [5, 5])):
+            rows += [(t, u, 10 * u) for u in users]
+        return spark.createDataFrame(rows, "t string, u long, v long")
+
+    def test_count_mode(self, spark):
+        from otel_arrow_spark.plans.opl import run_opl
+
+        out = run_opl("events | top-hitters 2 of t",
+                      {"events": self._events(spark)}).default
+        assert [(r.t, r.approximate_count_t) for r in out.collect()] == [
+            ("A", 6), ("B", 4)]
+
+    def test_sum_mode_and_tiebreak(self, spark):
+        from otel_arrow_spark.plans.opl import run_opl
+
+        # sums: A=100, B=310, C=100 → top-2 = B, then the A/C tie at 100
+        # resolves value-asc → A
+        out = run_opl("events | top-hitters 2 of t by v",
+                      {"events": self._events(spark)}).default
+        assert [(r.t, r.approximate_sum_v) for r in out.collect()] == [
+            ("B", 310), ("A", 100)]
+        out = run_opl("events | top-hitters 3 of u by v",
+                      {"events": self._events(spark)}).default.collect()
+        assert [(r.u, r.approximate_sum_v) for r in out] == [
+            (7, 140), (5, 100), (9, 90)]
+
+    def test_plan_is_takeordered_over_aggregate(self, spark):
+        from otel_arrow_spark.plans.opl import run_opl
+
+        df = run_opl("events | top-hitters 2 of t",
+                     {"events": self._events(spark)}).default
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrdered" in plan and "HashAggregate" in plan
+
+    def test_syntax_errors(self, spark):
+        import pytest
+
+        from otel_arrow_spark.plans.opl import OplSyntaxError, run_opl
+
+        ev = self._events(spark)
+        for bad in (
+            "events | top-hitters of t",
+            "events | top-hitters 2 t",
+            "events | top-hitters 2 of 5",
+            "events | top-hitters 2 of t by 'v'",
+            "events | top-frobnicate 2 of t",
+        ):
+            with pytest.raises(OplSyntaxError):
+                run_opl(bad, {"events": ev})
+
+
 class TestTopNested:
     def _events(self, spark):
         rows = []

@@ -114,6 +114,82 @@ class TestDedup:
         assert pairs == {(1, 2)}
 
 
+class TestIncrementalDedup:
+    def test_within_batch_and_history_both_apply(self, spark, dup_docs):
+        from otel_arrow_spark.textops.dedup import (
+            dedup_against_index,
+            text_fingerprints,
+        )
+
+        history = spark.createDataFrame(
+            [(100, "unrelated short text")], "doc_id long, text string"
+        )
+        idx = text_fingerprints(history)
+        out = dedup_against_index(dup_docs, idx)
+        ids = {r.doc_id for r in out.collect()}
+        # 2 and 5 fall to within-batch dedup, 6 to the history index
+        assert ids == {1, 3, 4}
+
+    def test_empty_index_equals_dedup_exact(self, spark, dup_docs):
+        from otel_arrow_spark.textops.dedup import dedup_against_index, dedup_exact
+
+        empty = spark.createDataFrame([], "fp string")
+        a = sorted(r.doc_id for r in dedup_against_index(dup_docs, empty).collect())
+        b = sorted(r.doc_id for r in dedup_exact(dup_docs).collect())
+        assert a == b
+
+    def test_persisted_round_trip_appends(self, spark, workdir, dup_docs):
+        """The daily-crawl loop: index on disk, dedup a batch, append the
+        survivors' fingerprints, dedup the next batch — day-2 rows that
+        duplicate day-1 survivors must drop; duplicate index rows from
+        blind appends must not matter."""
+        from otel_arrow_spark.textops.dedup import (
+            dedup_against_index,
+            text_fingerprints,
+        )
+
+        p = f"{workdir}/fp_index"
+        spark.createDataFrame([], "fp string").write.parquet(p)
+
+        day1 = dedup_against_index(dup_docs, spark.read.parquet(p))
+        text_fingerprints(day1).write.mode("append").parquet(p)
+        assert {r.doc_id for r in day1.collect()} == {1, 3, 4, 6}
+
+        day2 = spark.createDataFrame(
+            [(10, "the quick brown fox jumps over the lazy dog again and again today"),
+             (11, "fresh never-seen document body"),
+             (12, "unrelated short text")],
+            "doc_id long, text string",
+        )
+        out = dedup_against_index(day2, spark.read.parquet(p))
+        assert {r.doc_id for r in out.collect()} == {11}
+        # append again (10..12 survivors) — duplicates in the index are harmless
+        text_fingerprints(out).write.mode("append").parquet(p)
+        text_fingerprints(out).write.mode("append").parquet(p)
+        day3 = spark.createDataFrame(
+            [(20, "fresh never-seen document body"), (21, "another new one")],
+            "doc_id long, text string",
+        )
+        assert {r.doc_id for r in
+                dedup_against_index(day3, spark.read.parquet(p)).collect()} == {21}
+
+    def test_plan_is_anti_then_semi_on_keys(self, spark, dup_docs):
+        """Plan shape: one fingerprint-keyed left_anti against the index,
+        one id-keyed left_semi recovery — never a body-to-body join, and
+        the aggregate before the anti join carries (fp, id) only."""
+        from otel_arrow_spark.textops.dedup import (
+            dedup_against_index,
+            text_fingerprints,
+        )
+
+        idx = text_fingerprints(dup_docs.limit(1))
+        plan = dedup_against_index(dup_docs, idx)._jdf.queryExecution() \
+            .optimizedPlan().toString()
+        assert plan.count("LeftAnti") == 1 and plan.count("LeftSemi") == 1
+        # the min-id keeper aggregates exactly the two narrow columns
+        assert "Aggregate [fp" in plan
+
+
 class TestSimilarity:
     def test_brute_force_matches_duckdb(self, spark, embeddings):
         queries = (
