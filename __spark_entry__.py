@@ -2237,6 +2237,21 @@ def q_otlp_metrics_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval scoring (textops/retrieval.py): every
+    document scored against a literal 3-term query — per-term tf as pure
+    array expressions, corpus stats (N, avgdl, per-term df) as ONE
+    algebraic aggregate broadcast back, score arithmetic in whole-stage
+    codegen. Integer tf/df/dl and an exact integer-sum avgdl make the
+    arithmetic engine-deterministic; 6-dp rounding absorbs libm ulps."""
+    from otel_arrow_spark.textops.retrieval import bm25_score
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_score(d, ["hash", "join", "vector"]).select(
+        "doc_id", "dl", F.round("bm25", 6).alias("bm25_r")
+    )
+
+
 def q_kql_top_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KQL ``top-hitters`` through the query front-end (plans/opl.py
     TopHittersStage): most frequent event types, and heaviest users by
@@ -2826,7 +2841,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = least-proven-first: the driver correctness-checks
     only the FIRST 50 entries, so queries that are new or changed this
-    round lead (38 round-5 entries, none ever driver-checked + 4 whose
+    round lead (39 round-5 entries, none ever driver-checked + 4 whose
     implementation or oracle changed), then the oldest veterans (last
     driver row r3 or earlier) fill the remaining window slots in
     oldest-first order. Every entry past position 50 is driver-green in
@@ -2842,6 +2857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prune": q_bloom_prune,
         "dedup_incremental": q_dedup_incremental,
         "kql_top_hitters": q_kql_top_hitters,
+        "bm25": q_bm25,
         "tail_sample": q_tail_sample,
         "slo_burn": q_slo_burn,
         "throttle": q_throttle,
@@ -3434,6 +3450,36 @@ def oracle_sql() -> dict[str, str]:
               list_extract(list_filter(attrs, a -> a.key='host.name'),1).value.stringValue AS host_name,
               CAST(list_extract(list_filter(attrs, a -> a.key='point.seq'),1).value.intValue AS BIGINT) AS point_seq
             FROM pts
+        """,
+        "bm25": """
+            WITH p AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
+                       END AS toks
+                FROM documents),
+            f AS (
+                SELECT doc_id, len(toks) AS dl,
+                       len(list_filter(toks, t -> t = 'hash')) AS tf0,
+                       len(list_filter(toks, t -> t = 'join')) AS tf1,
+                       len(list_filter(toks, t -> t = 'vector')) AS tf2
+                FROM p),
+            s AS (
+                SELECT count(*) AS N, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                       sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                       sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                       sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+                FROM f)
+            SELECT doc_id, CAST(dl AS INT) AS dl,
+                   round(
+                     ln(1 + (N - df0 + 0.5) / (df0 + 0.5))
+                       * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                     + ln(1 + (N - df1 + 0.5) / (df1 + 0.5))
+                       * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                     + ln(1 + (N - df2 + 0.5) / (df2 + 0.5))
+                       * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+                   6) AS bm25_r
+            FROM f CROSS JOIN s
         """,
         "kql_top_hitters": """
             WITH q AS (

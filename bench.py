@@ -108,6 +108,7 @@ HEADLINE_QUERIES = [
     "bloom_prune",
     "dedup_incremental",
     "kql_top_hitters",
+    "bm25",
 ]
 
 
