@@ -2237,6 +2237,39 @@ def q_otlp_metrics_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-count sketches (operators/profile.py
+    distinct_sketches / merge_distinct_sketches — the incremental
+    cardinality index): per-day 4 KB sketches of events.user_id written
+    to parquet, read back, union-merged to the all-time estimate WITHOUT
+    rescanning the data. The sketch path is guarded in-query (merged
+    estimate within 5%% of the exact distinct, the HLL bound); the
+    hash-checked output is the exact per-day profile the oracle can
+    replay."""
+    from otel_arrow_spark.operators.profile import (
+        distinct_sketches,
+        merge_distinct_sketches,
+    )
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = os.path.join(_REPO, ".cache", "hll_sketches")
+    distinct_sketches(e, "user_id", by=("day",)).write.mode(
+        "overwrite"
+    ).parquet(path)
+    merged = merge_distinct_sketches(spark.read.parquet(path)).collect()[0]
+    exact_all = e.select("user_id").distinct().count()
+    assert abs(merged.estimate - exact_all) / exact_all < 0.05, (
+        merged.estimate,
+        exact_all,
+    )
+    return e.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 lexical retrieval scoring (textops/retrieval.py): every
     document scored against a literal 3-term query — per-term tf as pure
@@ -2841,7 +2874,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = least-proven-first: the driver correctness-checks
     only the FIRST 50 entries, so queries that are new or changed this
-    round lead (39 round-5 entries, none ever driver-checked + 4 whose
+    round lead (40 round-5 entries, none ever driver-checked + 4 whose
     implementation or oracle changed), then the oldest veterans (last
     driver row r3 or earlier) fill the remaining window slots in
     oldest-first order. Every entry past position 50 is driver-green in
@@ -2858,6 +2891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "kql_top_hitters": q_kql_top_hitters,
         "bm25": q_bm25,
+        "hll_distinct": q_hll_distinct,
         "tail_sample": q_tail_sample,
         "slo_burn": q_slo_burn,
         "throttle": q_throttle,
@@ -3450,6 +3484,12 @@ def oracle_sql() -> dict[str, str]:
               list_extract(list_filter(attrs, a -> a.key='host.name'),1).value.stringValue AS host_name,
               CAST(list_extract(list_filter(attrs, a -> a.key='point.seq'),1).value.intValue AS BIGINT) AS point_seq
             FROM pts
+        """,
+        "hll_distinct": """
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1
         """,
         "bm25": """
             WITH p AS (

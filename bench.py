@@ -109,6 +109,7 @@ HEADLINE_QUERIES = [
     "dedup_incremental",
     "kql_top_hitters",
     "bm25",
+    "hll_distinct",
 ]
 
 

@@ -61,3 +61,53 @@ def profile_table(
         for c in cols
     ]
     return one.select(F.inline(F.array(*rows)))
+
+
+def distinct_sketches(
+    df: DataFrame,
+    key_col: str,
+    by: tuple[str, ...] = (),
+    lg_k: int = 12,
+) -> DataFrame:
+    """One mergeable HyperLogLog sketch per ``by`` group: ``(*by,
+    n_rows, sketch binary, estimate)`` — the incremental form of a
+    distinct count. Persist the sketch column to parquet next to each
+    ingested partition and the question "how many distinct users across
+    any set of days" becomes a union-merge over kilobyte sketches
+    (:func:`merge_distinct_sketches`) — the data is never rescanned.
+
+    Merging is register-wise max: order- and partition-insensitive, and
+    duplicate-insert-idempotent (re-merging an already-covered day
+    cannot change the union state — the same idempotence the
+    fingerprint dedup index relies on), so the estimate carries the
+    same ±error bound however the work was batched. It is not promised
+    bit-identical to a single direct sketch: Spark's datasketches HLL
+    keeps small inputs in a sparse coupon list whose promotion point
+    depends on how the data was split, so a union of many tiny sketches
+    and one big sketch can disagree within the error bound (observed:
+    ~1% at 500 distinct split 4 ways). lg_k=12 ⇒ 4 KB per sketch,
+    ~1.6% relative standard error.
+    """
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("sketch"),
+    ]
+    g = df.groupBy(*by).agg(*aggs) if by else df.agg(*aggs)
+    return g.withColumn(
+        "estimate", F.hll_sketch_estimate(F.col("sketch"))
+    )
+
+
+def merge_distinct_sketches(
+    sketches: DataFrame, by: tuple[str, ...] = ()
+) -> DataFrame:
+    """Roll stored sketches up to ``by`` (empty = one global row):
+    ``(*by, n_rows, estimate)``. Reads only the sketch column — the
+    cross-partition distinct count without touching the raw data."""
+    aggs = [
+        F.sum("n_rows").alias("n_rows"),
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).alias(
+            "estimate"
+        ),
+    ]
+    return sketches.groupBy(*by).agg(*aggs) if by else sketches.agg(*aggs)
