@@ -2237,6 +2237,88 @@ def q_otlp_metrics_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KLL quantile sketches (operators/sketches.py): per-day
+    sketches of cents-quantized event values persisted to parquet, then
+    a global p50/p95/p99 from the MERGED sketches without rescanning —
+    the question exact percentiles fundamentally cannot answer
+    incrementally. Sketch path guarded in-query on RANK (the KLL
+    guarantee); hash-checked output is the exact per-day percentile
+    profile both engines compute identically on integers."""
+    from otel_arrow_spark.operators.sketches import (
+        merge_quantile_sketches,
+        quantile_sketches,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+        .cast("long").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    path = os.path.join(_REPO, ".cache", "kll_sketches")
+    quantile_sketches(e, "v_cents", by=("day",)).write.mode(
+        "overwrite"
+    ).parquet(path)
+    g = merge_quantile_sketches(spark.read.parquet(path)).collect()[0]
+    n = e.count()
+    for q, est in ((0.5, g.q_0_5), (0.95, g.q_0_95), (0.99, g.q_0_99)):
+        rank = e.where(F.col("v_cents") <= est).count() / n
+        assert abs(rank - q) < 0.03, (q, est, rank)
+    return e.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(v_cents, 0.5)"), 4).alias("p50_r"),
+        F.round(F.expr("percentile(v_cents, 0.95)"), 4).alias("p95_r"),
+    )
+
+
+def q_theta_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra (operators/sketches.py): day-over-day
+    user retention/churn from persisted per-day sketches — |today ∩
+    yesterday| and |today \\ yesterday| as scalar sketch expressions
+    over the kilobyte sidecar table, the event data never re-read. The
+    sketch estimates are guarded in-query against the exact set sizes;
+    the hash-checked output is the exact retention table."""
+    from otel_arrow_spark.operators.sketches import (
+        retention_estimates,
+        theta_sketches,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+        .cast("long").alias("day"),
+        "user_id",
+    )
+    path = os.path.join(_REPO, ".cache", "theta_sketches")
+    theta_sketches(e, "user_id", by=("day",)).write.mode(
+        "overwrite"
+    ).parquet(path)
+    est = {
+        r.day: (r.est_users, r.est_retained, r.est_new)
+        for r in retention_estimates(spark.read.parquet(path), "day").collect()
+    }
+    d = e.distinct()
+    prev = d.select((F.col("day") + 1).alias("day"),
+                    F.col("user_id").alias("prev_user"))
+    exact = (
+        d.join(prev, (prev.day == d.day) & (prev.prev_user == d.user_id),
+               "left")
+        .groupBy(d.day)
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count("prev_user").alias("n_retained"),
+        )
+        .withColumn("n_new", F.col("n_users") - F.col("n_retained"))
+    )
+    first_day = e.agg(F.min("day")).collect()[0][0]
+    exact = exact.where(F.col("day") > first_day)
+    for r in exact.collect():
+        eu, er, en = est[r.day]
+        assert abs(eu - r.n_users) <= max(2, 0.05 * r.n_users), (r, est[r.day])
+        assert abs(er - r.n_retained) <= max(2, 0.05 * max(r.n_retained, 1))
+        assert abs(en - r.n_new) <= max(2, 0.05 * max(r.n_new, 1))
+    return exact
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL distinct-count sketches (operators/profile.py
     distinct_sketches / merge_distinct_sketches — the incremental
@@ -2874,7 +2956,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = least-proven-first: the driver correctness-checks
     only the FIRST 50 entries, so queries that are new or changed this
-    round lead (40 round-5 entries, none ever driver-checked + 4 whose
+    round lead (42 round-5 entries, none ever driver-checked + 4 whose
     implementation or oracle changed), then the oldest veterans (last
     driver row r3 or earlier) fill the remaining window slots in
     oldest-first order. Every entry past position 50 is driver-green in
@@ -2892,6 +2974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_top_hitters": q_kql_top_hitters,
         "bm25": q_bm25,
         "hll_distinct": q_hll_distinct,
+        "kll_quantiles": q_kll_quantiles,
+        "theta_retention": q_theta_retention,
         "tail_sample": q_tail_sample,
         "slo_burn": q_slo_burn,
         "throttle": q_throttle,
@@ -3484,6 +3568,32 @@ def oracle_sql() -> dict[str, str]:
               list_extract(list_filter(attrs, a -> a.key='host.name'),1).value.stringValue AS host_name,
               CAST(list_extract(list_filter(attrs, a -> a.key='point.seq'),1).value.intValue AS BIGINT) AS point_seq
             FROM pts
+        """,
+        "kll_quantiles": """
+            WITH q AS (
+                SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+                       CAST(round(value * 100) AS BIGINT) AS v
+                FROM events)
+            SELECT day, CAST(count(*) AS BIGINT) AS n,
+                   round(quantile_cont(v, 0.5), 4) AS p50_r,
+                   round(quantile_cont(v, 0.95), 4) AS p95_r
+            FROM q GROUP BY 1
+        """,
+        "theta_retention": """
+            WITH d AS (
+                SELECT DISTINCT
+                       CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+                       user_id
+                FROM events),
+            r AS (
+                SELECT c.day, CAST(count(*) AS BIGINT) AS n_users,
+                       CAST(count(p.user_id) AS BIGINT) AS n_retained
+                FROM d c LEFT JOIN d p
+                  ON p.day = c.day - 1 AND p.user_id = c.user_id
+                GROUP BY c.day)
+            SELECT day, n_users, n_retained,
+                   n_users - n_retained AS n_new
+            FROM r WHERE day > (SELECT min(day) FROM d)
         """,
         "hll_distinct": """
             SELECT CAST(ts AS DATE) AS day,

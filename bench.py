@@ -110,6 +110,8 @@ HEADLINE_QUERIES = [
     "kql_top_hitters",
     "bm25",
     "hll_distinct",
+    "kll_quantiles",
+    "theta_retention",
 ]
 
 

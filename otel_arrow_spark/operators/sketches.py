@@ -1,0 +1,133 @@
+"""Mergeable sketch sidecars: KLL quantiles and theta set operations.
+
+Together with the HLL cardinality sketches (operators/profile.py
+distinct_sketches) these make the standard "sketch sidecar" trio a
+100 TB telemetry store keeps next to each ingested partition:
+
+* HLL — how many distinct keys (union-mergeable);
+* KLL — what is p50/p95/p99 of a value (union-mergeable, so percentile
+  questions across any set of days never rescan or re-sort the data —
+  the thing an exact percentile fundamentally cannot do, since exact
+  quantiles don't decompose);
+* theta — set ALGEBRA on distinct keys: union, intersection,
+  difference. "How many users appear on BOTH days" (retention) or
+  "new today vs yesterday" (churn) from kilobyte sidecars.
+
+All three are Apache DataSketches aggregates built into Spark
+(partial+final, constant state per group, one Exchange), and all three
+survive a parquet round trip as plain binary columns. Estimates carry
+published error bounds; every driver query that uses a sketch path
+guards the estimate against the exact answer in-query.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# --- KLL quantile sketches ---------------------------------------------------
+
+
+def quantile_sketches(
+    df: DataFrame,
+    value_col: str,
+    by: tuple[str, ...] = (),
+    k: int = 200,
+) -> DataFrame:
+    """One mergeable KLL(bigint) sketch per ``by`` group: ``(*by,
+    n_rows, qsketch)``. k=200 ⇒ ~1.3% one-sided rank error at 99%
+    confidence, a few KB per sketch. The value column is cast to
+    bigint — quantize floats to a fixed grid first (cents, micros),
+    which is also what keeps any exact comparison engine-stable."""
+    return (
+        df.groupBy(*by).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.kll_sketch_agg_bigint(
+                F.col(value_col).cast("bigint"), F.lit(k)
+            ).alias("qsketch"),
+        )
+        if by
+        else df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.kll_sketch_agg_bigint(
+                F.col(value_col).cast("bigint"), F.lit(k)
+            ).alias("qsketch"),
+        )
+    )
+
+
+def merge_quantile_sketches(
+    sketches: DataFrame,
+    quantiles: Sequence[float] = (0.5, 0.95, 0.99),
+    by: tuple[str, ...] = (),
+) -> DataFrame:
+    """Roll stored KLL sketches up to ``by`` (empty = one global row):
+    ``(*by, n_rows, q_<q> ...)`` — percentiles across any partition set
+    reading only the sketch column."""
+    merged = F.kll_merge_agg_bigint(F.col("qsketch"))
+    aggs = [F.sum("n_rows").alias("n_rows")] + [
+        F.kll_sketch_get_quantile_bigint(merged, F.lit(float(q))).alias(
+            f"q_{str(q).replace('.', '_')}"
+        )
+        for q in quantiles
+    ]
+    return sketches.groupBy(*by).agg(*aggs) if by else sketches.agg(*aggs)
+
+
+# --- theta sketches: set algebra over distinct keys --------------------------
+
+
+def theta_sketches(
+    df: DataFrame,
+    key_col: str,
+    by: tuple[str, ...] = (),
+    lg_k: int = 12,
+) -> DataFrame:
+    """One theta sketch of the distinct ``key_col`` values per ``by``
+    group: ``(*by, n_rows, tsketch)`` — the sidecar that admits
+    union/intersection/difference, not just union (HLL's limit)."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.theta_sketch_agg(key_col, F.lit(lg_k)).alias("tsketch"),
+    ]
+    return df.groupBy(*by).agg(*aggs) if by else df.agg(*aggs)
+
+
+def theta_estimate(sketch: F.Column) -> F.Column:
+    return F.theta_sketch_estimate(sketch)
+
+
+def retention_estimates(
+    day_sketches: DataFrame, day_col: str = "day"
+) -> DataFrame:
+    """Day-over-day retention from stored theta sketches: for each day
+    after the first, ``(day, est_users, est_retained, est_new)`` where
+    retained = |today ∩ yesterday| and new = |today \\ yesterday| —
+    scalar sketch expressions over a self-join of the (tiny) sketch
+    table on consecutive days; the event data is never touched."""
+    cur = day_sketches.select(
+        F.col(day_col), F.col("tsketch").alias("t_cur")
+    )
+    prev = day_sketches.select(
+        (F.col(day_col) + F.lit(1)).alias(day_col),
+        F.col("tsketch").alias("t_prev"),
+    )
+    j = cur.join(prev, day_col)
+    return j.select(
+        day_col,
+        F.round(F.theta_sketch_estimate(F.col("t_cur"))).cast("long").alias(
+            "est_users"
+        ),
+        F.round(
+            F.theta_sketch_estimate(
+                F.theta_intersection(F.col("t_cur"), F.col("t_prev"))
+            )
+        ).cast("long").alias("est_retained"),
+        F.round(
+            F.theta_sketch_estimate(
+                F.theta_difference(F.col("t_cur"), F.col("t_prev"))
+            )
+        ).cast("long").alias("est_new"),
+    )
