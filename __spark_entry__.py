@@ -1448,6 +1448,28 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_corpus_frame(spark, cfg)
 
 
+def q_corpus_clean_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus funnel WITH the cross-batch history gate
+    (plans/corpus.py history_index_path + textops/dedup.py
+    text_fingerprints): docs whose md5 sits in a persisted fingerprint
+    index (every doc_id %% 7 == 0, written then read back) fail
+    ded_keep alongside within-batch duplicates — the daily-crawl loop
+    running inside the config-driven pipeline. The oracle extends the
+    corpus_clean CTE chain with the NOT-IN-history predicate."""
+    from otel_arrow_spark.plans.corpus import CorpusConfig, clean_corpus_frame
+    from otel_arrow_spark.textops.dedup import text_fingerprints
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    idx = os.path.join(_REPO, ".cache", "corpus_hist_idx")
+    text_fingerprints(
+        spark.read.parquet(docs_path).where(F.col("doc_id") % 7 == 0)
+    ).write.mode("overwrite").parquet(idx)
+    cfg = CorpusConfig(
+        input_path=docs_path, output_dir="/unused", history_index_path=idx
+    )
+    return clean_corpus_frame(spark, cfg)
+
+
 def q_corpus_clean_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus funnel WITH the config-driven SemDeDup stage
     (plans/corpus.py build_flagged + textops/dedup.py semantic_dedup):
@@ -2956,7 +2978,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = least-proven-first: the driver correctness-checks
     only the FIRST 50 entries, so queries that are new or changed this
-    round lead (42 round-5 entries, none ever driver-checked + 4 whose
+    round lead (43 round-5 entries, none ever driver-checked + 4 whose
     implementation or oracle changed), then the oldest veterans (last
     driver row r3 or earlier) fill the remaining window slots in
     oldest-first order. Every entry past position 50 is driver-green in
@@ -2976,6 +2998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "kll_quantiles": q_kll_quantiles,
         "theta_retention": q_theta_retention,
+        "corpus_clean_history": q_corpus_clean_history,
         "tail_sample": q_tail_sample,
         "slo_burn": q_slo_burn,
         "throttle": q_throttle,
@@ -5272,6 +5295,62 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3
             ORDER BY revenue DESC, l_orderkey
             LIMIT 10
+        """,
+        "corpus_clean_history": """
+            WITH ded AS (
+                SELECT * FROM documents
+                WHERE doc_id IN (SELECT min(doc_id) FROM documents
+                                 GROUP BY md5(text))
+                  AND md5(text) NOT IN (SELECT DISTINCT md5(text)
+                                        FROM documents WHERE doc_id % 7 = 0)),
+            q AS (
+                SELECT *,
+                       round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                             / greatest(length(text), 1), 6) AS a,
+                       round(CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                  w -> list_contains(['the','and','of','to','a','in','is','it'], w))) AS DOUBLE)
+                             / greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1), 6) AS s
+                FROM ded),
+            keep AS (SELECT * FROM q WHERE a >= 0.8 AND s <= 0.12),
+            tk AS (SELECT doc_id, list_transform(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)
+                            % 9007199254740881) AS th
+                   FROM keep),
+            bt AS (SELECT list_transform(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)
+                            % 9007199254740881) AS th
+                   FROM documents WHERE doc_id IN
+                       (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 3)),
+            bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+                       range(1, greatest(len(th) - 6, 1)),
+                       i -> list_reduce(list_slice(th, i, i + 7),
+                           (acc, x) -> (acc * 128 + x) % 9007199254740881)))) AS gram
+                   FROM bt),
+            cg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(th) - 6, 1)),
+                       i -> list_reduce(list_slice(th, i, i + 7),
+                           (acc, x) -> (acc * 128 + x) % 9007199254740881)))) AS gram
+                   FROM tk),
+            bad AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (gram)),
+            clean AS (SELECT k.* FROM keep k
+                      WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+            tok AS (SELECT doc_id, source, lang,
+                           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                                END AS BIGINT) AS n_tokens
+                    FROM clean),
+            c AS (SELECT *,
+                         CAST(coalesce(sum(n_tokens) OVER (
+                             PARTITION BY source, lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                             0) AS BIGINT) AS prev
+                  FROM tok)
+            SELECT doc_id, source, lang, n_tokens,
+                   CAST(floor(prev / 512) AS BIGINT) AS bin_idx,
+                   CAST(prev % 512 AS BIGINT) AS bin_offset
+            FROM c
         """,
         "corpus_clean": """
             WITH ded AS (

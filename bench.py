@@ -112,6 +112,7 @@ HEADLINE_QUERIES = [
     "hll_distinct",
     "kll_quantiles",
     "theta_retention",
+    "corpus_clean_history",
 ]
 
 

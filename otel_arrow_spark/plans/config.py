@@ -26,6 +26,8 @@ Spec shape (YAML or JSON; JSON is a YAML subset so one loader serves both)::
       output_dir: /data/out
 
     kind: corpus_clean
+    dedup:                          # optional cross-batch history gate
+      history_index_path: /idx     #   parquet of md5 fps of prior keeps
     source: {path: /data/documents}
     quality: {alpha_min: 0.8, stopword_max: 0.12}
     decontaminate: {bench_docs: 3, ngram: 8}
@@ -234,10 +236,13 @@ def spec_to_config(spec: dict) -> PipelineConfig | CorpusConfig | TransformConfi
         )
 
     _check_sections(
-        spec, {"kind", "source", "quality", "decontaminate", "semantic_dedup",
-               "pack", "sink"}
+        spec, {"kind", "source", "dedup", "quality", "decontaminate",
+               "semantic_dedup", "pack", "sink"}
     )
     source = _section(spec, "source", {"path": str}, required=("path",))
+    dedup = _section(
+        spec, "dedup", {"history_index_path": str}
+    )
     quality = _section(
         spec, "quality", {"alpha_min": (int, float), "stopword_max": (int, float)}
     )
@@ -259,6 +264,7 @@ def spec_to_config(spec: dict) -> PipelineConfig | CorpusConfig | TransformConfi
         stopword_max=float(quality.get("stopword_max", 0.12)),
         bench_docs=decon.get("bench_docs", 3),
         ngram=decon.get("ngram", 8),
+        history_index_path=dedup.get("history_index_path"),
         embeddings_path=sem.get("embeddings_path"),
         sem_threshold=float(sem.get("threshold", 0.42)),
         sem_clusters=sem.get("n_clusters", 8),

@@ -48,6 +48,13 @@ class CorpusConfig:
     embeddings_path: str | None = None
     sem_threshold: float = 0.42
     sem_clusters: int = 8
+    # optional cross-batch history gate (textops/dedup.py
+    # dedup_against_index): a parquet dir of md5 fingerprints (``fp``
+    # column, text_fingerprints format) of every previously-kept doc;
+    # docs already in the index fail ``ded_keep`` alongside within-batch
+    # duplicates, so the funnel dedupes against ALL prior runs — the
+    # daily-crawl loop inside the config-driven pipeline
+    history_index_path: str | None = None
 
 
 def build_flagged(docs: DataFrame, cfg: CorpusConfig,
@@ -76,8 +83,26 @@ def build_flagged(docs: DataFrame, cfg: CorpusConfig,
         docs.withColumn("_fp", fp)
         .join(keepers, "_fp")
         .withColumn("ded_keep", F.col("doc_id") == F.col("_keep_id"))
-        .drop("_fp", "_keep_id")
+        .drop("_keep_id")
     )
+    if cfg.history_index_path:
+        from pyspark.sql import SparkSession as _S
+
+        idx = (
+            _S.getActiveSession()
+            .read.parquet(cfg.history_index_path)
+            .select("fp")
+            .distinct()
+            .withColumn("_hist", F.lit(True))
+        )
+        # fingerprint-keyed left join: history ships 16-byte keys, never
+        # bodies; a hit flips ded_keep exactly like a within-batch dup
+        d = (
+            d.join(idx, d["_fp"] == idx["fp"], "left")
+            .withColumn("ded_keep", F.col("ded_keep") & F.col("_hist").isNull())
+            .drop("fp", "_hist")
+        )
+    d = d.drop("_fp")
     d = quality_score(d).withColumn(
         "quality_keep",
         (F.round("alpha_ratio", 6) >= F.lit(cfg.alpha_min))
@@ -215,6 +240,7 @@ def run_corpus_clean(
             "seq_len": cfg.seq_len,
             "alpha_min": cfg.alpha_min,
             "stopword_max": cfg.stopword_max,
+            "history_index": cfg.history_index_path,
             "semantic_dedup": (
                 {
                     "embeddings": cfg.embeddings_path,

@@ -142,6 +142,47 @@ class TestCorpusSpec:
         b = spark.read.parquet(f"{spec_out}/packed")
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
+    def test_history_index_spec_run_matches_api_run(self, spark, workdir, tmp_path):
+        """The dedup.history_index_path spec section drives the
+        cross-batch gate: docs whose fingerprints sit in the persisted
+        index fail ded_keep, spec run == API run, and the gate actually
+        dropped documents relative to an index-free run."""
+        from pyspark.sql import functions as F
+
+        from otel_arrow_spark.textops.dedup import text_fingerprints
+
+        idx = f"{workdir}/corpus_hist_idx"
+        docs = spark.read.parquet(DOCS)
+        text_fingerprints(docs.where(F.col("doc_id") % 5 == 0)).write.mode(
+            "overwrite"
+        ).parquet(idx)
+        api_out = f"{workdir}/corpus_hist_api_out"
+        spec_out = f"{workdir}/corpus_hist_spec_out"
+        base = run_corpus_clean(
+            spark, CorpusConfig(input_path=DOCS,
+                                output_dir=f"{workdir}/corpus_hist_base")
+        )
+        api = run_corpus_clean(
+            spark,
+            CorpusConfig(input_path=DOCS, output_dir=api_out,
+                         history_index_path=idx),
+        )
+        assert api["metrics"]["after_dedup"] < base["metrics"]["after_dedup"]
+        assert api["config"]["history_index"] == idx
+        spec_file = tmp_path / "corpus_hist.yaml"
+        spec_file.write_text(
+            "kind: corpus_clean\n"
+            f"source: {{path: {DOCS}}}\n"
+            f"dedup: {{history_index_path: {idx}}}\n"
+            "pack: {seq_len: 512}\n"
+            f"sink: {{output_dir: {spec_out}}}\n"
+        )
+        got = run_from_spec(spark, str(spec_file))
+        assert got["metrics"] == api["metrics"]
+        a = spark.read.parquet(f"{api_out}/packed")
+        b = spark.read.parquet(f"{spec_out}/packed")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
     def test_semantic_section_requires_embeddings(self):
         with pytest.raises(SpecError, match="embeddings_path"):
             spec_to_config({
