@@ -423,6 +423,62 @@ def main() -> None:
         )
     )
 
+    from otel_arrow_spark.textops.retrieval import bm25_topk
+
+    sections.append(
+        (
+            "BM25 lexical retrieval (literal query)",
+            "Expected: per-term tfs in the Project over the scan (no "
+            "explode, no join for the query terms), ONE partial+final "
+            "aggregate for the corpus stats, a `BroadcastNestedLoopJoin` "
+            "carrying the 1-row stats back, `TakeOrderedAndProject` for "
+            "the top-k. No SortMergeJoin, no Python.",
+            bm25_topk(docs, ["hash", "join", "vector"], k=20),
+        )
+    )
+
+    from otel_arrow_spark.sources.bloomskip import build_bloom_manifest
+
+    sections.append(
+        (
+            "Bloom-skip manifest build",
+            "Expected: the k-position explode (`Generate`) feeds a "
+            "partial+final `HashAggregate` pair around ONE `Exchange` on "
+            "(file, word) — `bit_or` combines map-side, so the shuffle "
+            "carries at most m_bits/64 words per file, never k rows per "
+            "data row.",
+            build_bloom_manifest(
+                spark, "/root/testdata/sf0.001/events.parquet", "user_id"
+            ),
+        )
+    )
+
+    from otel_arrow_spark.operators.profile import distinct_sketches
+    from otel_arrow_spark.operators.sketches import quantile_sketches
+
+    sections.append(
+        (
+            "Sketch sidecars (HLL cardinality / KLL quantiles)",
+            "Expected: each sketch build is ONE partial+final aggregate "
+            "around a single `Exchange` on the group key — DataSketches "
+            "state combines map-side, so the shuffle moves one "
+            "kilobyte-sized sketch per (partition, group). No Python.",
+            distinct_sketches(
+                events.selectExpr("event_type", "user_id"),
+                "user_id", by=("event_type",),
+            ).join(
+                quantile_sketches(
+                    events.selectExpr(
+                        "event_type",
+                        "cast(round(value * 100) as bigint) as v"
+                    ),
+                    "v", by=("event_type",),
+                ),
+                "event_type",
+            ),
+        )
+    )
+
     out = [HEADER]
     for title, expect, df in sections:
         plan = df._jdf.queryExecution().explainString(
