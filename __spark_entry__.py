@@ -2389,6 +2389,29 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_parse_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL ``parse-kv`` through the query front-end (plans/opl.py
+    ParseKvStage): keyed extraction from key=value lines — one anchored
+    regexp_extract per requested key, first occurrence wins, typed keys
+    NULL on missing. Lines are synthesized from events columns so the
+    oracle can replay the identical RE2-safe patterns per row."""
+    from otel_arrow_spark.plans.opl import run_opl
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id",
+        F.concat(
+            F.lit("type="), F.col("event_type"),
+            F.lit(" user="), F.col("user_id"),
+            F.lit(" cents="), F.round(F.col("value") * 100).cast("long"),
+        ).alias("line"),
+    )
+    out = run_opl(
+        "events | parse-kv line as (type, user:long, cents:long)",
+        {"events": ev},
+    ).default
+    return out.select("event_id", "type", "user", "cents")
+
+
 def q_kql_top_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KQL ``top-hitters`` through the query front-end (plans/opl.py
     TopHittersStage): most frequent event types, and heaviest users by
@@ -2978,7 +3001,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = least-proven-first: the driver correctness-checks
     only the FIRST 50 entries, so queries that are new or changed this
-    round lead (43 round-5 entries, none ever driver-checked + 4 whose
+    round lead (44 round-5 entries, none ever driver-checked + 4 whose
     implementation or oracle changed), then the oldest veterans (last
     driver row r3 or earlier) fill the remaining window slots in
     oldest-first order. Every entry past position 50 is driver-green in
@@ -2999,6 +3022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_quantiles": q_kll_quantiles,
         "theta_retention": q_theta_retention,
         "corpus_clean_history": q_corpus_clean_history,
+        "kql_parse_kv": q_kql_parse_kv,
         "tail_sample": q_tail_sample,
         "slo_burn": q_slo_burn,
         "throttle": q_throttle,
@@ -3653,6 +3677,20 @@ def oracle_sql() -> dict[str, str]:
                        * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
                    6) AS bm25_r
             FROM f CROSS JOIN s
+        """,
+        "kql_parse_kv": """
+            WITH src AS (
+                SELECT event_id,
+                       'type=' || event_type || ' user=' || user_id ||
+                       ' cents=' || CAST(round(value * 100) AS BIGINT) AS line
+                FROM events)
+            SELECT event_id,
+                   regexp_extract(line, '(?:^|[ ])type=([^ ]*)', 1) AS type,
+                   CAST(NULLIF(regexp_extract(line, '(?:^|[ ])user=([^ ]*)', 1),
+                               '') AS BIGINT) AS user,
+                   CAST(NULLIF(regexp_extract(line, '(?:^|[ ])cents=([^ ]*)', 1),
+                               '') AS BIGINT) AS cents
+            FROM src
         """,
         "kql_top_hitters": """
             WITH q AS (

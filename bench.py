@@ -113,6 +113,7 @@ HEADLINE_QUERIES = [
     "kll_quantiles",
     "theta_retention",
     "corpus_clean_history",
+    "kql_parse_kv",
 ]
 
 

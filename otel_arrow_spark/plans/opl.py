@@ -279,6 +279,23 @@ class ParseStage:
 
 
 @dataclass
+class ParseKvStage:
+    """KQL ``parse-kv Col as (k1[:type], k2, ...) with
+    (pair_delimiter='...', kv_delimiter='...')`` — keyed extraction from
+    key=value text (defaults: pair ' ', kv '='). Each requested key is
+    one anchored ``regexp_extract`` (first occurrence wins); untyped
+    keys keep KQL's empty-string-on-missing convention, typed keys go
+    NULL then cast. Delimiters are single characters so the value
+    pattern stays a plain negated character class — replayable on RE2
+    engines (DuckDB oracles), which have no lookahead."""
+
+    column: str
+    keys: list  # [(name, type|None)]
+    pair_delim: str = " "
+    kv_delim: str = "="
+
+
+@dataclass
 class MakeSeriesStage:
     """KQL ``make-series a = agg(x) [default = d], ... on ts step 1h
     [by k1, k2]`` — regular-grid time-series materialization: one row per
@@ -720,6 +737,68 @@ class _Parser:
             if col.kind != "ident":
                 raise OplSyntaxError("mv-expand expects a column name")
             return MvExpandStage(col.text)
+        if t.text == "parse" and self.peek() and self.peek().text == "-":
+            # KQL `parse-kv Col as (k1[:type], ...) with (pair_delimiter=..., kv_delimiter=...)`
+            self.next()
+            kw = self.next()
+            if kw.text != "kv":
+                raise OplSyntaxError("expected parse-kv")
+            src = self.next()
+            if src.kind != "ident":
+                raise OplSyntaxError("parse-kv expects a source column name")
+            if not self.at("as"):
+                raise OplSyntaxError("parse-kv expects 'as (keys...)'")
+            self.next()
+            self.expect("(")
+            keys = []
+            while True:
+                name = self.next()
+                if name.kind != "ident":
+                    raise OplSyntaxError("parse-kv expects key names")
+                typ = None
+                if self.at(":"):
+                    self.next()
+                    ty = self.next()
+                    if ty.kind != "ident":
+                        raise OplSyntaxError("parse-kv key type expected")
+                    typ = ty.text
+                keys.append((name.text, typ))
+                if self.at(","):
+                    self.next()
+                    continue
+                break
+            self.expect(")")
+            pd, kvd = " ", "="
+            if self.at("with"):
+                self.next()
+                self.expect("(")
+                while True:
+                    opt = self.next()
+                    if opt.kind != "ident" or opt.text not in (
+                        "pair_delimiter", "kv_delimiter"
+                    ):
+                        raise OplSyntaxError(
+                            "parse-kv with() accepts pair_delimiter/kv_delimiter"
+                        )
+                    self.expect("=")
+                    val = self.next()
+                    if val.kind != "str":
+                        raise OplSyntaxError("delimiter must be a string literal")
+                    v = _unquote(val.text)
+                    if len(v) != 1:
+                        raise OplSyntaxError(
+                            "parse-kv delimiters must be single characters"
+                        )
+                    if opt.text == "pair_delimiter":
+                        pd = v
+                    else:
+                        kvd = v
+                    if self.at(","):
+                        self.next()
+                        continue
+                    break
+                self.expect(")")
+            return ParseKvStage(src.text, keys, pd, kvd)
         if t.text == "parse":
             src = self.next()
             if src.kind != "ident":
@@ -1561,6 +1640,23 @@ def _apply_stages(
             if not sources or stage.source not in sources:
                 raise OplSyntaxError(f"unknown union source {stage.source!r}")
             df = df.unionByName(sources[stage.source])
+        elif isinstance(stage, ParseKvStage):
+            import re as _re
+
+            pd_cls = _re.escape(stage.pair_delim)
+            kvd = _re.escape(stage.kv_delim)
+            src = F.col(stage.column)
+            for name, typ in stage.keys:
+                pattern = (
+                    f"(?:^|[{pd_cls}]){_re.escape(name)}{kvd}([^{pd_cls}]*)"
+                )
+                e = F.regexp_extract(src, pattern, 1)
+                if typ is not None:
+                    spark_ty = _PARSE_TYPES.get(typ)
+                    if spark_ty is None:
+                        raise OplSyntaxError(f"unknown parse-kv type {typ!r}")
+                    e = F.when(e == "", F.lit(None)).otherwise(e).cast(spark_ty)
+                df = df.withColumn(name, e)
         elif isinstance(stage, ParseStage):
             regex, captures = _compile_parse_regex(stage.segments)
             src = F.col(stage.column)

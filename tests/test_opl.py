@@ -579,6 +579,73 @@ class TestMakeSeries:
             run_opl("t | make-series n = count() on k by k", {"t": df})
 
 
+class TestParseKv:
+    """KQL `parse-kv` statement: keyed extraction from key=value text,
+    first occurrence wins, missing untyped keys '' / typed keys NULL."""
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [
+                ("type=click user=7 val=3.25",),
+                ("user=9 type=view extra=x type=dup",),
+                ("no pairs here",),
+            ],
+            "line string",
+        )
+
+    def test_extract_defaults(self, spark):
+        from otel_arrow_spark.plans.opl import run_opl
+
+        r = run_opl(
+            "t | parse-kv line as (type, user:long, val:real)",
+            {"t": self._df(spark)},
+        ).default.collect()
+        assert (r[0].type, r[0].user, r[0].val) == ("click", 7, 3.25)
+        # order-independent, first occurrence wins for duplicate keys
+        assert (r[1].type, r[1].user, r[1].val) == ("view", 9, None)
+        # no pairs: '' for untyped, NULL for typed
+        assert (r[2].type, r[2].user, r[2].val) == ("", None, None)
+
+    def test_custom_delimiters_and_key_prefix_safety(self, spark):
+        from otel_arrow_spark.plans.opl import run_opl
+
+        df = spark.createDataFrame(
+            [("a:1;ba:2;b:3",)], "line string"
+        )
+        r = run_opl(
+            "t | parse-kv line as (a:long, b:long) "
+            "with (pair_delimiter=';', kv_delimiter=':')",
+            {"t": df},
+        ).default.collect()[0]
+        # 'b' must not match inside 'ba' (pair-start anchor)
+        assert (r.a, r.b) == (1, 3)
+
+    def test_syntax_errors(self, spark):
+        import pytest
+
+        from otel_arrow_spark.plans.opl import OplSyntaxError, run_opl
+
+        df = self._df(spark)
+        for bad in (
+            "t | parse-kv line",
+            "t | parse-kv line as ()",
+            "t | parse-kv line as (a) with (pair_delimiter='||')",
+            "t | parse-kv line as (a) with (frobnicate='x')",
+            "t | parse-frobnicate line as (a)",
+        ):
+            with pytest.raises(OplSyntaxError):
+                run_opl(bad, {"t": df})
+
+    def test_plan_pure_expressions(self, spark):
+        from otel_arrow_spark.plans.opl import run_opl
+
+        df = run_opl(
+            "t | parse-kv line as (type, user:long)", {"t": self._df(spark)}
+        ).default
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan and "Exchange" not in plan
+
+
 class TestKqlParse:
     """KQL `parse` statement: literal/capture patterns → one anchored
     regex, typed captures NULL on non-match, strings keep KQL's
