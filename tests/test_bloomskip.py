@@ -91,6 +91,30 @@ class TestBloomSkip:
         assert s_range["files_read"] == s_range["files_total"]
         assert s_bloom["files_read"] < s_bloom["files_total"]
 
+    def test_fuzz_never_false_negative(self, spark, workdir):
+        """Hypothesis: random value sets, random bloom geometry — every
+        present value must survive pruning (blooms only over-read)."""
+        from hypothesis import given, settings, strategies as st
+
+        p = f"{workdir}/bl_fuzz"
+
+        @settings(max_examples=5, deadline=None)
+        @given(
+            vals=st.lists(st.integers(-(2**40), 2**40), min_size=1,
+                          max_size=40, unique=True),
+            m_bits=st.sampled_from([256, 1024, 4096]),
+            k=st.integers(2, 6),
+        )
+        def run(vals, m_bits, k):
+            df = spark.createDataFrame([(v,) for v in vals], "k long")
+            df.repartition(3, "k").write.mode("overwrite").parquet(p)
+            zm = build_bloom_manifest(spark, p, "k", m_bits=m_bits, k=k)
+            probe = vals[:: max(1, len(vals) // 7)]
+            out, _ = bloom_pruned_scan(spark, p, "k", probe, manifest=zm)
+            assert sorted(r.k for r in out.collect()) == sorted(probe)
+
+        run()
+
     def test_sidecar_ignored_by_data_scans(self, spark, workdir):
         p = f"{workdir}/bl7"
         _write_hash_clustered(spark, p)

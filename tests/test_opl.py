@@ -645,6 +645,38 @@ class TestParseKv:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan and "Exchange" not in plan
 
+    def test_fuzz_matches_python_replay(self, spark):
+        """Hypothesis: random key/value bags (values may contain the kv
+        delimiter, keys may prefix each other) against a Python dict
+        replay of first-occurrence-wins."""
+        import re
+
+        from hypothesis import given, settings, strategies as st
+
+        from otel_arrow_spark.plans.opl import run_opl
+
+        word = st.text(alphabet="abxy=", min_size=1, max_size=5).filter(
+            lambda s: "=" != s[0]
+        )
+        key = st.sampled_from(["a", "ab", "b", "k9"])
+
+        @settings(max_examples=8, deadline=None)
+        @given(pairs=st.lists(st.tuples(key, word), min_size=0, max_size=6))
+        def run(pairs):
+            line = " ".join(f"{k}={v}" for k, v in pairs)
+            df = spark.createDataFrame([(line,)], "line string")
+            got = run_opl(
+                "t | parse-kv line as (a, ab, b, k9)", {"t": df}
+            ).default.collect()[0]
+            want = {}
+            for k in ("a", "ab", "b", "k9"):
+                m = re.search(rf"(?:^|[ ]){re.escape(k)}=([^ ]*)", line)
+                want[k] = m.group(1) if m else ""
+            assert (got.a, got.ab, got.b, got.k9) == (
+                want["a"], want["ab"], want["b"], want["k9"]), line
+
+        run()
+
 
 class TestKqlParse:
     """KQL `parse` statement: literal/capture patterns → one anchored
