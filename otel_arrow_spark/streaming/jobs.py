@@ -403,6 +403,73 @@ def stream_dedup(
     return s.dropDuplicatesWithinWatermark(list(keys))
 
 
+def stream_dedup_against_index(
+    spark: SparkSession,
+    input_dir: str,
+    index_path: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming incremental dedup: the continuous form of the
+    daily-crawl loop (textops/dedup.py dedup_against_index). Each
+    micro-batch of arriving documents is deduped within itself AND
+    against the persisted fingerprint index, survivors append to the
+    output, and their fingerprints append to the index — so batch N+1
+    automatically dedupes against everything batch N kept.
+
+    Delivery is at-least-once, not exactly-once: survivors write BEFORE
+    their fingerprints (a crash between the two replays the batch and
+    may duplicate its output rows — reader-side dedup on ``id_col`` is
+    the standard repair; the reverse order would silently LOSE the
+    batch, since a replay would find its own fingerprints in the index).
+    Duplicate index rows from replays are harmless — the anti join is
+    insensitive to them, the same idempotence the batch loop relies on.
+
+    The index re-read per micro-batch is a fingerprints-only scan (16
+    bytes/row); at fleet scale keep the index bucketed on ``fp`` so the
+    anti join co-locates.
+    """
+    import os as _os
+
+    from otel_arrow_spark.textops.dedup import (
+        dedup_against_index,
+        text_fingerprints,
+    )
+
+    schema = spark.read.parquet(input_dir).schema
+
+    def _sink(batch: DataFrame, _bid: int) -> None:
+        s = batch.sparkSession
+        if _os.path.isdir(index_path):
+            idx = s.read.parquet(index_path)
+        else:
+            idx = s.createDataFrame([], "fp string")
+        surv = dedup_against_index(batch, idx, text_col, id_col)
+        surv.persist()
+        try:
+            surv.write.mode("append").parquet(output_dir)
+            text_fingerprints(surv, text_col).write.mode("append").parquet(
+                index_path
+            )
+        finally:
+            surv.unpersist()
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_otlp_json_ingest(
     spark: SparkSession,
     input_dir: str,

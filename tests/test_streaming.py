@@ -664,3 +664,55 @@ def test_d2c_stream_matches_batch(spark, workdir):
     }
     assert len(got) == len(want) == len(pdf)
     assert got == want  # bit-for-bit: same fold, same anchor
+
+
+def test_stream_dedup_against_index_matches_sequential_batch(spark, workdir):
+    """Streaming incremental dedup == the batch daily-crawl loop run
+    micro-batch by micro-batch: survivors, final index contents, and the
+    cross-batch property (batch 2 drops docs batch 1 kept) all match."""
+    from otel_arrow_spark.streaming.jobs import stream_dedup_against_index
+    from otel_arrow_spark.textops.dedup import (
+        dedup_against_index,
+        text_fingerprints,
+    )
+
+    rows1 = [(1, "alpha body"), (2, "alpha body"), (3, "beta body")]
+    rows2 = [(10, "alpha body"),          # dup of batch-1 survivor
+             (11, "gamma fresh"), (12, "gamma fresh"), (13, "delta")]
+    src = f"{workdir}/inc_stream_src"
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame(rows1, "doc_id long, text string").coalesce(
+        1).write.parquet(f"{src}/b1")
+    spark.createDataFrame(rows2, "doc_id long, text string").coalesce(
+        1).write.parquet(f"{src}/b2")
+    # flatten: file stream wants files in one dir, ordered names = order
+    import shutil
+    for i, sub in enumerate(("b1", "b2")):
+        for f in os.listdir(f"{src}/{sub}"):
+            if f.endswith(".parquet"):
+                shutil.move(f"{src}/{sub}/{f}", f"{src}/{i}_{f}")
+        shutil.rmtree(f"{src}/{sub}")
+
+    idx = f"{workdir}/inc_stream_idx"
+    out = f"{workdir}/inc_stream_out"
+    q = stream_dedup_against_index(
+        spark, src, idx, out, f"{workdir}/inc_stream_ckpt",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    got_ids = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+
+    # batch replay of the same two-day loop
+    b1 = spark.createDataFrame(rows1, "doc_id long, text string")
+    b2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    empty = spark.createDataFrame([], "fp string")
+    d1 = dedup_against_index(b1, empty)
+    d2 = dedup_against_index(b2, text_fingerprints(d1))
+    want_ids = sorted(r.doc_id for r in d1.union(d2).collect())
+    assert got_ids == want_ids == [1, 3, 11, 13]
+    # final index holds exactly the survivors' fingerprints
+    idx_fps = {r.fp for r in spark.read.parquet(idx).collect()}
+    want_fps = {r.fp for r in
+                text_fingerprints(d1.union(d2)).collect()}
+    assert idx_fps == want_fps
