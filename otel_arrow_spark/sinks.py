@@ -466,6 +466,7 @@ def compact_parquet_dir(
     partition_by: tuple[str, ...] = (),
     sort_cols: tuple[str, ...] = (),
     compression: str | None = None,
+    refresh_sidecars: bool = True,
 ) -> dict:
     """Small-file compaction for a parquet sink directory — the
     maintenance half of every continuously-ingesting table (streaming
@@ -483,7 +484,16 @@ def compact_parquet_dir(
     original untouched; after it, the temp name never collides (rewrite
     is idempotent).
 
-    Returns {files_before, files_after, bytes_before, bytes_after, rows}.
+    Data-skipping sidecars (`_zonemap`, `_bloomskip`) describe the OLD
+    file layout; the rewrite invalidates them, so their specs (stat
+    columns, bloom geometry) are read before the swap and the manifests
+    rebuilt over the new files afterwards (``refresh_sidecars=False``
+    skips the rebuild; the scanners fall back to building on the fly,
+    correct but unindexed). Iceberg gets this for free from its own
+    metadata rewrite — for plain parquet it must be explicit.
+
+    Returns {files_before, files_after, bytes_before, bytes_after, rows,
+    sidecars_refreshed}.
     """
     import glob as _glob
     import math
@@ -492,11 +502,30 @@ def compact_parquet_dir(
 
     def _stats(p: str) -> tuple[int, int]:
         fs = [
-            f for f in _glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
+            f
+            for f in _glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
+            # sidecar manifests (_zonemap/_bloomskip) are planning
+            # metadata, not data files — exclude them like Spark does
+            if not any(part.startswith("_") for part in f.split(os.sep))
         ]
         return len(fs), sum(os.path.getsize(f) for f in fs)
 
     files_before, bytes_before = _stats(path)
+    zonemap_cols: list[str] = []
+    bloom_spec: tuple[str, int, int] | None = None
+    if refresh_sidecars:
+        zm_dir = os.path.join(path, "_zonemap")
+        if os.path.isdir(zm_dir):
+            zonemap_cols = [
+                f.name[4:]
+                for f in spark.read.parquet(zm_dir).schema
+                if f.name.startswith("min_")
+            ]
+        bl_dir = os.path.join(path, "_bloomskip")
+        if os.path.isdir(bl_dir):
+            h = spark.read.parquet(bl_dir).select("col", "m_bits", "k").head()
+            if h is not None:
+                bloom_spec = (h.col, h.m_bits, h.k)
     df = spark.read.parquet(path)
     rows = df.count()
     n_out = max(1, math.ceil(bytes_before / target_file_bytes))
@@ -530,6 +559,17 @@ def compact_parquet_dir(
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
+    refreshed = []
+    if zonemap_cols:
+        from otel_arrow_spark.sources.zonemap import write_zonemap
+
+        write_zonemap(spark, path, zonemap_cols)
+        refreshed.append("zonemap")
+    if bloom_spec is not None:
+        from otel_arrow_spark.sources.bloomskip import write_bloom_manifest
+
+        write_bloom_manifest(spark, path, *bloom_spec)
+        refreshed.append("bloomskip")
     files_after, bytes_after = _stats(path)
     return {
         "files_before": files_before,
@@ -537,6 +577,7 @@ def compact_parquet_dir(
         "bytes_before": bytes_before,
         "bytes_after": bytes_after,
         "rows": rows,
+        "sidecars_refreshed": refreshed,
     }
 
 

@@ -75,6 +75,10 @@ def build_bloom_manifest(
         .agg(F.bit_or(F.expr("shiftleft(1L, int(pos % 64))")).alias("bits"))
         .withColumn("m_bits", F.lit(m_bits))
         .withColumn("k", F.lit(k))
+        # the sketched column, recorded so maintenance jobs (compaction
+        # sidecar refresh) can rebuild the manifest without out-of-band
+        # knowledge
+        .withColumn("col", F.lit(col))
     )
 
 

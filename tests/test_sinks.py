@@ -473,6 +473,56 @@ class TestCompaction:
         spark.range(2000).repartition(25).write.parquet(path)
         stats = compact_parquet_dir(spark, path, target_file_bytes=1 << 30)
         assert stats["files_after"] == 1 and stats["rows"] == 2000
+        assert stats["sidecars_refreshed"] == []
+
+    def test_sidecars_rebuilt_over_new_layout(self, spark, workdir):
+        """Compaction invalidates the data-skipping sidecars (they
+        describe the pre-rewrite files); the rewrite must leave manifests
+        that prune correctly over the NEW layout."""
+        from otel_arrow_spark.sinks import compact_parquet_dir
+        from otel_arrow_spark.sources.bloomskip import (
+            bloom_pruned_scan,
+            write_bloom_manifest,
+        )
+        from otel_arrow_spark.sources.zonemap import pruned_scan, write_zonemap
+
+        path = f"{workdir}/compact_sidecars"
+        df = spark.range(4000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        )
+        df.repartitionByRange(20, "k").write.parquet(path)
+        write_zonemap(spark, path, ["k"])
+        write_bloom_manifest(spark, path, "k", m_bits=2048, k=4)
+
+        stats = compact_parquet_dir(spark, path, target_file_bytes=40_000)
+        assert stats["sidecars_refreshed"] == ["zonemap", "bloomskip"]
+        assert stats["files_after"] < 20
+
+        # both sidecars now describe the compacted files: stats add up
+        # and pruning stays row-identical
+        out, s_zm = pruned_scan(spark, path, "k", lo=100, hi=200)
+        assert s_zm["files_total"] == stats["files_after"]
+        assert sorted(r.k for r in out.collect()) == list(range(100, 201))
+        out, s_bl = bloom_pruned_scan(spark, path, "k", [1234])
+        assert s_bl["files_total"] == stats["files_after"]
+        assert [r.k for r in out.collect()] == [1234]
+
+    def test_sidecar_refresh_opt_out(self, spark, workdir):
+        import os
+
+        from otel_arrow_spark.sinks import compact_parquet_dir
+        from otel_arrow_spark.sources.zonemap import write_zonemap
+
+        path = f"{workdir}/compact_noref"
+        spark.range(1000).selectExpr("id as k").repartition(10).write.parquet(path)
+        write_zonemap(spark, path, ["k"])
+        stats = compact_parquet_dir(
+            spark, path, target_file_bytes=1 << 30, refresh_sidecars=False
+        )
+        assert stats["sidecars_refreshed"] == []
+        # the stale manifest went with the old directory; scanners fall
+        # back to on-the-fly builds
+        assert not os.path.isdir(os.path.join(path, "_zonemap"))
 
 
 class TestRetention:
