@@ -2918,6 +2918,42 @@ def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m4_downsample(named, "15 minutes", keys=("name", "stream"))
 
 
+def q_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering (sources/clustering.py — Iceberg/Delta
+    OPTIMIZE ZORDER BY over plain parquet + zonemap): events laid out on
+    the interleaved bits of (user_id, event_id), then range scans on
+    EACH column independently open fewer files than exist — the
+    multi-column skipping a linear sort cannot give. Both prunes are
+    guarded in-query; the hash-checked output aggregates the event_id
+    range scan, whose bounds derive from min/max with integer arithmetic
+    the oracle replays (scale-factor-proof)."""
+    from otel_arrow_spark.sources.clustering import write_zordered
+    from otel_arrow_spark.sources.zonemap import pruned_scan
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = os.path.join(_REPO, ".cache", "zorder_out")
+    write_zordered(spark, e, path, ["user_id", "event_id"], files=16, bits=10)
+    b = e.agg(
+        F.min("event_id").alias("lo_e"), F.max("event_id").alias("hi_e"),
+        F.min("user_id").alias("lo_u"), F.max("user_id").alias("hi_u"),
+    ).head()
+    lo_e, hi_e = b.lo_e, b.lo_e + (b.hi_e - b.lo_e) // 8
+    lo_u, hi_u = b.lo_u, b.lo_u + (b.hi_u - b.lo_u) // 8
+    _, s_u = pruned_scan(spark, path, "user_id", lo=lo_u, hi=hi_u)
+    assert s_u["files_read"] < s_u["files_total"], s_u
+    out, s_e = pruned_scan(spark, path, "event_id", lo=lo_e, hi=hi_e)
+    assert s_e["files_read"] < s_e["files_total"], s_e
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("event_id").alias("sum_id"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
 def q_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map data skipping (sources/zonemap.py — the Iceberg
     manifest-bounds value proposition over plain parquet): events
@@ -3001,7 +3037,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = least-proven-first: the driver correctness-checks
     only the FIRST 50 entries, so queries that are new or changed this
-    round lead (44 round-5 entries, none ever driver-checked + 4 whose
+    round lead (45 round-5 entries, none ever driver-checked + 4 whose
     implementation or oracle changed), then the oldest veterans (last
     driver row r3 or earlier) fill the remaining window slots in
     oldest-first order. Every entry past position 50 is driver-green in
@@ -3023,6 +3059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_retention": q_theta_retention,
         "corpus_clean_history": q_corpus_clean_history,
         "kql_parse_kv": q_kql_parse_kv,
+        "zorder_prune": q_zorder_prune,
         "tail_sample": q_tail_sample,
         "slo_burn": q_slo_burn,
         "throttle": q_throttle,
@@ -5121,6 +5158,20 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(max(value) AS DOUBLE), 4) AS max_value
             FROM events
             WHERE user_id IN (3, 42, 97)
+            GROUP BY 1
+        """,
+        "zorder_prune": """
+            WITH b AS (
+                SELECT min(event_id) AS lo,
+                       min(event_id) + (max(event_id) - min(event_id)) // 8 AS hi
+                FROM events)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(sum(event_id) AS BIGINT) AS sum_id,
+                   round(CAST(min(value) AS DOUBLE), 4) AS min_value,
+                   round(CAST(max(value) AS DOUBLE), 4) AS max_value
+            FROM events, b
+            WHERE event_id >= b.lo AND event_id <= b.hi
             GROUP BY 1
         """,
         "zonemap_prune": """

@@ -114,6 +114,7 @@ HEADLINE_QUERIES = [
     "theta_retention",
     "corpus_clean_history",
     "kql_parse_kv",
+    "zorder_prune",
 ]
 
 
