@@ -2918,6 +2918,45 @@ def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m4_downsample(named, "15 minutes", keys=("name", "stream"))
 
 
+def q_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-versioned table (sources/snapshots.py — the Iceberg
+    commit protocol natively: pointer → immutable manifest → data
+    files): events committed in two appends, read back at the current
+    version for the hash-checked aggregate. In-query guards prove the
+    table-format semantics: v1 time-travel sees only the first batch,
+    uncommitted data files stay invisible, and the two-version read
+    equals the full table."""
+    import shutil
+
+    from otel_arrow_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_append,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = os.path.join(_REPO, ".cache", "snapshot_table")
+    shutil.rmtree(t, ignore_errors=True)
+    b1 = e.where(F.col("event_id") % 2 == 0)
+    b2 = e.where(F.col("event_id") % 2 != 0)
+    snapshot_append(spark, b1, t)
+    # crash simulation: a data batch that never got a manifest
+    b2.limit(5).write.parquet(os.path.join(t, "data", "batch-999"))
+    snapshot_append(spark, b2, t)
+    n1 = read_snapshot(spark, t, version=1).count()
+    assert n1 == b1.count(), (n1,)
+    latest = read_snapshot(spark, t)
+    assert latest.count() == e.count()
+    return latest.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("event_id").alias("sum_id"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
 def q_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering (sources/clustering.py — Iceberg/Delta
     OPTIMIZE ZORDER BY over plain parquet + zonemap): events laid out on
@@ -3037,7 +3076,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = least-proven-first: the driver correctness-checks
     only the FIRST 50 entries, so queries that are new or changed this
-    round lead (45 round-5 entries, none ever driver-checked + 4 whose
+    round lead (46 round-5 entries, none ever driver-checked + 4 whose
     implementation or oracle changed), then the oldest veterans (last
     driver row r3 or earlier) fill the remaining window slots in
     oldest-first order. Every entry past position 50 is driver-green in
@@ -3060,6 +3099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean_history": q_corpus_clean_history,
         "kql_parse_kv": q_kql_parse_kv,
         "zorder_prune": q_zorder_prune,
+        "snapshot_table": q_snapshot_table,
         "tail_sample": q_tail_sample,
         "slo_burn": q_slo_burn,
         "throttle": q_throttle,
@@ -5158,6 +5198,15 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(max(value) AS DOUBLE), 4) AS max_value
             FROM events
             WHERE user_id IN (3, 42, 97)
+            GROUP BY 1
+        """,
+        "snapshot_table": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(sum(event_id) AS BIGINT) AS sum_id,
+                   round(CAST(min(value) AS DOUBLE), 4) AS min_value,
+                   round(CAST(max(value) AS DOUBLE), 4) AS max_value
+            FROM events
             GROUP BY 1
         """,
         "zorder_prune": """

@@ -1,0 +1,168 @@
+"""Snapshot-versioned parquet tables: the Iceberg commit model natively.
+
+The sandbox has no Iceberg jar (sinks.py gates writeTo cleanly), but
+the VALUE of a table format is not the jar — it is the commit protocol:
+
+* readers resolve a single VERSION pointer to an immutable manifest (a
+  file list), so a reader NEVER sees a half-written table — data files
+  land first and are invisible until the manifest + pointer commit;
+* every commit is a new manifest, so any historical version stays
+  readable (time travel) and the pointer can move back (rollback);
+* unreferenced data files are removed by an explicit vacuum, never as a
+  side effect of a write.
+
+This module implements exactly that over plain parquet + JSON
+manifests, single-writer (the reference's pipelines are single-writer
+per table; multi-writer needs a CAS primitive the filesystem lacks —
+documented, not faked). File layout::
+
+    table/
+      data/batch-<version>/part-*.parquet   (immutable once committed)
+      manifests/v<N>.json                   ({"files": [...], "rows": n})
+      VERSION                               (atomic pointer: "N")
+
+Scale notes: a manifest lists file paths — the same planning metadata
+an Iceberg snapshot holds; reads are ``spark.read.parquet(*files)``, so
+partition pruning/pushdown work unchanged. Commits are O(files) driver
+metadata, data never rewrites on append. The pointer update is
+``os.replace`` (atomic on POSIX).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_DATA = "data"
+_MANIFESTS = "manifests"
+_POINTER = "VERSION"
+
+
+def _ptr_path(table_dir: str) -> str:
+    return os.path.join(table_dir, _POINTER)
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, _MANIFESTS, f"v{version}.json")
+
+
+def current_version(table_dir: str) -> int:
+    """0 if the table has never committed."""
+    try:
+        with open(_ptr_path(table_dir)) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return 0
+
+
+def _read_manifest(table_dir: str, version: int) -> dict:
+    with open(_manifest_path(table_dir, version)) as f:
+        return json.load(f)
+
+
+def _atomic_write(path: str, content: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(content)
+    os.replace(tmp, path)
+
+
+def _commit(
+    table_dir: str, df: DataFrame, mode: str
+) -> int:
+    base = current_version(table_dir)
+    # next version = beyond EVERY manifest ever written, not base+1 — a
+    # commit after rollback must branch to a fresh number, never clobber
+    # the abandoned version's (still readable) manifest or batch dir
+    existing = [
+        int(os.path.basename(p)[1:-5])
+        for p in glob.glob(os.path.join(table_dir, _MANIFESTS, "v*.json"))
+    ]
+    version = max([base, *existing], default=base) + 1
+    batch_dir = os.path.join(table_dir, _DATA, f"batch-{version}")
+    os.makedirs(os.path.join(table_dir, _MANIFESTS), exist_ok=True)
+    # 1. data files land — invisible: no manifest references them yet
+    df.write.mode("errorifexists").parquet(batch_dir)
+    new_files = sorted(
+        glob.glob(os.path.join(batch_dir, "*.parquet"))
+    )
+    prev = _read_manifest(table_dir, base)["files"] if base else []
+    files = (prev + new_files) if mode == "append" else new_files
+    # 2. immutable manifest for this version
+    _atomic_write(
+        _manifest_path(table_dir, version),
+        json.dumps({"files": files, "parent": base, "mode": mode}),
+    )
+    # 3. the commit point: one atomic pointer swap
+    _atomic_write(_ptr_path(table_dir), str(version))
+    return version
+
+
+def snapshot_append(spark: SparkSession, df: DataFrame, table_dir: str) -> int:
+    """Commit ``df`` as a new version containing prior files + the new
+    batch. Returns the committed version number."""
+    return _commit(table_dir, df, "append")
+
+
+def snapshot_overwrite(spark: SparkSession, df: DataFrame, table_dir: str) -> int:
+    """Commit ``df`` as a new version replacing the table contents.
+    Old versions stay readable until vacuumed."""
+    return _commit(table_dir, df, "overwrite")
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """The table as of ``version`` (default: current). An uncommitted
+    crash (data files without a manifest/pointer) is invisible here by
+    construction."""
+    v = current_version(table_dir) if version is None else version
+    if v == 0:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    m = _read_manifest(table_dir, v)
+    if not m["files"]:
+        raise ValueError(f"version {v} of {table_dir} is empty")
+    return spark.read.parquet(*m["files"])
+
+
+def rollback(table_dir: str, version: int) -> None:
+    """Point the table back at an earlier committed version. The
+    abandoned versions' manifests remain until vacuum (re-rollforward
+    stays possible)."""
+    if not os.path.exists(_manifest_path(table_dir, version)):
+        raise FileNotFoundError(f"version {version} was never committed")
+    _atomic_write(_ptr_path(table_dir), str(version))
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
+    """Vacuum: drop all but the last ``keep_last`` manifests at or below
+    the current pointer, then delete data files no surviving manifest
+    references. Files are only removed here — never by a write."""
+    cur = current_version(table_dir)
+    all_versions = sorted(
+        int(os.path.basename(p)[1:-5])
+        for p in glob.glob(os.path.join(table_dir, _MANIFESTS, "v*.json"))
+    )
+    keep = [v for v in all_versions if v <= cur][-keep_last:]
+    keep += [v for v in all_versions if v > cur]  # rolled-back-from: keep
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(_read_manifest(table_dir, v)["files"])
+    dropped_files = 0
+    for f in glob.glob(os.path.join(table_dir, _DATA, "*", "*.parquet")):
+        if f not in referenced:
+            os.remove(f)
+            dropped_files += 1
+    dropped_manifests = 0
+    for v in all_versions:
+        if v not in keep:
+            os.remove(_manifest_path(table_dir, v))
+            dropped_manifests += 1
+    return {
+        "kept_versions": keep,
+        "dropped_manifests": dropped_manifests,
+        "dropped_files": dropped_files,
+    }

@@ -1,0 +1,86 @@
+"""Snapshot-versioned table tests (sources/snapshots.py)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from otel_arrow_spark.sources.snapshots import (
+    current_version,
+    expire_snapshots,
+    read_snapshot,
+    rollback,
+    snapshot_append,
+    snapshot_overwrite,
+)
+
+
+def _batch(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id"), (F.col("id") * 2).alias("v"))
+
+
+class TestSnapshots:
+    def test_append_and_time_travel(self, spark, workdir):
+        t = f"{workdir}/snap_t1"
+        v1 = snapshot_append(spark, _batch(spark, 0, 100), t)
+        v2 = snapshot_append(spark, _batch(spark, 100, 150), t)
+        assert (v1, v2) == (1, 2) and current_version(t) == 2
+        assert read_snapshot(spark, t).count() == 150
+        assert read_snapshot(spark, t, version=1).count() == 100
+
+    def test_overwrite_keeps_history(self, spark, workdir):
+        t = f"{workdir}/snap_t2"
+        snapshot_append(spark, _batch(spark, 0, 100), t)
+        snapshot_overwrite(spark, _batch(spark, 500, 510), t)
+        assert read_snapshot(spark, t).count() == 10
+        assert read_snapshot(spark, t, version=1).count() == 100
+
+    def test_uncommitted_data_is_invisible(self, spark, workdir):
+        """The commit-protocol property: data files on disk without a
+        manifest+pointer never reach a reader."""
+        t = f"{workdir}/snap_t3"
+        snapshot_append(spark, _batch(spark, 0, 50), t)
+        # simulate a crash mid-commit: data landed, manifest/pointer didn't
+        _batch(spark, 50, 99).write.parquet(f"{t}/data/batch-99")
+        assert read_snapshot(spark, t).count() == 50
+        # and the next real commit is unaffected (its own batch dir)
+        snapshot_append(spark, _batch(spark, 100, 110), t)
+        assert read_snapshot(spark, t).count() == 60
+
+    def test_rollback_and_rollforward(self, spark, workdir):
+        t = f"{workdir}/snap_t4"
+        snapshot_append(spark, _batch(spark, 0, 10), t)
+        snapshot_append(spark, _batch(spark, 10, 30), t)
+        rollback(t, 1)
+        assert read_snapshot(spark, t).count() == 10
+        rollback(t, 2)
+        assert read_snapshot(spark, t).count() == 30
+        with pytest.raises(FileNotFoundError):
+            rollback(t, 9)
+
+    def test_commit_after_rollback_branches_cleanly(self, spark, workdir):
+        t = f"{workdir}/snap_t5"
+        snapshot_append(spark, _batch(spark, 0, 10), t)      # v1
+        snapshot_append(spark, _batch(spark, 10, 20), t)     # v2
+        rollback(t, 1)
+        v3 = snapshot_append(spark, _batch(spark, 20, 25), t)  # v1 + new
+        assert v3 == 3  # never reuses the abandoned version number
+        assert read_snapshot(spark, t).count() == 15
+        assert read_snapshot(spark, t, version=2).count() == 20  # still there
+
+    def test_vacuum_drops_only_unreferenced(self, spark, workdir):
+        t = f"{workdir}/snap_t6"
+        snapshot_append(spark, _batch(spark, 0, 100), t)
+        snapshot_overwrite(spark, _batch(spark, 0, 10), t)
+        snapshot_append(spark, _batch(spark, 10, 20), t)   # v3 = v2 files + new
+        stats = expire_snapshots(t, keep_last=1)
+        assert stats["kept_versions"] == [3]
+        assert stats["dropped_manifests"] == 2
+        assert stats["dropped_files"] > 0       # v1's orphaned batch
+        assert read_snapshot(spark, t).count() == 20  # current unharmed
+        with pytest.raises(FileNotFoundError):
+            read_snapshot(spark, t, version=1)
+
+    def test_empty_table_raises(self, spark, workdir):
+        with pytest.raises(FileNotFoundError):
+            read_snapshot(spark, f"{workdir}/snap_never")
