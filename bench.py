@@ -115,6 +115,7 @@ HEADLINE_QUERIES = [
     "corpus_clean_history",
     "kql_parse_kv",
     "zorder_prune",
+    "snapshot_table",
 ]
 
 
