@@ -70,8 +70,23 @@ def _atomic_write(path: str, content: str) -> None:
     os.replace(tmp, path)
 
 
+def committed_meta(table_dir: str) -> list[dict]:
+    """Every committed manifest's metadata (version order) — the replay
+    ledger a streaming sink consults for batch-id idempotence."""
+    out = []
+    for p in sorted(
+        glob.glob(os.path.join(table_dir, _MANIFESTS, "v*.json")),
+        key=lambda p: int(os.path.basename(p)[1:-5]),
+    ):
+        with open(p) as f:
+            m = json.load(f)
+        m["version"] = int(os.path.basename(p)[1:-5])
+        out.append(m)
+    return out
+
+
 def _commit(
-    table_dir: str, df: DataFrame, mode: str
+    table_dir: str, df: DataFrame, mode: str, meta: dict | None = None
 ) -> int:
     base = current_version(table_dir)
     # next version = beyond EVERY manifest ever written, not base+1 — a
@@ -84,6 +99,13 @@ def _commit(
     version = max([base, *existing], default=base) + 1
     batch_dir = os.path.join(table_dir, _DATA, f"batch-{version}")
     os.makedirs(os.path.join(table_dir, _MANIFESTS), exist_ok=True)
+    # a leftover batch dir no manifest references is a crashed attempt's
+    # orphan — removing it makes commit retries safe (committed batch
+    # dirs can never match: their version number is already in use)
+    if os.path.isdir(batch_dir):
+        import shutil as _shutil
+
+        _shutil.rmtree(batch_dir)
     # 1. data files land — invisible: no manifest references them yet
     df.write.mode("errorifexists").parquet(batch_dir)
     new_files = sorted(
@@ -94,17 +116,24 @@ def _commit(
     # 2. immutable manifest for this version
     _atomic_write(
         _manifest_path(table_dir, version),
-        json.dumps({"files": files, "parent": base, "mode": mode}),
+        json.dumps({"files": files, "parent": base, "mode": mode,
+                    **(meta or {})}),
     )
     # 3. the commit point: one atomic pointer swap
     _atomic_write(_ptr_path(table_dir), str(version))
     return version
 
 
-def snapshot_append(spark: SparkSession, df: DataFrame, table_dir: str) -> int:
+def snapshot_append(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    meta: dict | None = None,
+) -> int:
     """Commit ``df`` as a new version containing prior files + the new
-    batch. Returns the committed version number."""
-    return _commit(table_dir, df, "append")
+    batch (``meta`` keys ride in the manifest — e.g. a streaming
+    batch_id). Returns the committed version number."""
+    return _commit(table_dir, df, "append", meta)
 
 
 def snapshot_overwrite(spark: SparkSession, df: DataFrame, table_dir: str) -> int:
@@ -114,18 +143,36 @@ def snapshot_overwrite(spark: SparkSession, df: DataFrame, table_dir: str) -> in
 
 
 def read_snapshot(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    evolve: bool = False,
 ) -> DataFrame:
     """The table as of ``version`` (default: current). An uncommitted
     crash (data files without a manifest/pointer) is invisible here by
-    construction."""
+    construction.
+
+    ``evolve=True`` reads each committed batch under its OWN schema and
+    unifies through the widening lattice (sources/evolution.py) —
+    Iceberg's schema evolution over the snapshot history: a later batch
+    may add columns (earlier rows read NULL) or widen numerics. The
+    default single-scan path stays for same-schema tables (pushdown
+    over one relation beats a union of per-batch scans)."""
     v = current_version(table_dir) if version is None else version
     if v == 0:
         raise FileNotFoundError(f"no committed version in {table_dir}")
     m = _read_manifest(table_dir, v)
     if not m["files"]:
         raise ValueError(f"version {v} of {table_dir} is empty")
-    return spark.read.parquet(*m["files"])
+    if not evolve:
+        return spark.read.parquet(*m["files"])
+    from otel_arrow_spark.sources.evolution import evolved_union
+
+    by_batch: dict[str, list[str]] = {}
+    for f in m["files"]:
+        by_batch.setdefault(os.path.dirname(f), []).append(f)
+    gens = [spark.read.parquet(*fs) for fs in by_batch.values()]
+    return evolved_union(*gens)
 
 
 def rollback(table_dir: str, version: int) -> None:

@@ -470,6 +470,47 @@ def stream_dedup_against_index(
     return writer.start()
 
 
+def stream_snapshot_sink(
+    stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream into a snapshot-versioned table (sources/snapshots.py):
+    every micro-batch is one ATOMIC commit — readers either see the
+    whole batch or none of it, and the table's version history IS the
+    micro-batch history (time travel per trigger).
+
+    Visibility is exactly-once, not just at-least-once: each manifest
+    records its micro-batch id, a replayed batch whose id is already
+    committed is skipped, and a replay of a CRASHED attempt (data files
+    landed, manifest didn't) overwrites the orphan batch dir — the
+    commit protocol makes the blind-append duplication foreachBatch
+    normally suffers (streaming/jobs.py stream_logs_star_encode caveat)
+    structurally impossible for this sink.
+    """
+    from otel_arrow_spark.sources.snapshots import (
+        committed_meta,
+        snapshot_append,
+    )
+
+    def _sink(batch: DataFrame, bid: int) -> None:
+        done = {
+            m.get("batch_id") for m in committed_meta(table_dir)
+        }
+        if bid in done:
+            return
+        snapshot_append(batch.sparkSession, batch, table_dir,
+                        meta={"batch_id": bid})
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_otlp_json_ingest(
     spark: SparkSession,
     input_dir: str,

@@ -84,3 +84,22 @@ class TestSnapshots:
     def test_empty_table_raises(self, spark, workdir):
         with pytest.raises(FileNotFoundError):
             read_snapshot(spark, f"{workdir}/snap_never")
+
+    def test_schema_evolution_across_versions(self, spark, workdir):
+        """evolve=True unifies batches committed under different
+        schemas: added column reads NULL for older rows, int widens to
+        long — the Iceberg evolution story over the snapshot history."""
+        t = f"{workdir}/snap_evolve"
+        g1 = spark.createDataFrame([(1, 10)], "id long, v int")
+        g2 = spark.createDataFrame(
+            [(2, 2**40, "x")], "id long, v long, tag string"
+        )
+        snapshot_append(spark, g1, t)
+        snapshot_append(spark, g2, t)
+        got = read_snapshot(spark, t, evolve=True).orderBy("id").collect()
+        assert [r.v for r in got] == [10, 2**40]
+        assert [r.tag for r in got] == [None, "x"]
+        assert dict(read_snapshot(spark, t, evolve=True).dtypes)["v"] == "bigint"
+        # time travel composes: v1 alone has the original schema
+        assert read_snapshot(spark, t, version=1, evolve=True).columns == [
+            "id", "v"]

@@ -716,3 +716,54 @@ def test_stream_dedup_against_index_matches_sequential_batch(spark, workdir):
     want_fps = {r.fp for r in
                 text_fingerprints(d1.union(d2)).collect()}
     assert idx_fps == want_fps
+
+
+def test_stream_snapshot_sink_atomic_versions(spark, workdir):
+    """Streaming into the snapshot table: one atomic version per
+    micro-batch (history == trigger history), content equals the batch
+    union, and a replayed batch id commits nothing twice."""
+    from otel_arrow_spark.sources.snapshots import (
+        committed_meta,
+        current_version,
+        read_snapshot,
+    )
+    from otel_arrow_spark.streaming.jobs import stream_snapshot_sink
+
+    src = f"{workdir}/snapsink_src"
+    os.makedirs(src, exist_ok=True)
+    spark.range(0, 40).coalesce(1).write.parquet(f"{src}/f0")
+    spark.range(40, 100).coalesce(1).write.parquet(f"{src}/f1")
+    import shutil
+    for i, sub in enumerate(("f0", "f1")):
+        for f in os.listdir(f"{src}/{sub}"):
+            if f.endswith(".parquet"):
+                shutil.move(f"{src}/{sub}/{f}", f"{src}/{i}_{f}")
+        shutil.rmtree(f"{src}/{sub}")
+
+    t = f"{workdir}/snapsink_table"
+    stream = spark.readStream.schema("id long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = stream_snapshot_sink(
+        stream, t, f"{workdir}/snapsink_ckpt"
+    )
+    q.awaitTermination(300)
+
+    assert current_version(t) == 2
+    assert read_snapshot(spark, t).count() == 100
+    assert read_snapshot(spark, t, version=1).count() in (40, 60)
+    metas = committed_meta(t)
+    assert [m["batch_id"] for m in metas] == [0, 1]
+
+    # full replay: a FRESH checkpoint re-delivers every file as batch
+    # ids 0/1 again — the batch-id ledger must commit nothing twice
+    q2 = stream_snapshot_sink(
+        spark.readStream.schema("id long").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src),
+        t,
+        f"{workdir}/snapsink_ckpt_replay",
+    )
+    q2.awaitTermination(300)
+    assert current_version(t) == 2
+    assert read_snapshot(spark, t).count() == 100
