@@ -40,6 +40,7 @@ Spec shape (YAML or JSON; JSON is a YAML subset so one loader serves both)::
 
     kind: transform                     # transform_processor/README.md:
     source: {path: /data/logs, table: logs}   # kql_query / ottl in YAML
+    # sink: {output_dir: ..., format: snapshot}  # atomic versioned commits
     query:
       opl: "logs | where severity_text == 'ERROR' | summarize n = count() by tool"
       # or kql: "...", or ottl: [list of log_statements]
@@ -90,6 +91,10 @@ class TransformConfig:
     language: str
     query: str | list
     table: str = "logs"
+    # "parquet" overwrites {out}/<port>/ in place; "snapshot" commits
+    # each port through the snapshot table layer (sources/snapshots.py)
+    # — every run is an atomic new version, history time-travelable
+    sink_format: str = "parquet"
 
 
 def load_spec(path: str) -> dict:
@@ -173,9 +178,14 @@ def run_transform(spark: SparkSession, cfg: TransformConfig) -> dict:
     for name, frame in outputs.items():
         path = os.path.join(cfg.output_dir, name)
         obs = Observation(f"transform_{name}")
-        frame.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
-            "overwrite"
-        ).parquet(path)
+        observed = frame.observe(obs, F.count(F.lit(1)).alias("rows"))
+        if cfg.sink_format == "snapshot":
+            from otel_arrow_spark.sources.snapshots import snapshot_append
+
+            v = snapshot_append(spark, observed, path)
+            manifest["sinks"][f"{name}_version"] = v
+        else:
+            observed.write.mode("overwrite").parquet(path)
         manifest["metrics"][f"rows_{name}"] = obs.get["rows"]
         manifest["sinks"][name] = path
     with open(os.path.join(cfg.output_dir, "MANIFEST.json"), "w") as f:
@@ -220,7 +230,13 @@ def spec_to_config(spec: dict) -> PipelineConfig | CorpusConfig | TransformConfi
         query = _section(
             spec, "query", {"opl": str, "kql": str, "ottl": list}
         )
-        sink = _section(spec, "sink", {"output_dir": str}, required=("output_dir",))
+        sink = _section(
+            spec, "sink", {"output_dir": str, "format": str},
+            required=("output_dir",),
+        )
+        fmt = sink.get("format", "parquet")
+        if fmt not in ("parquet", "snapshot"):
+            raise SpecError(f"sink.format must be parquet|snapshot, got {fmt!r}")
         langs = [k for k in ("opl", "kql", "ottl") if k in query]
         if len(langs) != 1:
             raise SpecError(
@@ -233,6 +249,7 @@ def spec_to_config(spec: dict) -> PipelineConfig | CorpusConfig | TransformConfi
             language=lang,
             query=query[lang],
             table=source.get("table", "logs"),
+            sink_format=fmt,
         )
 
     _check_sections(

@@ -319,6 +319,41 @@ class TestTransformSpec:
         assert got.where("role = 'tool' and tool != 'redacted'").count() == 0
         assert ottl["metrics"]["rows_default"] == 4000
 
+    def test_snapshot_sink_format(self, spark, tiny_transcripts, workdir):
+        """sink.format=snapshot commits each transform run as an atomic
+        table version: two runs → two versions, time travel works, and
+        the manifest records the committed version."""
+        from otel_arrow_spark.sources.snapshots import (
+            current_version,
+            read_snapshot,
+        )
+
+        out = f"{workdir}/transform_snap_out"
+        spec = {
+            "kind": "transform",
+            "source": {"path": tiny_transcripts, "table": "logs"},
+            "query": {"kql": "logs | summarize n = count() by role"},
+            "sink": {"output_dir": out, "format": "snapshot"},
+        }
+        m1 = run_from_spec(spark, spec)
+        m2 = run_from_spec(spark, spec)
+        t = m1["sinks"]["default"]
+        assert (m1["sinks"]["default_version"],
+                m2["sinks"]["default_version"]) == (1, 2)
+        assert current_version(t) == 2
+        # each version holds one full run's output (append model: v2 has both)
+        assert read_snapshot(spark, t, version=1).count() == 4
+        assert read_snapshot(spark, t).count() == 8
+
+    def test_bad_sink_format_rejected(self):
+        with pytest.raises(SpecError, match="parquet|snapshot"):
+            spec_to_config({
+                "kind": "transform",
+                "source": {"path": "/in"},
+                "query": {"kql": "logs | take 1"},
+                "sink": {"output_dir": "/out", "format": "iceberg"},
+            })
+
     def test_exactly_one_language_required(self):
         base = {
             "kind": "transform",
