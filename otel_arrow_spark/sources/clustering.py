@@ -51,6 +51,8 @@ def zorder_key(
     z = F.lit(0).cast("long")
     for i, name in enumerate(names):
         lo, hi = cols[name]
+        if lo is None or hi is None:
+            continue  # all-NULL column: no information to interleave
         span = float(hi) - float(lo)
         if span <= 0:
             continue  # constant column contributes nothing

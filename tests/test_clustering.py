@@ -79,7 +79,7 @@ class TestZorderLayout:
         assert got == 16
         assert s["files_read"] <= s["files_total"] // 2
 
-    def test_constant_column_tolerated(self, spark, workdir):
+    def test_constant_and_all_null_columns_tolerated(self, spark, workdir):
         df = spark.range(100).select(
             F.lit(5).cast("long").alias("x"), F.col("id").alias("y")
         )
@@ -88,3 +88,14 @@ class TestZorderLayout:
         assert info["bounds"]["x"] == (5, 5)
         out, _ = pruned_scan(spark, p, "y", lo=0, hi=9)
         assert out.count() == 10
+        # all-NULL column contributes nothing instead of crashing; NULL
+        # values in a live column quantize to bucket 0 (greatest skips
+        # NULL), so the other column's clustering survives
+        df2 = spark.range(100).select(
+            F.lit(None).cast("long").alias("x"), F.col("id").alias("y")
+        )
+        p2 = f"{workdir}/zorder_null"
+        info2 = write_zordered(spark, df2, p2, ["x", "y"], files=4, bits=8)
+        assert info2["bounds"]["x"] == (None, None)
+        out, s = pruned_scan(spark, p2, "y", lo=0, hi=9)
+        assert out.count() == 10 and s["files_read"] < s["files_total"]
