@@ -61,6 +61,47 @@ def write_zonemap(spark: SparkSession, path: str, cols: list[str]) -> str:
     return out
 
 
+def pruned_scan_multi(
+    spark: SparkSession,
+    path: str,
+    preds: dict,
+    zonemap: DataFrame | None = None,
+) -> tuple[DataFrame, dict]:
+    """Conjunctive range scan: ``preds`` maps column → (lo, hi) (either
+    bound may be None); a file survives only if EVERY predicate's range
+    can overlap its zone — the compound pruning a z-ordered layout
+    (sources/clustering.py) exists to serve, where each predicate alone
+    keeps many files but their intersection keeps few. Residual filters
+    re-apply, so the result is row-identical to a full-scan AND-filter.
+    The manifest must carry stats for every predicate column."""
+    zm = zonemap
+    if zm is None:
+        mpath = os.path.join(path, MANIFEST_DIR)
+        zm = (
+            spark.read.parquet(mpath)
+            if os.path.isdir(mpath)
+            else build_zonemap(spark, path, list(preds))
+        )
+    keep = zm
+    for col, (lo, hi) in preds.items():
+        if lo is not None:
+            keep = keep.filter(F.col(f"max_{col}") >= F.lit(lo))
+        if hi is not None:
+            keep = keep.filter(F.col(f"min_{col}") <= F.lit(hi))
+    files = [r.file for r in keep.select("file").collect()]
+    stats = {"files_total": zm.count(), "files_read": len(files)}
+    if not files:
+        out = spark.createDataFrame([], spark.read.parquet(path).schema)
+    else:
+        out = spark.read.parquet(*files)
+    for col, (lo, hi) in preds.items():
+        if lo is not None:
+            out = out.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            out = out.filter(F.col(col) <= F.lit(hi))
+    return out, stats
+
+
 def pruned_scan(
     spark: SparkSession,
     path: str,

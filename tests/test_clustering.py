@@ -69,15 +69,22 @@ class TestZorderLayout:
         assert s_ly["files_read"] == s_ly["files_total"]  # y can't prune
 
     def test_rectangle_query_compounds(self, spark, workdir):
-        """A small (x, y) rectangle touches few z-ranges: pruning on x
-        then filtering y re-applies row-identically."""
+        """A small (x, y) rectangle touches few z-ranges: the compound
+        multi-predicate prune intersects per-column survivors and beats
+        (or equals) either single-column prune."""
+        from otel_arrow_spark.sources.zonemap import pruned_scan_multi
+
         df = _grid(spark)
         zp = f"{workdir}/zorder_rect"
         write_zordered(spark, df, zp, ["x", "y"], files=16, bits=6)
-        out, s = pruned_scan(spark, zp, "x", lo=4, hi=7)
-        got = out.filter("y >= 4 and y <= 7").count()
-        assert got == 16
-        assert s["files_read"] <= s["files_total"] // 2
+        out, s = pruned_scan_multi(
+            spark, zp, {"x": (4, 7), "y": (4, 7)}
+        )
+        assert out.count() == 16  # row-identical to the AND filter
+        _, sx = pruned_scan(spark, zp, "x", lo=4, hi=7)
+        _, sy = pruned_scan(spark, zp, "y", lo=4, hi=7)
+        assert s["files_read"] <= min(sx["files_read"], sy["files_read"])
+        assert s["files_read"] < s["files_total"] // 2
 
     def test_constant_and_all_null_columns_tolerated(self, spark, workdir):
         df = spark.range(100).select(
