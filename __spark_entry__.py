@@ -2918,6 +2918,30 @@ def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m4_downsample(named, "15 minutes", keys=("name", "stream"))
 
 
+def q_conv_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-health validation (operators/validate.py): per-conv
+    contract report over the transcript table — dup/gapped turn
+    indexes, timestamp regressions, role repeats, empty bodies — the
+    conversation-level ingest gate per-column profiling cannot see. One
+    window + one aggregate sharing a single hash(conv_id) Exchange
+    (plan-pinned in tests); the oracle replays the lag window with the
+    identical deterministic ordering."""
+    from otel_arrow_spark.operators.validate import conversation_health
+
+    t = _transcripts(spark, sf_dir)
+    h = conversation_health(t)
+    return h.select(
+        "conv_id",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.col("n_dup_idx").cast("long").alias("n_dup_idx"),
+        F.col("n_idx_gaps").cast("long").alias("n_idx_gaps"),
+        F.col("n_ts_regressions").cast("long").alias("n_ts_regressions"),
+        F.col("n_role_repeats").cast("long").alias("n_role_repeats"),
+        F.col("n_empty_text").cast("long").alias("n_empty_text"),
+        "is_healthy",
+    )
+
+
 def q_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-versioned table (sources/snapshots.py — the Iceberg
     commit protocol natively: pointer → immutable manifest → data
@@ -3076,7 +3100,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = least-proven-first: the driver correctness-checks
     only the FIRST 50 entries, so queries that are new or changed this
-    round lead (46 round-5 entries, none ever driver-checked + 4 whose
+    round lead (47 round-5 entries, none ever driver-checked + 4 whose
     implementation or oracle changed), then the oldest veterans (last
     driver row r3 or earlier) fill the remaining window slots in
     oldest-first order. Every entry past position 50 is driver-green in
@@ -3100,6 +3124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_parse_kv": q_kql_parse_kv,
         "zorder_prune": q_zorder_prune,
         "snapshot_table": q_snapshot_table,
+        "conv_health": q_conv_health,
         "tail_sample": q_tail_sample,
         "slo_burn": q_slo_burn,
         "throttle": q_throttle,
@@ -5199,6 +5224,29 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE user_id IN (3, 42, 97)
             GROUP BY 1
+        """,
+        "conv_health": f"""
+            WITH s AS (
+                SELECT conv_id, turn_idx, ts, role, text,
+                       CASE WHEN ts < lag(ts) OVER w THEN 1 ELSE 0 END AS ts_reg,
+                       CASE WHEN role = lag(role) OVER w THEN 1 ELSE 0 END AS role_rep
+                FROM read_parquet('{_REPO}/.cache/transcripts/n100000/*.parquet')
+                WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts, role))
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(count(*) - count(DISTINCT turn_idx) AS BIGINT) AS n_dup_idx,
+                   CAST(max(turn_idx) - min(turn_idx) + 1
+                        - count(DISTINCT turn_idx) AS BIGINT) AS n_idx_gaps,
+                   CAST(sum(ts_reg) AS BIGINT) AS n_ts_regressions,
+                   CAST(sum(role_rep) AS BIGINT) AS n_role_repeats,
+                   CAST(sum(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_empty_text,
+                   (count(*) = count(DISTINCT turn_idx)
+                    AND max(turn_idx) - min(turn_idx) + 1 = count(DISTINCT turn_idx)
+                    AND sum(ts_reg) = 0
+                    AND sum(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END) = 0)
+                   AS is_healthy
+            FROM s GROUP BY conv_id
         """,
         "snapshot_table": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,

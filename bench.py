@@ -116,6 +116,7 @@ HEADLINE_QUERIES = [
     "kql_parse_kv",
     "zorder_prune",
     "snapshot_table",
+    "conv_health",
 ]
 
 
