@@ -5235,16 +5235,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id,
                    CAST(count(*) AS BIGINT) AS n_turns,
                    CAST(count(*) - count(DISTINCT turn_idx) AS BIGINT) AS n_dup_idx,
-                   CAST(max(turn_idx) - min(turn_idx) + 1
+                   CAST(max(turn_idx) + 1
                         - count(DISTINCT turn_idx) AS BIGINT) AS n_idx_gaps,
                    CAST(sum(ts_reg) AS BIGINT) AS n_ts_regressions,
                    CAST(sum(role_rep) AS BIGINT) AS n_role_repeats,
-                   CAST(sum(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END)
-                        AS BIGINT) AS n_empty_text,
+                   CAST(sum(CASE WHEN text IS NULL OR trim(text) = ''
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text,
                    (count(*) = count(DISTINCT turn_idx)
-                    AND max(turn_idx) - min(turn_idx) + 1 = count(DISTINCT turn_idx)
+                    AND max(turn_idx) + 1 = count(DISTINCT turn_idx)
                     AND sum(ts_reg) = 0
-                    AND sum(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END) = 0)
+                    AND sum(CASE WHEN text IS NULL OR trim(text) = ''
+                            THEN 1 ELSE 0 END) = 0)
                    AS is_healthy
             FROM s GROUP BY conv_id
         """,

@@ -41,21 +41,13 @@ def quantile_sketches(
     confidence, a few KB per sketch. The value column is cast to
     bigint — quantize floats to a fixed grid first (cents, micros),
     which is also what keeps any exact comparison engine-stable."""
-    return (
-        df.groupBy(*by).agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.kll_sketch_agg_bigint(
-                F.col(value_col).cast("bigint"), F.lit(k)
-            ).alias("qsketch"),
-        )
-        if by
-        else df.agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.kll_sketch_agg_bigint(
-                F.col(value_col).cast("bigint"), F.lit(k)
-            ).alias("qsketch"),
-        )
-    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.kll_sketch_agg_bigint(
+            F.col(value_col).cast("bigint"), F.lit(k)
+        ).alias("qsketch"),
+    ]
+    return df.groupBy(*by).agg(*aggs) if by else df.agg(*aggs)
 
 
 def merge_quantile_sketches(

@@ -59,16 +59,24 @@ def conversation_health(
     out = seq.groupBy(conv_col).agg(
         F.count(F.lit(1)).alias("n_turns"),
         (F.count(F.lit(1)) - F.countDistinct(idx_col)).alias("n_dup_idx"),
-        # dense 0-based contract: distinct indexes missing from
-        # [min, max] — dup-insensitive, unlike count-based gap math
-        (
-            F.max(idx_col) - F.min(idx_col) + 1 - F.countDistinct(idx_col)
-        ).alias("n_idx_gaps"),
+        # dense 0-BASED contract: distinct indexes missing from
+        # [0, max] — anchored at zero so a head-truncated conversation
+        # (turns 3,4,5) counts its lost leading turns; dup-insensitive
+        (F.max(idx_col) + 1 - F.countDistinct(idx_col)).alias("n_idx_gaps"),
         F.coalesce(F.sum("_ts_reg"), F.lit(0)).alias("n_ts_regressions"),
         F.coalesce(F.sum("_role_rep"), F.lit(0)).alias("n_role_repeats"),
-        F.sum((F.trim(F.col(text_col)) == "").cast("long")).alias(
-            "n_empty_text"
-        ),
+        # NULL bodies are missing bodies: count them with the blank ones
+        # (a bare comparison would skip NULLs, and an all-NULL conv
+        # would sum to NULL instead of its turn count)
+        F.coalesce(
+            F.sum(
+                (
+                    F.col(text_col).isNull()
+                    | (F.trim(F.col(text_col)) == "")
+                ).cast("long")
+            ),
+            F.lit(0),
+        ).alias("n_empty_text"),
     )
     return out.withColumn(
         "is_healthy",

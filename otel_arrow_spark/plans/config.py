@@ -180,9 +180,13 @@ def run_transform(spark: SparkSession, cfg: TransformConfig) -> dict:
         obs = Observation(f"transform_{name}")
         observed = frame.observe(obs, F.count(F.lit(1)).alias("rows"))
         if cfg.sink_format == "snapshot":
-            from otel_arrow_spark.sources.snapshots import snapshot_append
+            # overwrite semantics: each run's version IS that run's
+            # output (append would compound reruns into the current
+            # version while the manifest reports one run's counts);
+            # prior runs stay readable via time travel
+            from otel_arrow_spark.sources.snapshots import snapshot_overwrite
 
-            v = snapshot_append(spark, observed, path)
+            v = snapshot_overwrite(spark, observed, path)
             manifest["sinks"][f"{name}_version"] = v
         else:
             observed.write.mode("overwrite").parquet(path)

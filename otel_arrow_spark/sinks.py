@@ -505,8 +505,13 @@ def compact_parquet_dir(
             f
             for f in _glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
             # sidecar manifests (_zonemap/_bloomskip) are planning
-            # metadata, not data files — exclude them like Spark does
-            if not any(part.startswith("_") for part in f.split(os.sep))
+            # metadata, not data files — exclude them like Spark does;
+            # only components BELOW p count (an underscore-named
+            # ancestor of the table dir must not zero the stats)
+            if not any(
+                part.startswith("_")
+                for part in os.path.relpath(f, p).split(os.sep)
+            )
         ]
         return len(fs), sum(os.path.getsize(f) for f in fs)
 

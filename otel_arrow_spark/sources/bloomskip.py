@@ -70,6 +70,12 @@ def build_bloom_manifest(
     pos = F.explode(_positions(F.col(col), m_bits, k)).alias("pos")
     return (
         df.select(F.col("_metadata.file_path").alias("file"), F.col(col))
+        # NULLs carry no membership information but DO hash (Spark's
+        # xxhash64 folds only the seed for a NULL input, the same value
+        # for every NULL row) — left in, they would set k fixed bits in
+        # every NULL-bearing file and admit those files to any probe
+        # that collides; an IN-predicate can never select NULL anyway
+        .where(F.col(col).isNotNull())
         .select("file", pos)
         .groupBy("file", (F.col("pos") / 64).cast("long").alias("word"))
         .agg(F.bit_or(F.expr("shiftleft(1L, int(pos % 64))")).alias("bits"))
@@ -139,8 +145,11 @@ def bloom_pruned_scan(
     full-scan filter (bloom false positives only widen the file list).
 
     A file admits value v iff EVERY probe word of v is present with all
-    mask bits set — counted per (file, value) against the file's words;
-    NULL probe values never match (xxhash64(NULL) is NULL → no rows).
+    mask bits set — counted per (file, value) against the file's words.
+    NULL probe values are meaningless for an IN predicate (it can never
+    select NULL rows); since NULL build rows are excluded from the
+    manifest, a NULL probe's fixed bit pattern matches only by chance
+    and the residual filter drops whatever survives.
     """
     zm = manifest
     if zm is None:

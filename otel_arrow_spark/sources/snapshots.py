@@ -188,6 +188,11 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
     """Vacuum: drop all but the last ``keep_last`` manifests at or below
     the current pointer, then delete data files no surviving manifest
     references. Files are only removed here — never by a write."""
+    if keep_last < 1:
+        raise ValueError(
+            f"keep_last must be >= 1 (got {keep_last}): the current "
+            "version is always retained"
+        )
     cur = current_version(table_dir)
     all_versions = sorted(
         int(os.path.basename(p)[1:-5])

@@ -445,7 +445,10 @@ def stream_dedup_against_index(
     def _sink(batch: DataFrame, _bid: int) -> None:
         s = batch.sparkSession
         if _os.path.isdir(index_path):
-            idx = s.read.parquet(index_path)
+            # schema-supplied read: a zero-survivor batch leaves an
+            # empty parquet dir (just _SUCCESS), which schema inference
+            # would reject and kill the stream
+            idx = s.read.schema("fp string").parquet(index_path)
         else:
             idx = s.createDataFrame([], "fp string")
         surv = dedup_against_index(batch, idx, text_col, id_col)
@@ -482,12 +485,15 @@ def stream_snapshot_sink(
     micro-batch history (time travel per trigger).
 
     Visibility is exactly-once, not just at-least-once: each manifest
-    records its micro-batch id, a replayed batch whose id is already
-    committed is skipped, and a replay of a CRASHED attempt (data files
-    landed, manifest didn't) overwrites the orphan batch dir — the
-    commit protocol makes the blind-append duplication foreachBatch
-    normally suffers (streaming/jobs.py stream_logs_star_encode caveat)
-    structurally impossible for this sink.
+    records its micro-batch id, a replayed batch whose POINTER-REACHED
+    manifest already exists is skipped, and a replay of a crashed
+    attempt retries — whether the crash left data files without a
+    manifest (orphan batch dir, overwritten) or a manifest without the
+    pointer swap (orphan manifest, never pointer-reachable, ignored by
+    the ledger and left inert). The commit protocol makes the
+    blind-append duplication foreachBatch normally suffers
+    (streaming/jobs.py stream_logs_star_encode caveat) structurally
+    impossible for this sink.
     """
     from otel_arrow_spark.sources.snapshots import (
         committed_meta,
@@ -495,8 +501,18 @@ def stream_snapshot_sink(
     )
 
     def _sink(batch: DataFrame, bid: int) -> None:
+        from otel_arrow_spark.sources.snapshots import current_version
+
+        # a batch is committed only if the POINTER reached its manifest —
+        # a manifest alone is a crashed attempt (crash between manifest
+        # write and pointer swap) and must be retried, not skipped; the
+        # retry commits under a fresh version number, the orphan manifest
+        # stays inert (never pointer-reachable)
+        cur = current_version(table_dir)
         done = {
-            m.get("batch_id") for m in committed_meta(table_dir)
+            m.get("batch_id")
+            for m in committed_meta(table_dir)
+            if m["version"] <= cur
         }
         if bid in done:
             return

@@ -40,9 +40,11 @@ def _tf_cols(text: F.Column, terms: Sequence[str]) -> list[F.Column]:
     dl = F.when(empty, F.lit(0)).otherwise(F.size(toks))
     def tf(w: str) -> F.Column:
         # single-arg lambda: a second parameter would make F.filter pass
-        # the element INDEX into it
+        # the element INDEX into it; terms lowercase to match the
+        # lowercased token stream (an uppercase query term would
+        # otherwise silently score 0 everywhere)
         return F.when(empty, F.lit(0)).otherwise(
-            F.size(F.filter(toks, lambda t: t == F.lit(w)))
+            F.size(F.filter(toks, lambda t: t == F.lit(w.lower())))
         )
 
     tfs = [tf(w).alias(f"tf_{i}") for i, w in enumerate(terms)]

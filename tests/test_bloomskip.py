@@ -120,3 +120,20 @@ class TestBloomSkip:
         _write_hash_clustered(spark, p)
         write_bloom_manifest(spark, p, "k")
         assert spark.read.parquet(p).count() == 1000
+
+    def test_null_rows_excluded_from_manifest(self, spark, workdir):
+        """NULL column values carry no membership info (an IN predicate
+        can never select them) and Spark's xxhash64 folds only the seed
+        for NULL — left in the manifest they would inflate every
+        NULL-bearing file's false-positive rate. They must be excluded,
+        and scans over NULL-bearing data stay row-identical."""
+        p = f"{workdir}/bl_nulls"
+        df = spark.sql(
+            "select case when id % 3 = 0 then null else id end as k "
+            "from range(300)"
+        )
+        df.repartition(4, "k").write.mode("overwrite").parquet(p)
+        zm = build_bloom_manifest(spark, p, "k", m_bits=1024, k=3)
+        out, stats = bloom_pruned_scan(spark, p, "k", [7, 11], manifest=zm)
+        assert sorted(r.k for r in out.collect()) == [7, 11]
+        assert stats["files_read"] < stats["files_total"]

@@ -341,9 +341,10 @@ class TestTransformSpec:
         assert (m1["sinks"]["default_version"],
                 m2["sinks"]["default_version"]) == (1, 2)
         assert current_version(t) == 2
-        # each version holds one full run's output (append model: v2 has both)
+        # overwrite semantics: each version IS one run's output; history
+        # stays time-travelable
         assert read_snapshot(spark, t, version=1).count() == 4
-        assert read_snapshot(spark, t).count() == 8
+        assert read_snapshot(spark, t).count() == 4
 
     def test_bad_sink_format_rejected(self):
         with pytest.raises(SpecError, match="parquet|snapshot"):

@@ -81,6 +81,12 @@ class TestSnapshots:
         with pytest.raises(FileNotFoundError):
             read_snapshot(spark, t, version=1)
 
+    def test_vacuum_rejects_keep_last_zero(self, spark, workdir):
+        t = f"{workdir}/snap_t7"
+        snapshot_append(spark, _batch(spark, 0, 5), t)
+        with pytest.raises(ValueError, match="keep_last"):
+            expire_snapshots(t, keep_last=0)
+
     def test_empty_table_raises(self, spark, workdir):
         with pytest.raises(FileNotFoundError):
             read_snapshot(spark, f"{workdir}/snap_never")

@@ -767,3 +767,41 @@ def test_stream_snapshot_sink_atomic_versions(spark, workdir):
     q2.awaitTermination(300)
     assert current_version(t) == 2
     assert read_snapshot(spark, t).count() == 100
+
+
+def test_stream_snapshot_sink_replays_crashed_commit(spark, workdir):
+    """A crash between manifest write and pointer swap leaves an orphan
+    manifest; the ledger must treat that batch as UNcommitted and the
+    replay must land its rows (the manifest-existence ledger would
+    silently drop them)."""
+    import json
+
+    from otel_arrow_spark.sources.snapshots import (
+        current_version,
+        read_snapshot,
+        snapshot_append,
+    )
+    from otel_arrow_spark.streaming.jobs import stream_snapshot_sink
+
+    t = f"{workdir}/snapcrash_table"
+    # simulate a crashed FIRST commit for batch id 0: the manifest was
+    # written but the pointer swap never happened — the batch is not
+    # committed, and a manifest-existence ledger would wrongly skip it
+    os.makedirs(f"{t}/manifests", exist_ok=True)
+    orphan = {"files": [], "parent": 0, "mode": "append", "batch_id": 0}
+    with open(f"{t}/manifests/v1.json", "w") as f:
+        json.dump(orphan, f)
+    assert current_version(t) == 0
+
+    src = f"{workdir}/snapcrash_src"
+    spark.range(10, 30).coalesce(1).write.parquet(src)
+    q = stream_snapshot_sink(
+        spark.readStream.schema("id long").parquet(src),
+        t,
+        f"{workdir}/snapcrash_ckpt",
+    )
+    q.awaitTermination(300)
+    # the replayed batch id 0 committed (branching past the orphan v1)
+    assert read_snapshot(spark, t).count() == 20
+    assert current_version(t) == 2
+    assert snapshot_append is not None  # silence unused-import lint

@@ -24,6 +24,9 @@ def _corpus(spark):
         # index gap (0, 2) + timestamp regression + empty body
         ("gap", 0, ts(5), "user", "q"),
         ("gap", 2, ts(3), "assistant", "   "),
+        # head-truncated (turns 3,4) + NULL body: both must flag
+        ("trunc", 3, ts(0), "user", None),
+        ("trunc", 4, ts(1), "assistant", "late"),
     ]
     return spark.createDataFrame(
         rows, "conv_id string, turn_idx int, ts timestamp, role string, text string"
@@ -34,6 +37,11 @@ class TestConversationHealth:
     def test_flags_each_defect_class(self, spark):
         got = {r.conv_id: r for r in conversation_health(_corpus(spark)).collect()}
         ok, dup, gap = got["ok"], got["dup"], got["gap"]
+        trunc = got["trunc"]
+        # 0-based anchor: lost leading turns count as gaps; NULL body
+        # counts as empty
+        assert trunc.n_idx_gaps == 3 and trunc.n_empty_text == 1
+        assert not trunc.is_healthy
         assert ok.is_healthy and ok.n_turns == 3
         assert (ok.n_dup_idx, ok.n_idx_gaps, ok.n_ts_regressions,
                 ok.n_role_repeats, ok.n_empty_text) == (0, 0, 0, 0, 0)
