@@ -35,6 +35,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _DATA = "data"
 _MANIFESTS = "manifests"
@@ -173,6 +174,67 @@ def read_snapshot(
         by_batch.setdefault(os.path.dirname(f), []).append(f)
     gens = [spark.read.parquet(*fs) for fs in by_batch.values()]
     return evolved_union(*gens)
+
+
+def snapshot_merge(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    delete_col: str | None = None,
+) -> int:
+    """Keyed upsert (Delta/Iceberg ``MERGE INTO`` semantics) as one
+    copy-on-write commit: rows of ``updates`` replace current rows with
+    the same key, unmatched updates insert, and rows whose
+    ``delete_col`` is true delete their key. Returns the new version;
+    the pre-merge table stays readable at the previous version (and
+    restorable via rollback — MERGE mistakes are not fatal).
+
+    This is the COW strategy: survivors + upserts rewrite into a fresh
+    batch and commit as an overwrite manifest. At fleet scale the
+    refinement is file-scoped COW — join the update keys against the
+    zonemap/bloom sidecars and rewrite only overlapping files, keeping
+    untouched files in the manifest verbatim; the commit protocol here
+    already supports that (a manifest may mix old and new files), the
+    planner just doesn't do the scoping yet. Rewriting data is one
+    left_anti on the key columns + a union — no wide shuffle beyond the
+    key join.
+    """
+    if delete_col and delete_col in (c for c in updates.columns):
+        deletes = updates.where(F.col(delete_col)).select(*key_cols)
+        upserts = updates.where(~F.col(delete_col)).drop(delete_col)
+    else:
+        deletes = None
+        upserts = updates
+    cur = read_snapshot(spark, table_dir)
+    keep = cur.join(upserts.select(*key_cols), key_cols, "left_anti")
+    if deletes is not None:
+        keep = keep.join(deletes, key_cols, "left_anti")
+    merged = keep.unionByName(upserts)
+    return _commit(table_dir, merged, "overwrite", {"merge_on": key_cols})
+
+
+def snapshot_history(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The table's commit log as a frame: ``(version, mode, n_files,
+    parent, is_current, batch_id)`` — the observability face of the
+    manifest directory (Iceberg's ``table.history()``)."""
+    cur = current_version(table_dir)
+    rows = [
+        (
+            m["version"],
+            m.get("mode"),
+            len(m.get("files", [])),
+            m.get("parent"),
+            m["version"] == cur,
+            m.get("batch_id"),
+        )
+        for m in committed_meta(table_dir)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version long, mode string, n_files long, parent long, "
+        "is_current boolean, batch_id long",
+    )
 
 
 def rollback(table_dir: str, version: int) -> None:

@@ -109,3 +109,48 @@ class TestSnapshots:
         # time travel composes: v1 alone has the original schema
         assert read_snapshot(spark, t, version=1, evolve=True).columns == [
             "id", "v"]
+
+    def test_merge_upsert_insert_delete(self, spark, workdir):
+        """MERGE semantics: matched keys update, unmatched insert,
+        delete-flagged keys vanish — one COW commit, pre-merge version
+        still readable."""
+        from otel_arrow_spark.sources.snapshots import (
+            snapshot_history,
+            snapshot_merge,
+        )
+
+        t = f"{workdir}/snap_merge"
+        base = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+        )
+        snapshot_append(spark, base, t)
+        updates = spark.createDataFrame(
+            [(2, "B", False), (4, "d", False), (3, None, True)],
+            "id long, v string, _deleted boolean",
+        )
+        v = snapshot_merge(spark, t, updates, ["id"], delete_col="_deleted")
+        got = {r.id: r.v for r in read_snapshot(spark, t).collect()}
+        assert got == {1: "a", 2: "B", 4: "d"}
+        # time travel to the pre-merge state
+        assert {r.id for r in read_snapshot(spark, t, version=1).collect()} \
+            == {1, 2, 3}
+        h = {r.version: (r.mode, r.is_current)
+             for r in snapshot_history(spark, t).collect()}
+        assert h[1] == ("append", False) and h[v] == ("overwrite", True)
+
+    def test_merge_without_delete_col(self, spark, workdir):
+        from otel_arrow_spark.sources.snapshots import snapshot_merge
+
+        t = f"{workdir}/snap_merge2"
+        snapshot_append(
+            spark,
+            spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"),
+            t,
+        )
+        snapshot_merge(
+            spark, t,
+            spark.createDataFrame([(2, 99), (5, 50)], "id long, v long"),
+            ["id"],
+        )
+        got = {r.id: r.v for r in read_snapshot(spark, t).collect()}
+        assert got == {1: 10, 2: 99, 5: 50}
