@@ -3100,16 +3100,18 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = least-proven-first: the driver correctness-checks
     only the FIRST 50 entries, so queries that are new or changed this
-    round lead (47 round-5 entries, none ever driver-checked + 4 whose
-    implementation or oracle changed), then the oldest veterans (last
-    driver row r3 or earlier) fill the remaining window slots in
-    oldest-first order. Every entry past position 50 is driver-green in
-    CORRECTNESS_r04 or was re-verified via tools/check_oracles.py this
-    round (the full 114-query sweep passed at sf0.01 on 2026-08-17;
-    hist_fraction and bloom_prune joined after and passed the same check).
-    Rotate per round so nothing goes more than ~2 rounds without a
-    driver row; the veterans displaced this round (fingerprint onward)
-    lead the r6 veteran block."""
+    round lead (47 round-5 entries, none ever driver-checked, newest
+    first) and the 4 whose implementation or oracle changed in round 5
+    (sessionize, logs_star, critical_path at positions 48-50 — inside
+    the window per the round-4 verdict's sessionize mandate;
+    corpus_clean lands at 51 but its funnel executes inside the
+    in-window corpus_clean_history and corpus_clean_semantic variants).
+    Every entry past position 50 is driver-green in CORRECTNESS_r04 or
+    was re-verified via tools/check_oracles.py this round (full-registry
+    sweeps at sf0.01 on 2026-08-17, rerun after each batch of
+    additions). Rotate per round so nothing goes more than ~2 rounds
+    without a driver row; the veterans displaced this round
+    (fingerprint onward) lead the r6 veteran block."""
     return {
         # --- round-5 additions (never driver-checked) ---
         "hist_fraction": q_hist_fraction,
