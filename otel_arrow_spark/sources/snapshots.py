@@ -87,7 +87,11 @@ def committed_meta(table_dir: str) -> list[dict]:
 
 
 def _commit(
-    table_dir: str, df: DataFrame, mode: str, meta: dict | None = None
+    table_dir: str,
+    df: DataFrame,
+    mode: str,
+    meta: dict | None = None,
+    carry_files: list[str] | None = None,
 ) -> int:
     base = current_version(table_dir)
     # next version = beyond EVERY manifest ever written, not base+1 — a
@@ -114,6 +118,10 @@ def _commit(
     )
     prev = _read_manifest(table_dir, base)["files"] if base else []
     files = (prev + new_files) if mode == "append" else new_files
+    if carry_files:
+        # file-scoped rewrite: untouched files of the parent version
+        # carry into the new manifest verbatim, before the fresh batch
+        files = list(carry_files) + new_files
     # 2. immutable manifest for this version
     _atomic_write(
         _manifest_path(table_dir, version),
@@ -182,6 +190,7 @@ def snapshot_merge(
     updates: DataFrame,
     key_cols: list[str],
     delete_col: str | None = None,
+    scope: str = "table",
 ) -> int:
     """Keyed upsert (Delta/Iceberg ``MERGE INTO`` semantics) as one
     copy-on-write commit: rows of ``updates`` replace current rows with
@@ -190,15 +199,21 @@ def snapshot_merge(
     the pre-merge table stays readable at the previous version (and
     restorable via rollback — MERGE mistakes are not fatal).
 
-    This is the COW strategy: survivors + upserts rewrite into a fresh
-    batch and commit as an overwrite manifest. At fleet scale the
-    refinement is file-scoped COW — join the update keys against the
-    zonemap/bloom sidecars and rewrite only overlapping files, keeping
-    untouched files in the manifest verbatim; the commit protocol here
-    already supports that (a manifest may mix old and new files), the
-    planner just doesn't do the scoping yet. Rewriting data is one
-    left_anti on the key columns + a union — no wide shuffle beyond the
-    key join.
+    ``scope`` picks the COW granularity:
+
+    * ``"table"`` — survivors + upserts rewrite into one fresh batch
+      (simple, one full-table rewrite);
+    * ``"files"`` — Iceberg's actual copy-on-write: per-file min/max
+      bounds of the FIRST key column (one ``_metadata.file_path``
+      aggregate over the current snapshot) pick the files any update
+      key can touch; only those rewrite, every untouched file carries
+      into the new manifest verbatim. A merge touching one hot key
+      rewrites one file, not the table. Falls back to table scope when
+      the first key column's bounds cannot discriminate (all files
+      touched).
+
+    Rewriting is one left_anti on the key columns + a union — no wide
+    shuffle beyond the key join.
     """
     if delete_col and delete_col in (c for c in updates.columns):
         deletes = updates.where(F.col(delete_col)).select(*key_cols)
@@ -206,12 +221,46 @@ def snapshot_merge(
     else:
         deletes = None
         upserts = updates
+    all_keys = upserts.select(*key_cols)
+    if deletes is not None:
+        all_keys = all_keys.unionByName(deletes)
+
+    carried: list[str] = []
     cur = read_snapshot(spark, table_dir)
+    if scope == "files":
+        k0 = key_cols[0]
+        bounds = (
+            cur.select(F.col("_metadata.file_path").alias("file"), F.col(k0))
+            .groupBy("file")
+            .agg(F.min(k0).alias("lo"), F.max(k0).alias("hi"))
+        )
+        # _metadata.file_path is a file: URI; manifests hold plain paths
+        touched = {
+            r.file.removeprefix("file:")
+            for r in bounds.join(
+                all_keys.select(k0).distinct(),
+                (F.col(k0) >= F.col("lo")) & (F.col(k0) <= F.col("hi")),
+                "left_semi",
+            ).collect()
+        }
+        m = _read_manifest(table_dir, current_version(table_dir))
+        carried = [f for f in m["files"] if f not in touched]
+        if touched:
+            cur = spark.read.parquet(*sorted(touched))
+        else:
+            cur = cur.limit(0)
     keep = cur.join(upserts.select(*key_cols), key_cols, "left_anti")
     if deletes is not None:
         keep = keep.join(deletes, key_cols, "left_anti")
     merged = keep.unionByName(upserts)
-    return _commit(table_dir, merged, "overwrite", {"merge_on": key_cols})
+    return _commit(
+        table_dir,
+        merged,
+        "overwrite",
+        {"merge_on": key_cols, "carried_files": carried} if carried
+        else {"merge_on": key_cols},
+        carry_files=carried,
+    )
 
 
 def snapshot_history(spark: SparkSession, table_dir: str) -> DataFrame:

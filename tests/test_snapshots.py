@@ -154,3 +154,52 @@ class TestSnapshots:
         )
         got = {r.id: r.v for r in read_snapshot(spark, t).collect()}
         assert got == {1: 10, 2: 99, 5: 50}
+
+    def test_file_scoped_merge_rewrites_only_touched_files(self, spark, workdir):
+        """scope='files': a merge touching keys in one file carries the
+        other files into the new manifest verbatim (Iceberg COW), with
+        content identical to a table-scoped merge."""
+        from otel_arrow_spark.sources.snapshots import (
+            committed_meta,
+            snapshot_merge,
+        )
+
+        t = f"{workdir}/snap_merge_files"
+        base = spark.range(400).select(
+            F.col("id"), (F.col("id") * 3).alias("v")
+        )
+        # 4 range-clustered files → tight per-file id bounds
+        base.repartitionByRange(4, "id").write.parquet(f"{workdir}/smf_stage")
+        snapshot_append(
+            spark, spark.read.parquet(f"{workdir}/smf_stage"), t
+        )
+        m1 = committed_meta(t)[-1]
+        assert len(m1["files"]) == 4
+        updates = spark.createDataFrame(
+            [(5, 999), (7, 777)], "id long, v long"
+        )
+        snapshot_merge(spark, t, updates, ["id"], scope="files")
+        m2 = committed_meta(t)[-1]
+        carried = set(m2["files"]) & set(m1["files"])
+        assert len(carried) == 3  # only the low-id file rewrote
+        got = {r.id: r.v for r in read_snapshot(spark, t).collect()}
+        assert got[5] == 999 and got[7] == 777 and got[0] == 0
+        assert len(got) == 400
+
+    def test_file_scoped_merge_with_deletes_and_inserts(self, spark, workdir):
+        from otel_arrow_spark.sources.snapshots import snapshot_merge
+
+        t = f"{workdir}/snap_merge_files2"
+        spark.range(100).selectExpr("id", "id * 2 as v") \
+            .repartitionByRange(4, "id").write.parquet(f"{workdir}/smf2_stage")
+        snapshot_append(spark, spark.read.parquet(f"{workdir}/smf2_stage"), t)
+        updates = spark.createDataFrame(
+            [(3, 33, False), (500, 5000, False), (4, None, True)],
+            "id long, v long, _del boolean",
+        )
+        snapshot_merge(
+            spark, t, updates, ["id"], delete_col="_del", scope="files"
+        )
+        got = {r.id: r.v for r in read_snapshot(spark, t).collect()}
+        assert got[3] == 33 and got[500] == 5000 and 4 not in got
+        assert len(got) == 100  # 100 - 1 delete + 1 insert
