@@ -92,6 +92,7 @@ def _commit(
     mode: str,
     meta: dict | None = None,
     carry_files: list[str] | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     base = current_version(table_dir)
     # next version = beyond EVERY manifest ever written, not base+1 — a
@@ -116,17 +117,45 @@ def _commit(
     new_files = sorted(
         glob.glob(os.path.join(batch_dir, "*.parquet"))
     )
-    prev = _read_manifest(table_dir, base)["files"] if base else []
+    prev_manifest = _read_manifest(table_dir, base) if base else {}
+    prev = prev_manifest.get("files", [])
     files = (prev + new_files) if mode == "append" else new_files
     if carry_files:
         # file-scoped rewrite: untouched files of the parent version
         # carry into the new manifest verbatim, before the fresh batch
         files = list(carry_files) + new_files
+    # per-file column bounds ride IN the manifest (Iceberg's file
+    # statistics): computed once at commit over the fresh batch, carried
+    # verbatim for inherited files — readers plan file pruning from the
+    # manifest alone, no footer walking, no separate sidecar build
+    file_stats: dict = {}
+    inherit_from = prev_manifest.get("file_stats", {})
+    cols = stats_cols or sorted(
+        {c for st in inherit_from.values() for c in st}
+    )
+    for f in files:
+        if f not in new_files and f in inherit_from:
+            file_stats[f] = inherit_from[f]
+    if cols and new_files:
+        spark = df.sparkSession
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+        for r in (
+            spark.read.parquet(*new_files)
+            .groupBy(F.col("_metadata.file_path").alias("file"))
+            .agg(*aggs)
+            .collect()
+        ):
+            file_stats[r.file.removeprefix("file:")] = {
+                c: [r[f"lo_{c}"], r[f"hi_{c}"]] for c in cols
+            }
     # 2. immutable manifest for this version
     _atomic_write(
         _manifest_path(table_dir, version),
         json.dumps({"files": files, "parent": base, "mode": mode,
-                    **(meta or {})}),
+                    "file_stats": file_stats, **(meta or {})},
+                   default=str),
     )
     # 3. the commit point: one atomic pointer swap
     _atomic_write(_ptr_path(table_dir), str(version))
@@ -138,11 +167,15 @@ def snapshot_append(
     df: DataFrame,
     table_dir: str,
     meta: dict | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new version containing prior files + the new
     batch (``meta`` keys ride in the manifest — e.g. a streaming
-    batch_id). Returns the committed version number."""
-    return _commit(table_dir, df, "append", meta)
+    batch_id). ``stats_cols`` records per-file min/max for those columns
+    in the manifest, enabling :func:`read_snapshot_pruned`; once a table
+    has stats columns, later commits keep recording them automatically.
+    Returns the committed version number."""
+    return _commit(table_dir, df, "append", meta, stats_cols=stats_cols)
 
 
 def snapshot_overwrite(spark: SparkSession, df: DataFrame, table_dir: str) -> int:
@@ -182,6 +215,53 @@ def read_snapshot(
         by_batch.setdefault(os.path.dirname(f), []).append(f)
     gens = [spark.read.parquet(*fs) for fs in by_batch.values()]
     return evolved_union(*gens)
+
+
+def read_snapshot_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Range scan of a snapshot planned from the MANIFEST's per-file
+    statistics: only files whose recorded [min, max] for ``col`` can
+    overlap [lo, hi] are opened (files committed without stats are
+    always read — pruning never loses rows), and the residual filter
+    re-applies, so the result is row-identical to filtering
+    :func:`read_snapshot`. Returns (frame, {files_total, files_read}).
+    This is the Iceberg scan-planning path: pointer → manifest →
+    pruned file list, zero data I/O before the final scan."""
+    v = current_version(table_dir) if version is None else version
+    if v == 0:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    m = _read_manifest(table_dir, v)
+    stats = m.get("file_stats", {})
+    keep = []
+    for f in m["files"]:
+        b = stats.get(f, {}).get(col)
+        if b is None:
+            keep.append(f)  # no stats: must read
+            continue
+        f_lo, f_hi = b
+        if f_lo is None or f_hi is None:
+            continue  # all-NULL file: a range predicate never matches
+        if lo is not None and type(f_hi)(lo) > f_hi:
+            continue
+        if hi is not None and type(f_lo)(hi) < f_lo:
+            continue
+        keep.append(f)
+    info = {"files_total": len(m["files"]), "files_read": len(keep)}
+    if not keep:
+        out = read_snapshot(spark, table_dir, v).limit(0)
+    else:
+        out = spark.read.parquet(*keep)
+    if lo is not None:
+        out = out.filter(F.col(col) >= F.lit(lo))
+    if hi is not None:
+        out = out.filter(F.col(col) <= F.lit(hi))
+    return out, info
 
 
 def snapshot_merge(

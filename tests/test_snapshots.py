@@ -203,3 +203,65 @@ class TestSnapshots:
         got = {r.id: r.v for r in read_snapshot(spark, t).collect()}
         assert got[3] == 33 and got[500] == 5000 and 4 not in got
         assert len(got) == 100  # 100 - 1 delete + 1 insert
+
+    def test_manifest_stats_prune_reads(self, spark, workdir):
+        """Per-file column bounds recorded at commit plan the scan from
+        the manifest alone: a range read opens fewer files and stays
+        row-identical to filtering the full snapshot."""
+        from otel_arrow_spark.sources.snapshots import read_snapshot_pruned
+
+        t = f"{workdir}/snap_stats"
+        df = spark.range(400).select(F.col("id"), (F.col("id") % 7).alias("v"))
+        df.repartitionByRange(4, "id").write.parquet(f"{workdir}/ss_stage")
+        snapshot_append(
+            spark, spark.read.parquet(f"{workdir}/ss_stage"), t,
+            stats_cols=["id"],
+        )
+        out, info = read_snapshot_pruned(spark, t, "id", lo=120, hi=180)
+        assert info["files_read"] < info["files_total"] == 4
+        assert sorted(r.id for r in out.collect()) == list(range(120, 181))
+
+    def test_stats_survive_append_and_file_scoped_merge(self, spark, workdir):
+        """Later commits keep recording stats automatically; a file-
+        scoped merge carries untouched files' stats verbatim and
+        re-stats the rewritten batch — pruned reads stay correct."""
+        from otel_arrow_spark.sources.snapshots import (
+            committed_meta,
+            read_snapshot_pruned,
+            snapshot_merge,
+        )
+
+        t = f"{workdir}/snap_stats2"
+        spark.range(100).selectExpr("id", "id as v") \
+            .repartitionByRange(2, "id").write.parquet(f"{workdir}/ss2_a")
+        snapshot_append(
+            spark, spark.read.parquet(f"{workdir}/ss2_a"), t, stats_cols=["id"]
+        )
+        # append WITHOUT naming stats cols: inherited automatically
+        spark.range(100, 200).selectExpr("id", "id as v") \
+            .coalesce(1).write.parquet(f"{workdir}/ss2_b")
+        snapshot_append(spark, spark.read.parquet(f"{workdir}/ss2_b"), t)
+        m = committed_meta(t)[-1]
+        assert all(f in m["file_stats"] for f in m["files"])
+        out, info = read_snapshot_pruned(spark, t, "id", lo=150, hi=160)
+        assert info["files_read"] == 1 and out.count() == 11
+        # merge one low key; high files carry their stats untouched
+        snapshot_merge(
+            spark, t,
+            spark.createDataFrame([(5, 999)], "id long, v long"),
+            ["id"], scope="files",
+        )
+        out, info = read_snapshot_pruned(spark, t, "id", lo=150, hi=160)
+        assert info["files_read"] == 1 and out.count() == 11
+        got = {r.id: r.v for r in
+               read_snapshot_pruned(spark, t, "id", lo=5, hi=5)[0].collect()}
+        assert got == {5: 999}
+
+    def test_statless_manifest_reads_everything(self, spark, workdir):
+        from otel_arrow_spark.sources.snapshots import read_snapshot_pruned
+
+        t = f"{workdir}/snap_nostats"
+        snapshot_append(spark, _batch(spark, 0, 50), t)
+        out, info = read_snapshot_pruned(spark, t, "id", lo=0, hi=9)
+        assert info["files_read"] == info["files_total"]
+        assert out.count() == 10
