@@ -40,6 +40,7 @@ Spec shape (YAML or JSON; JSON is a YAML subset so one loader serves both)::
 
     kind: transform                     # transform_processor/README.md:
     source: {path: /data/logs, table: logs}   # kql_query / ottl in YAML
+    #   + format: snapshot [version: N]     # time-travel reads
     # sink: {output_dir: ..., format: snapshot}  # atomic versioned commits
     query:
       opl: "logs | where severity_text == 'ERROR' | summarize n = count() by tool"
@@ -91,6 +92,11 @@ class TransformConfig:
     language: str
     query: str | list
     table: str = "logs"
+    # source format: "parquet" reads the path directly; "snapshot"
+    # resolves it as a snapshot table (sources/snapshots.py), optionally
+    # pinned to a historical version — config-driven time travel
+    source_format: str = "parquet"
+    source_version: int | None = None
     # "parquet" overwrites {out}/<port>/ in place; "snapshot" commits
     # each port through the snapshot table layer (sources/snapshots.py)
     # — every run is an atomic new version, history time-travelable
@@ -161,7 +167,12 @@ def run_transform(spark: SparkSession, cfg: TransformConfig) -> dict:
     from otel_arrow_spark.plans.opl import run_opl
     from otel_arrow_spark.plans.ottl import run_ottl
 
-    df = spark.read.parquet(cfg.input_path)
+    if cfg.source_format == "snapshot":
+        from otel_arrow_spark.sources.snapshots import read_snapshot
+
+        df = read_snapshot(spark, cfg.input_path, version=cfg.source_version)
+    else:
+        df = spark.read.parquet(cfg.input_path)
     if cfg.language in ("opl", "kql"):
         res = run_opl(cfg.query, {cfg.table: df})
         outputs = {"default": res.default}
@@ -229,8 +240,17 @@ def spec_to_config(spec: dict) -> PipelineConfig | CorpusConfig | TransformConfi
     if kind == "transform":
         _check_sections(spec, {"kind", "source", "query", "sink"})
         source = _section(
-            spec, "source", {"path": str, "table": str}, required=("path",)
+            spec, "source",
+            {"path": str, "table": str, "format": str, "version": int},
+            required=("path",),
         )
+        sfmt = source.get("format", "parquet")
+        if sfmt not in ("parquet", "snapshot"):
+            raise SpecError(
+                f"source.format must be parquet|snapshot, got {sfmt!r}"
+            )
+        if "version" in source and sfmt != "snapshot":
+            raise SpecError("source.version requires source.format: snapshot")
         query = _section(
             spec, "query", {"opl": str, "kql": str, "ottl": list}
         )
@@ -253,6 +273,8 @@ def spec_to_config(spec: dict) -> PipelineConfig | CorpusConfig | TransformConfi
             language=lang,
             query=query[lang],
             table=source.get("table", "logs"),
+            source_format=sfmt,
+            source_version=source.get("version"),
             sink_format=fmt,
         )
 

@@ -346,6 +346,42 @@ class TestTransformSpec:
         assert read_snapshot(spark, t, version=1).count() == 4
         assert read_snapshot(spark, t).count() == 4
 
+    def test_snapshot_source_with_time_travel(self, spark, workdir):
+        """source.format=snapshot reads a snapshot table, and
+        source.version pins a historical version — config-driven time
+        travel on the read side."""
+        from otel_arrow_spark.sources.snapshots import snapshot_append
+
+        t = f"{workdir}/transform_snap_src"
+        snapshot_append(spark, spark.range(4).selectExpr(
+            "id", "'a' as role"), t)
+        snapshot_append(spark, spark.range(4, 10).selectExpr(
+            "id", "'b' as role"), t)
+        latest = run_from_spec(spark, {
+            "kind": "transform",
+            "source": {"path": t, "table": "logs", "format": "snapshot"},
+            "query": {"kql": "logs | summarize n = count() by role"},
+            "sink": {"output_dir": f"{workdir}/tss_latest"},
+        })
+        pinned = run_from_spec(spark, {
+            "kind": "transform",
+            "source": {"path": t, "table": "logs", "format": "snapshot",
+                       "version": 1},
+            "query": {"kql": "logs | summarize n = count() by role"},
+            "sink": {"output_dir": f"{workdir}/tss_v1"},
+        })
+        assert latest["metrics"]["rows_default"] == 2   # roles a and b
+        assert pinned["metrics"]["rows_default"] == 1   # v1: only role a
+
+    def test_version_requires_snapshot_format(self):
+        with pytest.raises(SpecError, match="source.version"):
+            spec_to_config({
+                "kind": "transform",
+                "source": {"path": "/in", "version": 2},
+                "query": {"kql": "logs | take 1"},
+                "sink": {"output_dir": "/out"},
+            })
+
     def test_bad_sink_format_rejected(self):
         with pytest.raises(SpecError, match="parquet|snapshot"):
             spec_to_config({
