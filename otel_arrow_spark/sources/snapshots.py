@@ -343,6 +343,35 @@ def snapshot_merge(
     )
 
 
+def snapshot_compact(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int = 512 * 1024 * 1024,
+) -> int:
+    """Small-file compaction as a COMMIT (Iceberg rewrite_data_files):
+    the current version's rows rewrite into ~target-sized files and
+    commit as a new overwrite version — logically identical data, new
+    layout. Unlike the in-place directory swap (sinks.py
+    compact_parquet_dir), history is preserved: the fragmented version
+    stays readable/rollbackable until vacuumed, and a reader mid-query
+    on the old file list is never yanked out from under (its files
+    outlive the commit). Manifest stats recompute over the new files
+    automatically."""
+    import math
+
+    v = current_version(table_dir)
+    if v == 0:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    m = _read_manifest(table_dir, v)
+    bytes_now = sum(os.path.getsize(f) for f in m["files"])
+    n_out = max(1, math.ceil(bytes_now / target_file_bytes))
+    df = spark.read.parquet(*m["files"]).repartition(n_out)
+    return _commit(
+        table_dir, df, "overwrite",
+        {"compacted_from": v, "files_before": len(m["files"])},
+    )
+
+
 def snapshot_history(spark: SparkSession, table_dir: str) -> DataFrame:
     """The table's commit log as a frame: ``(version, mode, n_files,
     parent, is_current, batch_id)`` — the observability face of the

@@ -265,3 +265,33 @@ class TestSnapshots:
         out, info = read_snapshot_pruned(spark, t, "id", lo=0, hi=9)
         assert info["files_read"] == info["files_total"]
         assert out.count() == 10
+
+    def test_compact_is_a_commit_history_preserved(self, spark, workdir):
+        """snapshot_compact rewrites the layout as a NEW version: fewer
+        files, identical rows, fragmented version still readable, stats
+        recomputed over the new files."""
+        from otel_arrow_spark.sources.snapshots import (
+            committed_meta,
+            read_snapshot_pruned,
+            snapshot_compact,
+        )
+
+        t = f"{workdir}/snap_compact"
+        frag = spark.range(1000).selectExpr("id", "id * 2 as v") \
+            .repartition(20)
+        frag.write.parquet(f"{workdir}/sc_stage")
+        snapshot_append(
+            spark, spark.read.parquet(f"{workdir}/sc_stage"), t,
+            stats_cols=["id"],
+        )
+        n_files_before = len(committed_meta(t)[-1]["files"])
+        assert n_files_before > 1  # AQE may coalesce the staged 20
+        v = snapshot_compact(spark, t, target_file_bytes=1 << 30)
+        m = committed_meta(t)[-1]
+        assert m["version"] == v and m["compacted_from"] == 1
+        assert len(m["files"]) == 1
+        assert read_snapshot(spark, t).count() == 1000
+        assert read_snapshot(spark, t, version=1).count() == 1000
+        # stats recomputed for the new layout: pruned read still exact
+        out, info = read_snapshot_pruned(spark, t, "id", lo=10, hi=19)
+        assert out.count() == 10 and info["files_total"] == 1
