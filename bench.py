@@ -118,6 +118,7 @@ HEADLINE_QUERIES = [
     "snapshot_table",
     "conv_health",
     "snapshot_merge",
+    "neardup_incremental",
 ]
 
 

@@ -331,6 +331,122 @@ def minhash_near_dup_pairs(
     )
 
 
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    shingle_k: int = 5,
+    keep_shingles: bool = True,
+) -> DataFrame:
+    """The persisted NEAR-dup index row: ``(doc_id, sig, [sh])`` — the
+    MinHash signature for banded candidate generation, and (by default)
+    the xxhash64 shingle-hash array for EXACT Jaccard verification
+    against future batches. ``keep_shingles=False`` stores signatures
+    only (64 longs/doc — the Gopher/FineWeb cross-dump configuration);
+    verification then falls back to the signature estimate.
+
+    Size per doc: 64 longs for the signature plus ~|text| longs for the
+    shingle hashes — comparable to the text itself. What the index
+    BUYS is that history never re-shingles and never re-reads bodies:
+    each new batch joins bands against precomputed state."""
+    shingled = df.select(
+        F.col(id_col),
+        F.transform(
+            char_shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s)
+        ).alias("sh"),
+    )
+    out = shingled.select(
+        id_col, minhash_signature_fast(F.col("sh"), n_hashes).alias("sig"), "sh"
+    )
+    return out if keep_shingles else out.drop("sh")
+
+
+def near_dups_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 8,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Cross-batch near-duplicate pairs: (id_new, id_hist, jaccard) for
+    every batch document whose Jaccard similarity to an INDEXED document
+    reaches the threshold — the near-dup analog of
+    :func:`dedup_against_index` (today's crawl vs all prior crawls).
+
+    Candidates come from a banded equi-join of the batch's band keys
+    against the index's (ids + 3 longs per band cross the wire, never
+    payloads). Verification is exact Jaccard when the index stores
+    shingle hashes (``minhash_index(keep_shingles=True)``), else the
+    signature estimate ``|sig_a == sig_b| / n_hashes`` (unbiased
+    estimator of Jaccard, ±1/sqrt(n_hashes)); the output is the same
+    shape either way. Drop survivors with a left_anti on id_new.
+    """
+    rows_per_band = n_hashes // bands
+
+    def banded(sig_frame: DataFrame, name: str) -> DataFrame:
+        band_arr = F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.hash(
+                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+            ),
+        )
+        return sig_frame.select(
+            F.col(id_col).alias(name),
+            F.posexplode(band_arr).alias("band", "bhash"),
+        )
+
+    shingled = ensure_parallelism(batch).select(
+        F.col(id_col),
+        F.transform(
+            char_shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s)
+        ).alias("sh"),
+    )
+    from pyspark import StorageLevel
+
+    # persisted so the signature UDF runs once, not once per consumer
+    # (banding + verification); MEMORY_AND_DISK spills rather than
+    # recomputes — same lifecycle as minhash_near_dup_pairs' banded frame
+    new_sig = shingled.select(
+        id_col, minhash_signature_fast(F.col("sh"), n_hashes).alias("sig"), "sh"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = (
+        banded(new_sig, "id_new")
+        .join(banded(index, "id_hist"), on=["band", "bhash"])
+        .select("id_new", "id_hist")
+        .dropDuplicates(["id_new", "id_hist"])
+    )
+    exact = "sh" in index.columns
+    if exact:
+        a = new_sig.select(F.col(id_col).alias("id_new"),
+                           F.array_distinct("sh").alias("sh_a"))
+        b = index.select(F.col(id_col).alias("id_hist"),
+                         F.array_distinct("sh").alias("sh_b"))
+        jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+            F.array_union("sh_a", "sh_b")
+        )
+    else:
+        a = new_sig.select(F.col(id_col).alias("id_new"),
+                           F.col("sig").alias("sig_a"))
+        b = index.select(F.col(id_col).alias("id_hist"),
+                         F.col("sig").alias("sig_b"))
+        jac = F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ) / F.lit(float(n_hashes))
+    return (
+        cands.join(a, "id_new")
+        .join(b, "id_hist")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_new", "id_hist", "jaccard")
+    )
+
+
 # --- n-gram Jaccard (exact, for small candidate sets / verification) ----------
 
 

@@ -190,6 +190,89 @@ class TestIncrementalDedup:
         assert "Aggregate [fp" in plan
 
 
+class TestNearDupIndex:
+    """Cross-batch NEAR-dup against a persisted MinHash index — the
+    near-dup analog of the fingerprint index (today's crawl vs all
+    prior crawls)."""
+
+    def _halves(self, spark, dup_docs):
+        hist = dup_docs.where(F.col("doc_id").isin(1, 4, 6))
+        batch = dup_docs.where(~F.col("doc_id").isin(1, 4, 6))
+        return hist, batch
+
+    def test_exact_mode_finds_planted_pairs(self, spark, dup_docs):
+        from otel_arrow_spark.textops.dedup import (
+            minhash_index,
+            near_dups_against_index,
+        )
+
+        hist, batch = self._halves(spark, dup_docs)
+        idx = minhash_index(hist)
+        pairs = {(r.id_new, r.id_hist): r.jaccard
+                 for r in near_dups_against_index(
+                     batch, idx, jaccard_threshold=0.5).collect()}
+        assert pairs[(2, 1)] == 1.0        # exact dup across batches
+        assert pairs[(5, 4)] == 1.0
+        assert (3, 1) in pairs             # near dup
+        assert all(h != 6 for (_, h) in pairs)  # unrelated never matches
+        # exact Jaccard agrees with a Python shingle oracle
+        texts = {r.doc_id: r.text for r in dup_docs.collect()}
+
+        def sh(t, k=5):
+            return {t[i:i + k] for i in range(len(t) - k + 1)}
+
+        for (n, h), j in pairs.items():
+            want = len(sh(texts[n]) & sh(texts[h])) / len(
+                sh(texts[n]) | sh(texts[h]))
+            assert abs(j - want) < 1e-9
+
+    def test_estimate_mode_signatures_only(self, spark, dup_docs):
+        from otel_arrow_spark.textops.dedup import (
+            minhash_index,
+            near_dups_against_index,
+        )
+
+        hist, batch = self._halves(spark, dup_docs)
+        idx = minhash_index(hist, keep_shingles=False)
+        assert idx.columns == ["doc_id", "sig"]
+        pairs = {(r.id_new, r.id_hist): r.jaccard
+                 for r in near_dups_against_index(
+                     batch, idx, jaccard_threshold=0.5).collect()}
+        # identical docs estimate exactly 1.0; the near pair lands within
+        # the +-1/sqrt(64) estimator band of its true Jaccard (~0.83)
+        assert pairs[(2, 1)] == 1.0 and pairs[(5, 4)] == 1.0
+        assert (3, 1) in pairs and 0.6 <= pairs[(3, 1)] <= 1.0
+
+    def test_persisted_index_append_loop(self, spark, workdir, dup_docs):
+        from otel_arrow_spark.textops.dedup import (
+            minhash_index,
+            near_dups_against_index,
+        )
+
+        p = f"{workdir}/nd_index"
+        hist, batch = self._halves(spark, dup_docs)
+        minhash_index(hist).write.parquet(p)
+        # 0.9: the exact dups (j=1.0) drop, the near pair (~0.84) survives
+        survivors = batch.join(
+            near_dups_against_index(
+                batch, spark.read.parquet(p), jaccard_threshold=0.9
+            ).select(F.col("id_new").alias("doc_id")).distinct(),
+            "doc_id", "left_anti",
+        )
+        assert {r.doc_id for r in survivors.collect()} == {3}
+        minhash_index(survivors).write.mode("append").parquet(p)
+        day2 = spark.createDataFrame(
+            [(20, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+             (21, "entirely novel content body")],
+            "doc_id long, text string",
+        )
+        hits = near_dups_against_index(
+            day2, spark.read.parquet(p), jaccard_threshold=0.9
+        ).collect()
+        # doc 20 duplicates doc 3 (now indexed); 21 is clean
+        assert {(r.id_new, r.id_hist) for r in hits} == {(20, 3)}
+
+
 class TestSimilarity:
     def test_brute_force_matches_duckdb(self, spark, embeddings):
         queries = (
