@@ -13,9 +13,15 @@ Actions (one per invocation):
     expire     — plain hive-layout dirs: drop partition directories
                  below a retention watermark
 
-Usage (cluster):
+Usage (cluster, POSIX-visible storage — NFS/local/fuse mounts):
     spark-submit --py-files otel_arrow_spark.zip jobs/table_maintenance.py \
-        --table s3://bucket/events --action compact [--target-mb 512]
+        --table /mnt/tables/events --action compact [--target-mb 512]
+
+Object stores (s3://, hdfs://) are NOT supported by this CLI: snapshot
+detection and manifest/vacuum bookkeeping use POSIX file APIs (the
+snapshot layer's documented scope); routing an s3:// snapshot table
+here would mis-detect it as a plain directory. Port the bookkeeping to
+the Hadoop FileSystem API before pointing it at remote storage.
 
 Usage (sandbox):
     python jobs/table_maintenance.py --table /tmp/t --action zonemap \

@@ -138,18 +138,29 @@ def _commit(
             file_stats[f] = inherit_from[f]
     if cols and new_files:
         spark = df.sparkSession
+        batch_frame = spark.read.parquet(*new_files)
+        # an evolved batch may lack an inherited stats column: its rows
+        # read as NULL there, so [None, None] bounds are the CORRECT
+        # stats (a range predicate never matches NULL → prune), and the
+        # aggregate must only name columns that exist
+        present = [c for c in cols if c in batch_frame.columns]
+        absent = [c for c in cols if c not in batch_frame.columns]
         aggs = []
-        for c in cols:
+        for c in present:
             aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
-        for r in (
-            spark.read.parquet(*new_files)
-            .groupBy(F.col("_metadata.file_path").alias("file"))
+        rows = (
+            batch_frame.groupBy(F.col("_metadata.file_path").alias("file"))
             .agg(*aggs)
             .collect()
-        ):
-            file_stats[r.file.removeprefix("file:")] = {
-                c: [r[f"lo_{c}"], r[f"hi_{c}"]] for c in cols
-            }
+            if present
+            else [
+                type("R", (), {"file": "file:" + f})() for f in new_files
+            ]
+        )
+        for r in rows:
+            st = {c: [r[f"lo_{c}"], r[f"hi_{c}"]] for c in present}
+            st.update({c: [None, None] for c in absent})
+            file_stats[r.file.removeprefix("file:")] = st
     # 2. immutable manifest for this version
     _atomic_write(
         _manifest_path(table_dir, version),
@@ -247,9 +258,20 @@ def read_snapshot_pruned(
         f_lo, f_hi = b
         if f_lo is None or f_hi is None:
             continue  # all-NULL file: a range predicate never matches
-        if lo is not None and type(f_hi)(lo) > f_hi:
+
+        def _cmp_ok(bound, probe):
+            # bounds pass through JSON (numerics native, anything else
+            # stringified): only prune on comparisons within one type
+            # family — a str-vs-number comparison would be lexicographic
+            # nonsense, so such files are read instead (never lost)
+            num = (int, float)
+            return (isinstance(bound, num) and isinstance(probe, num)) or (
+                isinstance(bound, str) and isinstance(probe, str)
+            )
+
+        if lo is not None and _cmp_ok(f_hi, lo) and lo > f_hi:
             continue
-        if hi is not None and type(f_lo)(hi) < f_lo:
+        if hi is not None and _cmp_ok(f_lo, hi) and hi < f_lo:
             continue
         keep.append(f)
     info = {"files_total": len(m["files"]), "files_read": len(keep)}
@@ -262,6 +284,19 @@ def read_snapshot_pruned(
     if hi is not None:
         out = out.filter(F.col(col) <= F.lit(hi))
     return out, info
+
+
+def _read_files_evolved(spark: SparkSession, files: list[str]) -> DataFrame:
+    """Read a manifest file list with per-batch schemas unified through
+    the widening lattice — the safe way for maintenance jobs (compact,
+    merge) to read a possibly schema-evolved table; a plain multi-path
+    read would silently drop later batches' added columns."""
+    from otel_arrow_spark.sources.evolution import evolved_union
+
+    by_batch: dict[str, list[str]] = {}
+    for f in files:
+        by_batch.setdefault(os.path.dirname(f), []).append(f)
+    return evolved_union(*[spark.read.parquet(*fs) for fs in by_batch.values()])
 
 
 def snapshot_merge(
@@ -295,44 +330,83 @@ def snapshot_merge(
     Rewriting is one left_anti on the key columns + a union — no wide
     shuffle beyond the key join.
     """
-    if delete_col and delete_col in (c for c in updates.columns):
-        deletes = updates.where(F.col(delete_col)).select(*key_cols)
-        upserts = updates.where(~F.col(delete_col)).drop(delete_col)
+    if delete_col is not None:
+        if delete_col not in updates.columns:
+            raise ValueError(
+                f"delete_col {delete_col!r} not in updates columns "
+                f"{updates.columns}"
+            )
+        # NULL flags (e.g. from an outer-join-assembled frame) mean
+        # "not a delete" — a bare where(col)/where(~col) pair would drop
+        # NULL-flag rows from BOTH branches, silently losing upserts
+        flag = F.coalesce(F.col(delete_col), F.lit(False))
+        deletes = updates.where(flag).select(*key_cols)
+        upserts = updates.where(~flag).drop(delete_col)
     else:
         deletes = None
         upserts = updates
+    # Delta/Iceberg MERGE errors on multiple source rows per key — match
+    # that instead of silently writing duplicate-key rows
+    dup = (
+        upserts.groupBy(*key_cols).count().where(F.col("count") > 1).limit(1)
+    ).collect()
+    if dup:
+        raise ValueError(
+            f"updates contain multiple rows for key {[dup[0][k] for k in key_cols]}"
+        )
     all_keys = upserts.select(*key_cols)
     if deletes is not None:
         all_keys = all_keys.unionByName(deletes)
 
     carried: list[str] = []
-    cur = read_snapshot(spark, table_dir)
+    m = _read_manifest(table_dir, current_version(table_dir))
+    cur = read_snapshot(spark, table_dir, evolve=True)
     if scope == "files":
         k0 = key_cols[0]
-        bounds = (
-            cur.select(F.col("_metadata.file_path").alias("file"), F.col(k0))
-            .groupBy("file")
-            .agg(F.min(k0).alias("lo"), F.max(k0).alias("hi"))
+        stats = m.get("file_stats", {})
+        stat_bounds = [
+            (f, stats[f][k0][0], stats[f][k0][1])
+            for f in m["files"]
+            if k0 in stats.get(f, {})
+        ]
+        statless = [f for f in m["files"] if k0 not in stats.get(f, {})]
+        if statless:
+            # only files WITHOUT manifest stats pay a bounds scan; a
+            # stats-enabled table plans entirely from the manifest
+            scanned = (
+                spark.read.parquet(*statless)
+                .select(F.col("_metadata.file_path").alias("file"), F.col(k0))
+                .groupBy("file")
+                .agg(F.min(k0).alias("lo"), F.max(k0).alias("hi"))
+                .collect()
+            )
+            # _metadata.file_path is a file: URI; manifests hold plain paths
+            stat_bounds += [
+                (r.file.removeprefix("file:"), r.lo, r.hi) for r in scanned
+            ]
+        bounds = spark.createDataFrame(
+            stat_bounds, ["file", "lo", "hi"]
         )
-        # _metadata.file_path is a file: URI; manifests hold plain paths
         touched = {
-            r.file.removeprefix("file:")
+            r.file
             for r in bounds.join(
                 all_keys.select(k0).distinct(),
                 (F.col(k0) >= F.col("lo")) & (F.col(k0) <= F.col("hi")),
                 "left_semi",
             ).collect()
         }
-        m = _read_manifest(table_dir, current_version(table_dir))
         carried = [f for f in m["files"] if f not in touched]
         if touched:
-            cur = spark.read.parquet(*sorted(touched))
+            cur = _read_files_evolved(spark, sorted(touched))
         else:
             cur = cur.limit(0)
     keep = cur.join(upserts.select(*key_cols), key_cols, "left_anti")
     if deletes is not None:
         keep = keep.join(deletes, key_cols, "left_anti")
-    merged = keep.unionByName(upserts)
+    # evolved tables may carry columns the updates lack (and vice versa
+    # when updates introduce a column): union by name with NULL fill,
+    # the same absent-column semantics the evolution reader defines
+    merged = keep.unionByName(upserts, allowMissingColumns=True)
     return _commit(
         table_dir,
         merged,
@@ -365,7 +439,10 @@ def snapshot_compact(
     m = _read_manifest(table_dir, v)
     bytes_now = sum(os.path.getsize(f) for f in m["files"])
     n_out = max(1, math.ceil(bytes_now / target_file_bytes))
-    df = spark.read.parquet(*m["files"]).repartition(n_out)
+    # evolved read: a plain multi-path scan of a schema-evolved table
+    # samples one schema and silently DROPS later batches' columns —
+    # compaction would then commit the lossy rewrite as current
+    df = _read_files_evolved(spark, m["files"]).repartition(n_out)
     return _commit(
         table_dir, df, "overwrite",
         {"compacted_from": v, "files_before": len(m["files"])},

@@ -293,13 +293,8 @@ def minhash_near_dup_pairs(
         ).alias("_sig"),
     )
 
-    # band keys as one nested expression (posexplode keeps the band index);
-    # the band hash is murmur3 of the signature slice — array hashing is
-    # native, no string concat needed
-    band_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.hash(F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)),
-    )
+    # band keys as one nested expression (posexplode keeps the band index)
+    band_arr = _band_keys(F.col("_sig"), bands, rows_per_band)
     # persist the ids-only banded projection (3 longs × bands per doc —
     # the one thing worth caching in an LSH pipeline) so the signature UDF
     # runs ONCE instead of once per self-join side; MEMORY_AND_DISK spills
@@ -328,6 +323,17 @@ def minhash_near_dup_pairs(
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """Band keys from a MinHash signature: murmur3 of each contiguous
+    signature slice — ONE definition, shared by the self-join pipeline
+    and the cross-batch index, because a persisted index is only usable
+    if probe-side banding matches build-side bit-for-bit."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.hash(F.slice(sig, b * rows_per_band + 1, rows_per_band)),
     )
 
 
@@ -388,30 +394,21 @@ def near_dups_against_index(
     rows_per_band = n_hashes // bands
 
     def banded(sig_frame: DataFrame, name: str) -> DataFrame:
-        band_arr = F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.hash(
-                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-            ),
-        )
         return sig_frame.select(
             F.col(id_col).alias(name),
-            F.posexplode(band_arr).alias("band", "bhash"),
+            F.posexplode(
+                _band_keys(F.col("sig"), bands, rows_per_band)
+            ).alias("band", "bhash"),
         )
 
-    shingled = ensure_parallelism(batch).select(
-        F.col(id_col),
-        F.transform(
-            char_shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s)
-        ).alias("sh"),
-    )
     from pyspark import StorageLevel
 
-    # persisted so the signature UDF runs once, not once per consumer
-    # (banding + verification); MEMORY_AND_DISK spills rather than
-    # recomputes — same lifecycle as minhash_near_dup_pairs' banded frame
-    new_sig = shingled.select(
-        id_col, minhash_signature_fast(F.col("sh"), n_hashes).alias("sig"), "sh"
+    # the batch side IS a (transient) index — one construction path, so
+    # probe and build banding can never drift; persisted so the
+    # signature UDF runs once, not once per consumer (banding +
+    # verification); MEMORY_AND_DISK spills rather than recomputes
+    new_sig = minhash_index(
+        ensure_parallelism(batch), text_col, id_col, n_hashes, shingle_k
     ).persist(StorageLevel.MEMORY_AND_DISK)
     cands = (
         banded(new_sig, "id_new")

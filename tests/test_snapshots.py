@@ -295,3 +295,88 @@ class TestSnapshots:
         # stats recomputed for the new layout: pruned read still exact
         out, info = read_snapshot_pruned(spark, t, "id", lo=10, hi=19)
         assert out.count() == 10 and info["files_total"] == 1
+
+    def test_merge_null_delete_flag_is_upsert(self, spark, workdir):
+        """A NULL delete flag (outer-join-assembled updates) means 'not
+        a delete' — the row must upsert, not vanish."""
+        from otel_arrow_spark.sources.snapshots import snapshot_merge
+
+        t = f"{workdir}/snap_merge_null"
+        snapshot_append(
+            spark, spark.createDataFrame([(1, 10)], "id long, v long"), t
+        )
+        updates = spark.createDataFrame(
+            [(1, 11, None), (2, 20, True)],
+            "id long, v long, _del boolean",
+        )
+        snapshot_merge(spark, t, updates, ["id"], delete_col="_del")
+        got = {r.id: r.v for r in read_snapshot(spark, t).collect()}
+        assert got == {1: 11}
+
+    def test_merge_rejects_duplicate_keys_and_missing_flag_col(self, spark, workdir):
+        from otel_arrow_spark.sources.snapshots import snapshot_merge
+
+        t = f"{workdir}/snap_merge_dup"
+        snapshot_append(
+            spark, spark.createDataFrame([(1, 10)], "id long, v long"), t
+        )
+        dup = spark.createDataFrame([(2, 1), (2, 2)], "id long, v long")
+        with pytest.raises(ValueError, match="multiple rows"):
+            snapshot_merge(spark, t, dup, ["id"])
+        with pytest.raises(ValueError, match="delete_col"):
+            snapshot_merge(
+                spark, t,
+                spark.createDataFrame([(2, 1)], "id long, v long"),
+                ["id"], delete_col="_missing",
+            )
+
+    def test_compact_preserves_evolved_schema(self, spark, workdir):
+        """Compaction of a schema-evolved table must carry later
+        batches' added columns into the rewrite (a plain multi-path
+        read would silently drop them and vacuum would then lose the
+        data forever)."""
+        from otel_arrow_spark.sources.snapshots import snapshot_compact
+
+        t = f"{workdir}/snap_compact_ev"
+        snapshot_append(
+            spark, spark.createDataFrame([(1, 10)], "id long, v int"), t
+        )
+        snapshot_append(
+            spark,
+            spark.createDataFrame([(2, 2**40, "x")],
+                                  "id long, v long, tag string"),
+            t,
+        )
+        snapshot_compact(spark, t, target_file_bytes=1 << 30)
+        got = read_snapshot(spark, t).orderBy("id").collect()
+        assert [r.tag for r in got] == [None, "x"]
+        assert [r.v for r in got] == [10, 2**40]
+
+    def test_file_scoped_merge_plans_from_manifest_stats(self, spark, workdir):
+        """On a stats-enabled table the file-scoped merge picks touched
+        files from the manifest bounds (no stat-less fallback scan) —
+        carried files still verbatim, content right."""
+        from otel_arrow_spark.sources.snapshots import (
+            committed_meta,
+            snapshot_merge,
+        )
+
+        t = f"{workdir}/snap_merge_stats"
+        spark.range(200).selectExpr("id", "id as v") \
+            .repartitionByRange(4, "id").write.parquet(f"{workdir}/sms_stage")
+        snapshot_append(
+            spark, spark.read.parquet(f"{workdir}/sms_stage"), t,
+            stats_cols=["id"],
+        )
+        before = committed_meta(t)[-1]["files"]
+        snapshot_merge(
+            spark, t, spark.createDataFrame([(5, 99)], "id long, v long"),
+            ["id"], scope="files",
+        )
+        after = committed_meta(t)[-1]
+        assert len(set(after["files"]) & set(before)) == 3
+        # carried files' manifest stats survive for future planning
+        assert sum(1 for f in after["files"] if "id" in
+                   after["file_stats"].get(f, {})) == len(after["files"])
+        got = {r.id: r.v for r in read_snapshot(spark, t).collect()}
+        assert got[5] == 99 and len(got) == 200
