@@ -1577,6 +1577,31 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-conversion funnel (operators/funnel.py funnel_progress):
+    per (user, day), how far through view → click → purchase the key got,
+    each step strictly after the previous one — ONE shuffle carrying
+    (ts, tiebreak, step-ordinal) triples, per-key state machine as a
+    higher-order F.aggregate over the sorted array (no Python, no k
+    self-joins). The oracle replays the chain as three chained min-ts
+    CTEs; strictly-after semantics make equal-ts ties outcome-neutral,
+    and the compared duration is integer microseconds."""
+    from otel_arrow_spark.operators.funnel import funnel_progress
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_progress(
+        ev,
+        ["view", "click", "purchase"],
+        ["user_id", F.to_date("ts").alias("day")],
+        tiebreak="event_id",
+    ).select(
+        "user_id",
+        F.col("day").cast("string").alias("day"),
+        F.col("steps_completed").cast("int").alias("steps_completed"),
+        "funnel_us",
+    )
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted dataset mixing (textops/analysis.py
     temperature_mixing_sample): per-source quotas ∝ n^0.5 filled in
@@ -3191,6 +3216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (fingerprint onward) lead the r6 veteran block."""
     return {
         # --- round-5 additions (never driver-checked) ---
+        "funnel": q_funnel,
         "hist_fraction": q_hist_fraction,
         "bloom_prune": q_bloom_prune,
         "dedup_incremental": q_dedup_incremental,
@@ -5734,6 +5760,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(prev / 512) AS BIGINT) AS bin_idx,
                    CAST(prev % 512 AS BIGINT) AS bin_offset
             FROM c
+        """,
+        "funnel": """
+            WITH s1 AS (
+                SELECT user_id, CAST(ts AS DATE) AS day, min(ts) AS t1
+                FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+            s2 AS (
+                SELECT e.user_id, CAST(e.ts AS DATE) AS day, min(e.ts) AS t2
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                 AND CAST(e.ts AS DATE) = s1.day
+                WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1, 2),
+            s3 AS (
+                SELECT e.user_id, CAST(e.ts AS DATE) AS day, min(e.ts) AS t3
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                 AND CAST(e.ts AS DATE) = s2.day
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1, 2)
+            SELECT s1.user_id, CAST(s1.day AS VARCHAR) AS day,
+                   CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                             WHEN t2 IS NOT NULL THEN 2
+                             ELSE 1 END AS INT) AS steps_completed,
+                   CAST(epoch_us(coalesce(t3, t2, t1)) - epoch_us(t1)
+                        AS BIGINT) AS funnel_us
+            FROM s1
+            LEFT JOIN s2 ON s1.user_id = s2.user_id AND s1.day = s2.day
+            LEFT JOIN s3 ON s1.user_id = s3.user_id AND s1.day = s3.day
         """,
         "sessionize": """
             WITH f AS (

@@ -706,3 +706,132 @@ class TestHoppingAggregate:
         )._jdf.queryExecution().executedPlan().toString()
         assert "Join" not in plan
         assert plan.count("Exchange hashpartitioning") == 1  # partial+final
+
+
+class TestFunnel:
+    """Ordered-conversion funnel (operators/funnel.py): state-machine
+    semantics, strictly-after edge cases, DuckDB chained-CTE parity,
+    and the one-shuffle/no-join plan contract."""
+
+    def _df(self, spark, rows):
+        # rows: (key, secs, step_type)
+        return spark.createDataFrame(
+            rows, "k string, secs long, event_type string"
+        ).withColumn("ts", F.timestamp_seconds(F.col("secs")))
+
+    def test_state_machine_semantics(self, spark):
+        from otel_arrow_spark.operators.funnel import funnel_progress
+
+        rows = [
+            # a: full funnel in order
+            ("a", 0, "view"), ("a", 10, "click"), ("a", 20, "purchase"),
+            # b: click before view — only the view counts
+            ("b", 0, "click"), ("b", 10, "view"),
+            # c: purchase skips click — stuck at step 1
+            ("c", 0, "view"), ("c", 10, "purchase"),
+            # d: equal-ts click is NOT strictly after the view
+            ("d", 0, "view"), ("d", 0, "click"),
+            # e: no view at all — no row
+            ("e", 0, "click"), ("e", 10, "purchase"),
+            # f: repeated views don't advance; late click does
+            ("f", 0, "view"), ("f", 5, "view"), ("f", 9, "click"),
+        ]
+        out = funnel_progress(
+            self._df(spark, rows), ["view", "click", "purchase"], ["k"]
+        )
+        got = {r["k"]: (r["steps_completed"], r["funnel_us"])
+               for r in out.collect()}
+        assert got == {
+            "a": (3, 20_000_000),
+            "b": (1, 0),
+            "c": (1, 0),
+            "d": (1, 0),
+            "f": (2, 9_000_000),
+        }
+
+    def test_matches_duckdb_chained_ctes(self, spark):
+        import duckdb
+
+        from otel_arrow_spark.operators.funnel import funnel_progress
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        got = sorted(
+            (r["user_id"], str(r["day"]), r["steps_completed"], r["funnel_us"])
+            for r in funnel_progress(
+                ev, ["view", "click", "purchase"],
+                ["user_id", F.to_date("ts").alias("day")],
+                tiebreak="event_id",
+            ).collect()
+        )
+        con = duckdb.connect()
+        exp = sorted(
+            (u, str(d), n, dur)
+            for u, d, n, dur in con.execute("""
+            WITH e AS (SELECT * FROM read_parquet(
+                '/root/testdata/sf0.001/events.parquet')),
+            s1 AS (SELECT user_id, CAST(ts AS DATE) AS day, min(ts) AS t1
+                   FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+            s2 AS (SELECT e.user_id, CAST(e.ts AS DATE) AS day,
+                          min(e.ts) AS t2
+                   FROM e JOIN s1 ON e.user_id = s1.user_id
+                    AND CAST(e.ts AS DATE) = s1.day
+                   WHERE e.event_type = 'click' AND e.ts > s1.t1
+                   GROUP BY 1, 2),
+            s3 AS (SELECT e.user_id, CAST(e.ts AS DATE) AS day,
+                          min(e.ts) AS t3
+                   FROM e JOIN s2 ON e.user_id = s2.user_id
+                    AND CAST(e.ts AS DATE) = s2.day
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                   GROUP BY 1, 2)
+            SELECT s1.user_id, s1.day,
+                   CASE WHEN t3 IS NOT NULL THEN 3
+                        WHEN t2 IS NOT NULL THEN 2 ELSE 1 END,
+                   CAST(epoch_us(coalesce(t3, t2, t1)) - epoch_us(t1)
+                        AS BIGINT)
+            FROM s1
+            LEFT JOIN s2 ON s1.user_id = s2.user_id AND s1.day = s2.day
+            LEFT JOIN s3 ON s1.user_id = s3.user_id AND s1.day = s3.day
+            """).fetchall()
+        )
+        assert len(got) > 50
+        assert got == exp
+
+    def test_summary_conversion_chart(self, spark):
+        from otel_arrow_spark.operators.funnel import funnel_summary
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        rows = funnel_summary(
+            ev, ["view", "click", "purchase"],
+            ["user_id", F.to_date("ts").alias("day")], tiebreak="event_id",
+        ).collect()
+        assert [r["step"] for r in rows] == ["view", "click", "purchase"]
+        n = [r["n_reached"] for r in rows]
+        assert n[0] >= n[1] >= n[2] > 0  # monotone funnel
+        assert rows[0]["conversion"] == 1.0
+        assert all(0 < r["conversion"] <= 1.0 for r in rows)
+
+    def test_plan_one_shuffle_no_join_no_python(self, spark):
+        from otel_arrow_spark.operators.funnel import funnel_progress
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        plan = funnel_progress(
+            ev, ["view", "click", "purchase"],
+            ["user_id", F.to_date("ts").alias("day")], tiebreak="event_id",
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan  # no k-way self-join
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "EvalPython" not in plan  # pure JVM state machine
+        # the step-type filter reaches the parquet scan
+        assert "PushedFilters: [In(event_type" in plan or \
+            "event_type" in plan.split("PushedFilters")[1].split("]")[0]
+
+    def test_rejects_bad_steps(self, spark):
+        import pytest as _pytest
+
+        from otel_arrow_spark.operators.funnel import funnel_progress
+
+        df = self._df(spark, [("a", 0, "view")])
+        with _pytest.raises(ValueError):
+            funnel_progress(df, ["view"], ["k"])
+        with _pytest.raises(ValueError):
+            funnel_progress(df, ["view", "view"], ["k"])
