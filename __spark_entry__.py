@@ -1577,6 +1577,21 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement
+    (textops/analysis.py weighted_sample): rank by ln(u)/w per source,
+    u = md5-derived 60-bit uniform — deterministic across runs AND
+    engines, so the DuckDB oracle replays the exact draw
+    (CAST('0x'||substr(md5(id),1,15) AS BIGINT) == Spark conv(.,16,10)).
+    Length-weighted (n_chars) corpus subsample, k=8 per source."""
+    from otel_arrow_spark.textops.analysis import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_sample(d, 8, "n_chars", ("source",)).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-conversion funnel (operators/funnel.py funnel_progress):
     per (user, day), how far through view → click → purchase the key got,
@@ -3216,6 +3231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (fingerprint onward) lead the r6 veteran block."""
     return {
         # --- round-5 additions (never driver-checked) ---
+        "weighted_sample": q_weighted_sample,
         "funnel": q_funnel,
         "hist_fraction": q_hist_fraction,
         "bloom_prune": q_bloom_prune,
@@ -5760,6 +5776,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(prev / 512) AS BIGINT) AS bin_idx,
                    CAST(prev % 512 AS BIGINT) AS bin_offset
             FROM c
+        """,
+        "weighted_sample": """
+            WITH x AS (
+                SELECT doc_id, source, n_chars,
+                       ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                               1, 15) AS BIGINT) + 1)
+                          / 1152921504606846976.0)
+                         / CAST(n_chars AS DOUBLE) AS key
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 0),
+            r AS (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (PARTITION BY source
+                           ORDER BY key DESC, doc_id) AS rn
+                FROM x)
+            SELECT doc_id, source, n_chars FROM r WHERE rn <= 8
         """,
         "funnel": """
             WITH s1 AS (

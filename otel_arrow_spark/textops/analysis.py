@@ -216,6 +216,60 @@ def temperature_mixing_sample(
     return df.join(ids, id_col, "left_semi")
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    strata_cols: tuple[str, ...] = (),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): each row draws a uniform ``u`` and ranks by
+    ``u^(1/w)``; the ``k`` largest per stratum are an exact weighted
+    sample — the standard one-pass distributed formulation (a heap per
+    partition in the textbook; a per-stratum rank window here, which is
+    the same contract with partial top-k pushed below the shuffle by
+    Spark's TakeOrdered/Window machinery).
+
+    ``u`` is NOT ``rand()``: it derives from ``md5(id)`` — the first 15
+    hex chars as a 60-bit integer over ``2^60`` — so the draw is
+    reproducible across runs AND engines (DuckDB replays it as
+    ``CAST('0x' || substr(md5(id),1,15) AS BIGINT)``; both engines agree
+    on md5 of the canonical string form). Ranking uses the monotone
+    log form ``ln(u)/w`` (all ≤ 0, larger is better) to avoid pow
+    underflow for tiny weights; ties (engineered-equal keys) break on
+    ``id`` so the selection is a total order.
+
+    Rows with NULL or non-positive weight are excluded — a weight of 0
+    means "never sample" in A-ES and a negative weight is undefined.
+
+    Scale shape: the rank window shuffles (id, strata, key) triples only;
+    document bodies re-join by semi-join, same as stratified_sample. Used
+    for length- or quality-weighted corpus subsampling where uniform
+    sampling would under-represent long/high-quality documents.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    v = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    u = (v + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(
+        *[F.col(c) for c in strata_cols]
+    ).orderBy(F.desc("_aes_key"), F.col(id_col))
+    ids = (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .select(id_col, *strata_cols, key.alias("_aes_key"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(id_col)
+    )
+    return df.join(ids, id_col, "left_semi")
+
+
 def classifier_score(
     df: DataFrame,
     weights: dict[int, float],

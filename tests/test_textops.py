@@ -947,3 +947,83 @@ class TestUnigramLmScore:
         )
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestWeightedSample:
+    """A-ES weighted sampling without replacement (textops/analysis.py
+    weighted_sample): determinism, DuckDB replay parity, weight bias,
+    and the exclusion rules."""
+
+    def test_matches_duckdb_replay(self, spark):
+        import duckdb
+
+        from otel_arrow_spark.textops.analysis import weighted_sample
+
+        p = "/root/testdata/sf0.001/documents.parquet"
+        d = spark.read.parquet(p)
+        got = sorted(
+            (r["doc_id"], r["source"])
+            for r in weighted_sample(d, 3, "n_chars", ("source",)).collect()
+        )
+        exp = sorted(duckdb.connect().execute(f"""
+            WITH x AS (
+                SELECT doc_id, source,
+                       ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                               1, 15) AS BIGINT) + 1)
+                          / 1152921504606846976.0)
+                         / CAST(n_chars AS DOUBLE) AS key
+                FROM read_parquet('{p}')
+                WHERE n_chars IS NOT NULL AND n_chars > 0)
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source, row_number() OVER (
+                    PARTITION BY source ORDER BY key DESC, doc_id) AS rn
+                FROM x) WHERE rn <= 3
+        """).fetchall())
+        assert len(got) > 0
+        assert got == exp
+
+    def test_heavy_weight_always_selected(self, spark):
+        from otel_arrow_spark.textops.analysis import weighted_sample
+
+        # one row carries 10^9 times the weight of the other 99: its
+        # A-ES key ln(u)/w is ~0 while the rest are far more negative,
+        # so it must appear in any k>=1 sample
+        rows = [(i, 1.0 if i else 1e9) for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        got = {r["doc_id"] for r in weighted_sample(df, 5, "w").collect()}
+        assert 0 in got
+        assert len(got) == 5
+
+    def test_weight_bias_shifts_mean(self, spark):
+        from pyspark.sql import functions as F
+
+        from otel_arrow_spark.textops.analysis import weighted_sample
+
+        # weight = n_chars^4: the long tail should dominate a small sample
+        d = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).withColumn("w", F.pow(F.col("n_chars").cast("double"), 4))
+        samp = weighted_sample(d, 10, "w")
+        full_mean = d.agg(F.avg("n_chars")).collect()[0][0]
+        samp_mean = samp.agg(F.avg("n_chars")).collect()[0][0]
+        assert samp_mean > full_mean
+
+    def test_excludes_nonpositive_and_null_weights(self, spark):
+        from otel_arrow_spark.textops.analysis import weighted_sample
+
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)],
+            "doc_id long, w double",
+        )
+        got = {r["doc_id"] for r in weighted_sample(df, 10, "w").collect()}
+        assert got == {1, 5}
+
+    def test_sample_without_replacement_size(self, spark):
+        from otel_arrow_spark.textops.analysis import weighted_sample
+
+        df = spark.createDataFrame(
+            [(i, float(i + 1)) for i in range(20)], "doc_id long, w double"
+        )
+        out = weighted_sample(df, 7, "w").collect()
+        ids = [r["doc_id"] for r in out]
+        assert len(ids) == 7 == len(set(ids))
