@@ -1577,6 +1577,41 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 dimension enrich (operators/enrich.py
+    enrich_scd2): each event joins the user-tier version valid AT ITS
+    TIMESTAMP via a BroadcastHashJoin with interval-bound join filters —
+    the fact side is never shuffled. The versioned dimension is a
+    deterministic synthetic changelog (4 weekly versions per user,
+    tier cycling with (user_id + k) % 3) whose validity intervals come
+    from scd2_intervals (lead() per key); the oracle rebuilds the same
+    changelog and intervals in SQL and replays the interval join."""
+    from otel_arrow_spark.operators.enrich import enrich_scd2, scd2_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    changelog = (
+        users.select(
+            "user_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k")
+        )
+        .select(
+            "user_id",
+            F.expr(
+                "timestamp_ntz'2024-01-01' + "
+                "make_interval(0, 0, 0, k * 7, user_id % 7, 0, 0)"
+            ).cast(ev.schema["ts"].dataType).alias("valid_from"),
+            F.element_at(
+                F.array(F.lit("free"), F.lit("pro"), F.lit("enterprise")),
+                ((F.col("user_id") + F.col("k")) % 3 + 1).cast("int"),
+            ).alias("tier"),
+        )
+    )
+    dim = scd2_intervals(changelog, "user_id")
+    return enrich_scd2(ev, dim, "user_id").select(
+        "event_id", "user_id", "event_type", "tier"
+    )
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis–Spirakis weighted sampling without replacement
     (textops/analysis.py weighted_sample): rank by ln(u)/w per source,
@@ -3231,6 +3266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (fingerprint onward) lead the r6 veteran block."""
     return {
         # --- round-5 additions (never driver-checked) ---
+        "scd2_enrich": q_scd2_enrich,
         "weighted_sample": q_weighted_sample,
         "funnel": q_funnel,
         "hist_fraction": q_hist_fraction,
@@ -5776,6 +5812,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(prev / 512) AS BIGINT) AS bin_idx,
                    CAST(prev % 512 AS BIGINT) AS bin_offset
             FROM c
+        """,
+        "scd2_enrich": """
+            WITH cl AS (
+                SELECT u.user_id, k.k,
+                       TIMESTAMP '2024-01-01'
+                         + to_days((k.k * 7)::INT)
+                         + to_hours((u.user_id % 7)::INT) AS valid_from,
+                       (['free', 'pro', 'enterprise'])
+                           [((u.user_id + k.k) % 3 + 1)::INT] AS tier
+                FROM (SELECT DISTINCT user_id FROM events) u
+                CROSS JOIN (SELECT unnest(range(4)) AS k) k),
+            dim AS (
+                SELECT user_id, valid_from, tier,
+                       lead(valid_from) OVER (PARTITION BY user_id
+                           ORDER BY valid_from) AS valid_to
+                FROM cl)
+            SELECT e.event_id, e.user_id, e.event_type, d.tier
+            FROM events e
+            LEFT JOIN dim d
+              ON e.user_id = d.user_id
+             AND e.ts >= d.valid_from
+             AND (d.valid_to IS NULL OR e.ts < d.valid_to)
         """,
         "weighted_sample": """
             WITH x AS (

@@ -55,6 +55,64 @@ def enrich_with_dict(df: DataFrame, dim: DataFrame, key: str) -> DataFrame:
     return df.join(F.broadcast(dim), on=key, how="left")
 
 
+def scd2_intervals(
+    changelog: DataFrame, key: str, valid_from: str = "valid_from"
+) -> DataFrame:
+    """Turn a dimension CHANGELOG (one row per version, ``valid_from``
+    only) into closed-open validity intervals: ``valid_to`` = the next
+    version's ``valid_from`` within the key, NULL for the current
+    version. Intervals per key are disjoint by construction, so a
+    point-in-time probe matches at most one version.
+
+    One window over the dimension — dimensions are small by contract
+    (they broadcast), so this is driver-negligible at any fact scale.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(valid_from)
+    return changelog.withColumn("valid_to", F.lead(valid_from).over(w))
+
+
+def enrich_scd2(
+    df: DataFrame,
+    dim: DataFrame,
+    key: str,
+    on: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time (SCD type-2) dimension enrich: left-join each fact
+    row to the dimension VERSION valid at the fact's event time —
+    ``dim.valid_from <= fact.ts < dim.valid_to`` (NULL ``valid_to`` =
+    still current). The temporal generalization of
+    :func:`enrich_with_dict` for dimensions that change over time
+    (user tiers, tool ownership, routing policies): replaying history
+    must enrich each event with the dictionary AS OF that event, not
+    today's.
+
+    Plan shape: a BroadcastHashJoin on ``key`` equality with the two
+    interval bounds as join filters — the dimension (all versions) ships
+    once to every executor, the 10^12-row fact side is never shuffled.
+    Facts before their key's first version (or with no key match) keep
+    NULL payload columns; rows are never dropped or duplicated
+    (disjoint-interval contract — use :func:`scd2_intervals` to derive
+    intervals from a changelog, which guarantees it).
+    """
+    payload = [
+        c for c in dim.columns if c not in (key, valid_from, valid_to)
+    ]
+    f, d = df.alias("_f"), dim.alias("_d")
+    ts = F.col(f"_f.{on}")
+    cond = (
+        (F.col(f"_f.{key}") == F.col(f"_d.{key}"))
+        & (ts >= F.col(f"_d.{valid_from}"))
+        & (F.col(f"_d.{valid_to}").isNull() | (ts < F.col(f"_d.{valid_to}")))
+    )
+    return f.join(F.broadcast(d), cond, "left").select(
+        "_f.*", *[F.col(f"_d.{c}") for c in payload]
+    )
+
+
 def enrich(df: DataFrame, spark: SparkSession | None = None) -> DataFrame:
     """Standard transcript enrichment: role dictionary + tool dictionary.
 

@@ -835,3 +835,71 @@ class TestFunnel:
             funnel_progress(df, ["view"], ["k"])
         with _pytest.raises(ValueError):
             funnel_progress(df, ["view", "view"], ["k"])
+
+
+class TestScd2Enrich:
+    """Point-in-time SCD2 dimension enrich (operators/enrich.py
+    enrich_scd2 + scd2_intervals): version-boundary semantics, no row
+    loss/duplication, and the broadcast no-shuffle plan contract."""
+
+    def _dim(self, spark):
+        from otel_arrow_spark.operators.enrich import scd2_intervals
+
+        changelog = spark.createDataFrame(
+            [("u", 100, "v1"), ("u", 200, "v2"), ("u", 300, "v3"),
+             ("w", 150, "w1")],
+            "user_id string, vf long, tier string",
+        ).select(
+            "user_id",
+            F.timestamp_seconds(F.col("vf")).alias("valid_from"),
+            "tier",
+        )
+        return scd2_intervals(changelog, "user_id")
+
+    def test_point_in_time_semantics(self, spark):
+        from otel_arrow_spark.operators.enrich import enrich_scd2
+
+        facts = spark.createDataFrame(
+            [(1, "u", 50),    # before first version -> NULL
+             (2, "u", 100),   # exactly at v1 start -> v1 (closed lower)
+             (3, "u", 199),   # just before v2 -> v1
+             (4, "u", 200),   # v2 start (open upper on v1) -> v2
+             (5, "u", 999),   # open current version -> v3
+             (6, "w", 200),   # other key -> w1
+             (7, "x", 200)],  # unknown key -> NULL
+            "event_id long, user_id string, secs long",
+        ).withColumn("ts", F.timestamp_seconds(F.col("secs")))
+        out = enrich_scd2(facts, self._dim(spark), "user_id")
+        got = {r["event_id"]: r["tier"] for r in out.collect()}
+        assert got == {1: None, 2: "v1", 3: "v1", 4: "v2", 5: "v3",
+                       6: "w1", 7: None}
+
+    def test_no_row_loss_or_duplication(self, spark):
+        from otel_arrow_spark.operators.enrich import enrich_scd2
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        dim = self._dim(spark)  # keys don't even match — all NULL enrich
+        out = enrich_scd2(ev.withColumn(
+            "user_id", F.col("user_id").cast("string")), dim, "user_id")
+        assert out.count() == ev.count()
+
+    def test_broadcast_no_fact_shuffle(self, spark):
+        from otel_arrow_spark.operators.enrich import enrich_scd2
+
+        ev = spark.read.parquet(
+            "/root/testdata/sf0.001/events.parquet"
+        ).withColumn("user_id", F.col("user_id").cast("string"))
+        plan = enrich_scd2(ev, self._dim(spark), "user_id")._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        # the only Exchange is the tiny dimension's own window shuffle —
+        # the fact side reaches the join straight from the scan
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_intervals_disjoint_and_open_ended(self, spark):
+        rows = self._dim(spark).where(F.col("user_id") == "u") \
+            .orderBy("valid_from").collect()
+        assert [r["tier"] for r in rows] == ["v1", "v2", "v3"]
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to"] == b["valid_from"]
+        assert rows[-1]["valid_to"] is None
