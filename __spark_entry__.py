@@ -1577,6 +1577,53 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multiline_corpus_path(n: int) -> str:
+    """Write the deterministic multiline log corpus as parquet once so
+    the DuckDB oracle reads the exact same lines (syslog-cache pattern)."""
+    from otel_arrow_spark.sources.syslog import generate_multiline_lines
+
+    path = os.path.join(_REPO, ".cache", "multiline", f"n{n}.parquet")
+    if not os.path.exists(path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        rows = generate_multiline_lines(n)
+        pq.write_table(
+            pa.table(
+                {
+                    "src": [r[0] for r in rows],
+                    "line_no": [r[1] for r in rows],
+                    "line": [r[2] for r in rows],
+                }
+            ),
+            path,
+        )
+    return path
+
+
+def q_multiline_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiline log stitching (operators/logpatterns.py
+    stitch_multiline): reassemble stack-trace-shaped logical events from
+    physical lines — continuation lines (leading whitespace) attach to
+    the nearest preceding event start in their host stream. One window
+    shuffle + one group-by; line order is carried via sorted struct
+    collection so the stitched text is exact under any partitioning.
+    The oracle replays the identical window algebra with
+    string_agg(... ORDER BY line_no)."""
+    from otel_arrow_spark.operators.logpatterns import stitch_multiline
+
+    path = _multiline_corpus_path(20000)
+    lines = spark.read.parquet(path)
+    return stitch_multiline(lines, "line_no", by=["src"]).select(
+        "src",
+        F.col("event_idx").cast("long").alias("event_idx"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        "first_line_no",
+        "text",
+    )
+
+
 def q_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time SCD2 dimension enrich (operators/enrich.py
     enrich_scd2): each event joins the user-tier version valid AT ITS
@@ -3266,6 +3313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (fingerprint onward) lead the r6 veteran block."""
     return {
         # --- round-5 additions (never driver-checked) ---
+        "multiline_stitch": q_multiline_stitch,
         "scd2_enrich": q_scd2_enrich,
         "weighted_sample": q_weighted_sample,
         "funnel": q_funnel,
@@ -5812,6 +5860,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(prev / 512) AS BIGINT) AS bin_idx,
                    CAST(prev % 512 AS BIGINT) AS bin_offset
             FROM c
+        """,
+        "multiline_stitch": f"""
+            WITH l AS (
+                SELECT src, line_no, line,
+                       CASE WHEN regexp_matches(line, '^\\s')
+                            THEN 0 ELSE 1 END AS new_e
+                FROM read_parquet('{_REPO}/.cache/multiline/n20000.parquet')),
+            s AS (
+                SELECT src, line_no, line,
+                       sum(new_e) OVER (PARTITION BY src ORDER BY line_no
+                           ROWS UNBOUNDED PRECEDING) - 1 AS event_idx
+                FROM l)
+            SELECT src, CAST(event_idx AS BIGINT) AS event_idx,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   min(line_no) AS first_line_no,
+                   string_agg(line, chr(10) ORDER BY line_no) AS text
+            FROM s GROUP BY 1, 2
         """,
         "scd2_enrich": """
             WITH cl AS (

@@ -105,3 +105,59 @@ def gap_report(
             (us(F.col(on)) - us(F.col("_prev"))).alias("gap_us"),
         )
     )
+
+
+def stitch_multiline(
+    df: DataFrame,
+    order_col: str,
+    by: Sequence[str] = (),
+    line_col: str = "line",
+    continuation: str = r"^\s",
+    sep: str = "\n",
+) -> DataFrame:
+    """Reassemble multi-line logical log events (stack traces, wrapped
+    messages) from physical lines — the multiline codec every log
+    shipper needs (Filebeat/Fluentd ``multiline``; the reference's
+    syslog receiver consumes one event per datagram and never sees
+    splits, so this is the file-tail ingestion gap it leaves open,
+    syslog_cef_receiver/parser/mod.rs:46).
+
+    A line matching ``continuation`` (default: starts with whitespace)
+    belongs to the event opened by the nearest preceding non-continuation
+    line within the same ``by`` stream. Same single-window algebra as
+    sessionize: flag event starts, running-sum them into ``event_idx``,
+    then ONE group-by rebuilds each event — the line text is carried
+    through sorted struct collection so the output is order-exact
+    regardless of partitioning.
+
+    A stream whose FIRST lines are continuations (a file split mid-event)
+    yields ``event_idx = -1`` for that orphan prefix — kept, not dropped,
+    so re-stitching after a concatenated upstream split loses nothing.
+
+    Output: ``by…, event_idx, n_lines, first_<order_col>, text``.
+
+    Scale shape: one window shuffle on ``by`` plus the group-by on
+    (by, event_idx); both carry (order, line) pairs only. Per-event
+    memory is bounded by the longest stack trace, not the stream.
+    """
+    is_start = (~F.col(line_col).rlike(continuation)).cast("long")
+    w = Window.partitionBy(*by).orderBy(order_col)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        df.withColumn("_evt", F.sum(is_start).over(run) - 1)
+        .groupBy(*by, "_evt")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.min(order_col).alias(f"first_{order_col}"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(order_col, line_col))
+                    ),
+                    lambda x: x[line_col],
+                ),
+                sep,
+            ).alias("text"),
+        )
+        .withColumnRenamed("_evt", "event_idx")
+    )

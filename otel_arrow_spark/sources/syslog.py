@@ -200,3 +200,20 @@ def generate_syslog_lines(n: int, seed: int = 42):
         else:
             lines.append(msg if rng.rand() < 0.5 else "")
     return lines
+
+
+def generate_multiline_lines(n_events: int):
+    """Deterministic multi-line log corpus for the stitch_multiline
+    operator: ``n_events`` logical events across 8 host streams, event
+    ``i`` carrying ``i % 4`` indented continuation lines (a stack-trace
+    shape). Returns (src, line_no, line) triples; ``line_no`` orders
+    lines within a stream (gaps are fine — only the order matters)."""
+    sevs = ["ERROR", "WARN", "INFO"]
+    rows = []
+    for i in range(n_events):
+        src = f"host{i % 8}"
+        sev = sevs[i % 3]
+        rows.append((src, i * 4, f"{sev} svc{i % 5} request {i} failed code={i % 7}"))
+        for pos in range(1, i % 4 + 1):
+            rows.append((src, i * 4 + pos, f"    at frame_{pos} (job {i})"))
+    return rows

@@ -498,3 +498,63 @@ class TestOtlpMetricsEncode:
                         assert len(branches) == 1, (
                             f"exactly one oneof branch on the wire, got {branches}"
                         )
+
+
+class TestStitchMultiline:
+    """Multiline event reassembly (logpatterns.py stitch_multiline):
+    stitch semantics, orphan-prefix retention, partitioning invariance,
+    and the window+groupby plan bound."""
+
+    def test_stitches_stack_trace_shape(self, spark):
+        from otel_arrow_spark.operators.logpatterns import stitch_multiline
+
+        rows = [
+            ("a", 0, "ERROR boom"),
+            ("a", 1, "    at f1"),
+            ("a", 2, "\tat f2"),
+            ("a", 3, "INFO ok"),
+            ("b", 0, "WARN solo"),
+        ]
+        df = spark.createDataFrame(rows, "src string, line_no long, line string")
+        got = {(r["src"], r["event_idx"]): (r["n_lines"], r["text"])
+               for r in stitch_multiline(df, "line_no", by=["src"]).collect()}
+        assert got == {
+            ("a", 0): (3, "ERROR boom\n    at f1\n\tat f2"),
+            ("a", 1): (1, "INFO ok"),
+            ("b", 0): (1, "WARN solo"),
+        }
+
+    def test_orphan_continuation_prefix_kept(self, spark):
+        from otel_arrow_spark.operators.logpatterns import stitch_multiline
+
+        rows = [("a", 0, "    at orphan"), ("a", 1, "ERROR real")]
+        df = spark.createDataFrame(rows, "src string, line_no long, line string")
+        got = {r["event_idx"]: r["text"]
+               for r in stitch_multiline(df, "line_no", by=["src"]).collect()}
+        assert got == {-1: "    at orphan", 0: "ERROR real"}
+
+    def test_partitioning_invariance(self, spark):
+        from otel_arrow_spark.operators.logpatterns import stitch_multiline
+        from otel_arrow_spark.sources.syslog import generate_multiline_lines
+
+        rows = generate_multiline_lines(500)
+        df = spark.createDataFrame(rows, "src string, line_no long, line string")
+        a = sorted((r["src"], r["event_idx"], r["text"]) for r in
+                   stitch_multiline(df, "line_no", by=["src"]).collect())
+        b = sorted((r["src"], r["event_idx"], r["text"]) for r in
+                   stitch_multiline(df.repartition(13), "line_no",
+                                    by=["src"]).collect())
+        assert a == b
+        assert len(a) == 500  # one logical event per generated event
+
+    def test_plan_no_python_no_join(self, spark):
+        from otel_arrow_spark.operators.logpatterns import stitch_multiline
+        from otel_arrow_spark.sources.syslog import generate_multiline_lines
+
+        df = spark.createDataFrame(
+            generate_multiline_lines(100),
+            "src string, line_no long, line string")
+        plan = stitch_multiline(df, "line_no", by=["src"])._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+        assert "Join" not in plan
