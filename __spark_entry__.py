@@ -1577,6 +1577,31 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch (operators/sketches.py countmin_sketch
+    / countmin_lookup — the fourth sketch-sidecar next to HLL/KLL/theta):
+    d=4 × w=64 counters over events.user_id, deliberately undersized so
+    hash collisions occur and the min-over-rows estimate matters; every
+    estimate is ≥ the exact count (CM's one-sided guarantee, asserted in
+    tests). Hashes are md5-derived so the DuckDB oracle rebuilds the
+    sketch and the probe bit-identically in SQL."""
+    from otel_arrow_spark.operators.sketches import (
+        countmin_lookup,
+        countmin_sketch,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sk = countmin_sketch(ev, "user_id", w=64, d=4)
+    est = countmin_lookup(sk, ev.select("user_id").distinct(), "user_id",
+                          w=64, d=4)
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    return est.join(exact, "user_id").select(
+        "user_id", "est_count", "exact_count"
+    )
+
+
 def _multiline_corpus_path(n: int) -> str:
     """Write the deterministic multiline log corpus as parquet once so
     the DuckDB oracle reads the exact same lines (syslog-cache pattern)."""
@@ -3313,6 +3338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (fingerprint onward) lead the r6 veteran block."""
     return {
         # --- round-5 additions (never driver-checked) ---
+        "countmin": q_countmin,
         "multiline_stitch": q_multiline_stitch,
         "scd2_enrich": q_scd2_enrich,
         "weighted_sample": q_weighted_sample,
@@ -5860,6 +5886,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(prev / 512) AS BIGINT) AS bin_idx,
                    CAST(prev % 512 AS BIGINT) AS bin_offset
             FROM c
+        """,
+        "countmin": """
+            WITH jj AS (SELECT unnest(range(4)) AS j),
+            sk AS (
+                SELECT j,
+                       CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                            || '#' || CAST(j AS VARCHAR)), 1, 15)
+                            AS BIGINT) % 64 AS bucket,
+                       count(*) AS c
+                FROM events CROSS JOIN jj GROUP BY 1, 2),
+            probes AS (
+                SELECT user_id, j,
+                       CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                            || '#' || CAST(j AS VARCHAR)), 1, 15)
+                            AS BIGINT) % 64 AS bucket
+                FROM (SELECT DISTINCT user_id FROM events)
+                CROSS JOIN jj),
+            est AS (
+                SELECT p.user_id,
+                       min(coalesce(sk.c, 0)) AS est_count
+                FROM probes p
+                LEFT JOIN sk ON p.j = sk.j AND p.bucket = sk.bucket
+                GROUP BY 1)
+            SELECT est.user_id, CAST(est.est_count AS BIGINT) AS est_count,
+                   CAST(x.exact_count AS BIGINT) AS exact_count
+            FROM est JOIN (
+                SELECT user_id, count(*) AS exact_count
+                FROM events GROUP BY 1) x ON est.user_id = x.user_id
         """,
         "multiline_stitch": f"""
             WITH l AS (

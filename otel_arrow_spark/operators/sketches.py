@@ -123,3 +123,92 @@ def retention_estimates(
             )
         ).cast("long").alias("est_new"),
     )
+
+
+# --- count-min frequency sketches --------------------------------------------
+
+
+def _cm_hash(key: F.Column, j: int, w: int) -> F.Column:
+    """Row-``j`` bucket for ``key``: md5-derived 60-bit integer mod ``w``.
+    md5 of the canonical string is computed identically by Spark and
+    DuckDB, so a sketch built here is bit-identical to a SQL replay
+    (`CAST('0x' || substr(md5(key || '#' || j), 1, 15) AS BIGINT) % w`)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(key.cast("string"), F.lit(f"#{j}"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % F.lit(w)
+
+
+def countmin_sketch(
+    df: DataFrame,
+    key_col: str,
+    w: int = 64,
+    d: int = 4,
+    by: tuple[str, ...] = (),
+) -> DataFrame:
+    """Count-min frequency sketch (Cormode & Muthukrishnan 2005) in
+    long form: one ``(*by, j, bucket, c)`` row per non-empty counter,
+    ``d`` hash rows × ``w`` buckets. The fourth member of the sketch-
+    sidecar family (HLL "how many distinct", KLL "what quantile",
+    theta "set algebra") — count-min answers "how OFTEN is key x" from
+    kilobytes, with the one-sided guarantee est ≥ true and
+    est ≤ true + εN (ε = e/w) with probability 1-δ (δ = e^-d).
+
+    Long form on purpose: counters merge across partitions/days by
+    ``groupBy(j, bucket).sum(c)`` — plain SQL, no binary blob, same
+    pattern as the bloom manifest's (file, word, bits) rows. Build is
+    a d-way explode (map-side, constant factor) into ONE partial+final
+    aggregate whose output cardinality is capped at d·w per group —
+    the 10^12-row input reduces to ≤ d·w counters regardless of skew.
+    """
+    key = F.col(key_col)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"), _cm_hash(key, j, w).alias("bucket")
+            )
+            for j in range(d)
+        ]
+    )
+    return (
+        df.where(key.isNotNull())
+        .select(*by, F.explode(pairs).alias("p"))
+        .groupBy(*by, F.col("p.j").alias("j"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def countmin_lookup(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    w: int = 64,
+    d: int = 4,
+) -> DataFrame:
+    """Point-estimate the frequency of each row of ``keys``: the MIN
+    counter across the ``d`` hash rows (absent counter = 0). The keys
+    side broadcasts — the sketch never reshuffles."""
+    key = F.col(key_col)
+    probes = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cm_hash(key, j, w).alias("bucket"),
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("p"),
+    ).select(key_col, "p.j", "p.bucket")
+    return (
+        sketch.join(F.broadcast(probes), ["j", "bucket"], "right")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_count"))
+    )

@@ -87,3 +87,62 @@ class TestThetaSetOps:
         ).collect()[0].est
         exact = df.select("user").distinct().count()
         assert abs(merged - exact) / exact < 0.05, (merged, exact)
+
+
+class TestCountMin:
+    """Count-min frequency sketch (operators/sketches.py): one-sided
+    guarantee, mergeability, exactness when wide enough, and the
+    bounded-output plan contract."""
+
+    def test_never_underestimates(self, spark):
+        from otel_arrow_spark.operators.sketches import (
+            countmin_lookup, countmin_sketch)
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        sk = countmin_sketch(ev, "user_id", w=16, d=3)  # heavy collisions
+        est = countmin_lookup(
+            sk, ev.select("user_id").distinct(), "user_id", w=16, d=3)
+        exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+        rows = est.join(exact, "user_id").collect()
+        assert len(rows) > 10
+        assert all(r["est_count"] >= r["x"] for r in rows)
+
+    def test_exact_when_no_collisions(self, spark):
+        from otel_arrow_spark.operators.sketches import (
+            countmin_lookup, countmin_sketch)
+
+        # 5 keys into w=4096 buckets: the chance any of d=4 rows collides
+        # is negligible and md5 is fixed — this data has no collisions,
+        # so min-over-rows recovers exact counts
+        rows = [(k,) for k in ["a", "b", "c", "d", "e"] for _ in range(ord(k) - 96)]
+        df = spark.createDataFrame(rows, "k string")
+        sk = countmin_sketch(df, "k", w=4096, d=4)
+        est = {r["k"]: r["est_count"] for r in countmin_lookup(
+            sk, df.select("k").distinct(), "k", w=4096, d=4).collect()}
+        assert est == {"a": 1, "b": 2, "c": 3, "d": 4, "e": 5}
+
+    def test_merge_is_counter_sum(self, spark):
+        from otel_arrow_spark.operators.sketches import countmin_sketch
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        a = ev.where(F.col("event_id") % 2 == 0)
+        b = ev.where(F.col("event_id") % 2 == 1)
+        merged = (
+            countmin_sketch(a, "user_id", w=32, d=3)
+            .unionByName(countmin_sketch(b, "user_id", w=32, d=3))
+            .groupBy("j", "bucket").agg(F.sum("c").alias("c"))
+        )
+        whole = countmin_sketch(ev, "user_id", w=32, d=3)
+        got = sorted(tuple(r) for r in merged.collect())
+        exp = sorted(tuple(r) for r in whole.collect())
+        assert got == exp
+
+    def test_output_bounded_and_no_python(self, spark):
+        from otel_arrow_spark.operators.sketches import countmin_sketch
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        sk = countmin_sketch(ev, "user_id", w=8, d=2)
+        assert sk.count() <= 8 * 2  # d*w cap regardless of input size
+        plan = sk._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1  # partial+final
