@@ -1577,6 +1577,24 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA series smoothing (operators/anomaly.py ewma_smooth,
+    pandas ewm(adjust=True) semantics truncated at 64 points): one
+    window stage per series, trailing frame folded by a higher-order
+    aggregate — no self-join, no recursion, no Python. The oracle
+    replays the same weighted sum as a bounded rn-range self-join;
+    both sides round to 6 dp (float compare rule)."""
+    from otel_arrow_spark.operators.anomaly import ewma_smooth
+
+    ev = _t(spark, sf_dir, "events")
+    out = ewma_smooth(
+        ev, ("event_type",), alpha=0.5, lookback=64, tiebreak=("event_id",)
+    )
+    return out.select(
+        "event_id", "event_type", F.round(F.col("ewma"), 6).alias("ewma")
+    )
+
+
 def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min frequency sketch (operators/sketches.py countmin_sketch
     / countmin_lookup — the fourth sketch-sidecar next to HLL/KLL/theta):
@@ -3338,6 +3356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (fingerprint onward) lead the r6 veteran block."""
     return {
         # --- round-5 additions (never driver-checked) ---
+        "ewma": q_ewma,
         "countmin": q_countmin,
         "multiline_stitch": q_multiline_stitch,
         "scd2_enrich": q_scd2_enrich,
@@ -5886,6 +5905,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(prev / 512) AS BIGINT) AS bin_idx,
                    CAST(prev % 512 AS BIGINT) AS bin_offset
             FROM c
+        """,
+        "ewma": """
+            WITH r AS (
+                SELECT event_id, event_type, value,
+                       row_number() OVER (PARTITION BY event_type
+                           ORDER BY ts, event_id) AS rn
+                FROM events)
+            SELECT a.event_id, a.event_type,
+                   round(sum(pow(0.5, a.rn - b.rn) * b.value)
+                         / ((1 - pow(0.5, count(*))) / 0.5), 6) AS ewma
+            FROM r a JOIN r b ON a.event_type = b.event_type
+              AND b.rn BETWEEN a.rn - 63 AND a.rn
+            GROUP BY 1, 2, a.rn
         """,
         "countmin": """
             WITH jj AS (SELECT unnest(range(4)) AS j),

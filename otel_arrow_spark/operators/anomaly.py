@@ -84,3 +84,68 @@ def rolling_zscore_anomalies(
         .drop("_n", "_var")
     )
     return flagged
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.5,
+    lookback: int = 64,
+    tiebreak: tuple[str, ...] = (),
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average per series — the smoothing
+    pass dashboards and alert baselines run over the temporal-reagg
+    output (PromQL's holt_winters cousin; pandas ``ewm(adjust=True)``
+    semantics): ``s_t = Σ_j q^j·x_{t-j} / Σ_j q^j`` with ``q = 1-α``,
+    truncated at ``lookback`` points.
+
+    The truncation is what makes this scale AND replay: the textbook
+    recursion ``s_t = αx_t + (1-α)s_{t-1}`` is an unbounded sequential
+    scan (and its prefix-sum rewrite overflows ``q^-t`` after ~700
+    rows), while the truncated form drops only a ``q^lookback``
+    (≈1e-19 at the defaults) tail and becomes ONE window stage: a
+    trailing rows-frame collected in frame order, folded by a
+    higher-order ``F.aggregate`` — no self-join, no Python, no
+    recursion. The denominator uses the closed form ``(1-q^n)/(1-q)``
+    so any engine replaying the query computes the identical
+    expression.
+
+    Cross-engine note: the weighted sum is float; compare rounded
+    (CLAUDE.md rule) — the driver query rounds to 6 dp on both sides.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0,1], got {alpha}")
+    if lookback < 1:
+        raise ValueError(f"lookback must be >= 1, got {lookback}")
+    q = 1.0 - alpha
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak]]
+    wp = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
+    frame = wp.rowsBetween(-(lookback - 1), 0)
+    v = F.col(value_col).cast("double")
+    rn = F.row_number().over(wp)
+    # two projections, one Exchange: same partitioning + ordering → Spark
+    # reuses the sort (the sessionize precedent)
+    with_rn = df.withColumn("_rn", rn)
+    arr = F.collect_list(F.struct(F.col("_rn").alias("rn"), v.alias("v"))).over(
+        Window.partitionBy(*[F.col(c) for c in key_cols])
+        .orderBy(F.col(ts_col), *[F.col(c) for c in tiebreak])
+        .rowsBetween(-(lookback - 1), 0)
+    )
+    num = F.aggregate(
+        F.col("_arr"),
+        F.lit(0.0),
+        lambda acc, e: acc
+        + F.pow(F.lit(q), (F.col("_rn") - e["rn"]).cast("double")) * e["v"],
+    )
+    # closed form Σ_{j<n} q^j; q ∈ [0,1) given α ∈ (0,1], and at α=1
+    # pow(0, n≥1) = 0 makes this exactly 1 — no special case needed
+    n = F.size(F.col("_arr")).cast("double")
+    den = (1.0 - F.pow(F.lit(q), n)) / F.lit(1.0 - q)
+    return (
+        with_rn.withColumn("_arr", arr)
+        .withColumn(out_col, num / den)
+        .drop("_rn", "_arr")
+    )

@@ -88,3 +88,75 @@ class TestRollingZscore:
             lookback=20, min_points=10, z_thresh=3.0, tiebreak=("event_id",),
         ).collect()
         assert [(r.k, r.event_id) for r in out] == [("a", 30)]
+
+
+class TestEwmaSmooth:
+    """EWMA smoothing (anomaly.py ewma_smooth): hand-computed values,
+    pandas parity, truncation bound, and the one-window plan pin."""
+
+    def test_hand_computed_alpha_half(self, spark):
+        from otel_arrow_spark.operators.anomaly import ewma_smooth
+
+        df = spark.createDataFrame(
+            [("k", i, float(v)) for i, v in enumerate([4, 8, 2])],
+            "k string, secs long, value double",
+        ).withColumn("ts", F.timestamp_seconds(F.col("secs")))
+        got = {r["secs"]: r["ewma"] for r in
+               ewma_smooth(df, ("k",), alpha=0.5).collect()}
+        # adjust=True: s0=4; s1=(8+.5*4)/1.5; s2=(2+.5*8+.25*4)/1.75
+        assert got[0] == 4.0
+        assert abs(got[1] - 10 / 1.5) < 1e-12
+        assert abs(got[2] - 7 / 1.75) < 1e-12
+
+    def test_matches_pandas_ewm(self, spark):
+        import pandas as pd
+
+        from otel_arrow_spark.operators.anomaly import ewma_smooth
+
+        vals = [float((7 * i) % 23) for i in range(40)]
+        df = spark.createDataFrame(
+            [("k", i, v) for i, v in enumerate(vals)],
+            "k string, secs long, value double",
+        ).withColumn("ts", F.timestamp_seconds(F.col("secs")))
+        got = [r["ewma"] for r in ewma_smooth(
+            df, ("k",), alpha=0.3, lookback=64).orderBy("secs").collect()]
+        exp = pd.Series(vals).ewm(alpha=0.3, adjust=True).mean().tolist()
+        assert all(abs(a - b) < 1e-9 for a, b in zip(got, exp))
+
+    def test_truncation_negligible_at_defaults(self, spark):
+        import pandas as pd
+
+        from otel_arrow_spark.operators.anomaly import ewma_smooth
+
+        # 200 points >> lookback=64: the dropped tail is q^64 ≈ 5e-20
+        vals = [float((13 * i) % 101) for i in range(200)]
+        df = spark.createDataFrame(
+            [("k", i, v) for i, v in enumerate(vals)],
+            "k string, secs long, value double",
+        ).withColumn("ts", F.timestamp_seconds(F.col("secs")))
+        got = [r["ewma"] for r in ewma_smooth(
+            df, ("k",), alpha=0.5, lookback=64).orderBy("secs").collect()]
+        exp = pd.Series(vals).ewm(alpha=0.5, adjust=True).mean().tolist()
+        assert all(abs(a - b) < 1e-9 for a, b in zip(got, exp))
+
+    def test_one_window_no_join_no_python(self, spark):
+        from otel_arrow_spark.operators.anomaly import ewma_smooth
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        plan = ewma_smooth(
+            ev, ("event_type",), tiebreak=("event_id",)
+        )._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Join" not in plan
+        assert "EvalPython" not in plan
+
+    def test_rejects_bad_params(self, spark):
+        import pytest as _pytest
+
+        from otel_arrow_spark.operators.anomaly import ewma_smooth
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        with _pytest.raises(ValueError):
+            ewma_smooth(ev, ("event_type",), alpha=0.0)
+        with _pytest.raises(ValueError):
+            ewma_smooth(ev, ("event_type",), lookback=0)
