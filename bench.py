@@ -119,6 +119,13 @@ HEADLINE_QUERIES = [
     "conv_health",
     "snapshot_merge",
     "neardup_incremental",
+    # round-5 final block
+    "funnel",
+    "weighted_sample",
+    "scd2_enrich",
+    "multiline_stitch",
+    "countmin",
+    "ewma",
 ]
 
 
