@@ -1577,6 +1577,24 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cohort-retention matrix (operators/funnel.py
+    cohort_retention): users cohorted by first active day, counted in
+    every later day they reappear — ONE shuffle on the key (per-key
+    state = min day + the distinct-day set, bounded by the calendar),
+    explode, tiny final count. The exact counterpart of the
+    theta-sketch retention estimates. Oracle replays the min/distinct
+    algebra in SQL."""
+    from otel_arrow_spark.operators.funnel import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, period="day").select(
+        F.col("cohort").cast("string").alias("cohort"),
+        F.col("period_offset").cast("int").alias("period_offset"),
+        "n_active",
+    )
+
+
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA series smoothing (operators/anomaly.py ewma_smooth,
     pandas ewm(adjust=True) semantics truncated at 64 points): one
@@ -3360,6 +3378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (fingerprint onward) lead the r6 veteran block."""
     return {
         # --- round-5 additions (never driver-checked) ---
+        "cohort_retention": q_cohort_retention,
         "ewma": q_ewma,
         "countmin": q_countmin,
         "multiline_stitch": q_multiline_stitch,
@@ -5914,6 +5933,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(prev / 512) AS BIGINT) AS bin_idx,
                    CAST(prev % 512 AS BIGINT) AS bin_offset
             FROM c
+        """,
+        "cohort_retention": """
+            WITH a AS (
+                SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS p
+                FROM events),
+            k AS (SELECT user_id, min(p) AS cohort FROM a GROUP BY 1),
+            d AS (SELECT DISTINCT a.user_id, k.cohort, a.p
+                  FROM a JOIN k ON a.user_id = k.user_id)
+            SELECT CAST(cohort AS VARCHAR) AS cohort,
+                   CAST(datediff('day', cohort, p) AS INT) AS period_offset,
+                   CAST(count(*) AS BIGINT) AS n_active
+            FROM d GROUP BY 1, 2
         """,
         "ewma": """
             WITH r AS (

@@ -39,6 +39,7 @@ def funnel_progress(
     event_col: str = "event_type",
     on: str = "ts",
     tiebreak: str | None = None,
+    horizon_seconds: int | None = None,
 ) -> DataFrame:
     """Per key: how many funnel ``steps`` were completed, in order.
 
@@ -56,6 +57,14 @@ def funnel_progress(
 
     ``by`` may mix column names and expressions (e.g. ``F.to_date("ts")
     .alias("day")``) — expressions MUST carry an alias.
+
+    ``horizon_seconds`` bounds the whole conversion window: steps beyond
+    step 0 count only within ``horizon_seconds`` of the step-0 event (the
+    "converted within an hour" variant every funnel dashboard offers).
+    ``None`` = unbounded. A too-late step does not close the funnel — a
+    later in-horizon event of the same type can still advance it, which
+    is exactly the first-qualifying-event semantics of the unbounded
+    form restricted to the window.
     """
     steps = list(steps)
     if len(steps) < 2:
@@ -89,6 +98,13 @@ def funnel_progress(
         take = (x["_step"] == acc["n"]) & (
             acc["last"].isNull() | (x["_ts"] > acc["last"])
         )
+        if horizon_seconds is not None:
+            in_horizon = acc["first"].isNull() | (
+                x["_ts"]
+                <= acc["first"]
+                + F.expr(f"INTERVAL '{int(horizon_seconds)}' SECOND")
+            )
+            take = take & in_horizon
         return F.when(
             take,
             F.struct(
@@ -127,13 +143,16 @@ def funnel_summary(
     event_col: str = "event_type",
     on: str = "ts",
     tiebreak: str | None = None,
+    horizon_seconds: int | None = None,
 ) -> DataFrame:
     """Per-step reach counts over :func:`funnel_progress`: one row per
     step with ``n_reached`` (keys completing ≥ that step) and
     ``conversion`` (fraction of step-0 entrants). The classic funnel
     chart — a tiny second aggregate over the per-key result."""
     steps = list(steps)
-    prog = funnel_progress(df, steps, by, event_col, on, tiebreak)
+    prog = funnel_progress(
+        df, steps, by, event_col, on, tiebreak, horizon_seconds
+    )
     per_step = prog.select(
         F.explode(
             F.sequence(F.lit(1), F.col("steps_completed"))
@@ -152,4 +171,60 @@ def funnel_summary(
             F.round(F.col("n_reached") / F.col("_n0"), 6).alias("conversion"),
         )
         .orderBy("step_idx")
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    by: str = "user_id",
+    on: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Exact cohort-retention matrix: keys cohorted by their FIRST active
+    period, counted in every later period they reappear — the triangle
+    chart behind every retention dashboard, and the exact counterpart of
+    the theta-sketch retention estimates (operators/sketches.py
+    retention_estimates answers the same question from kilobyte sidecars;
+    this answers it exactly from the raw table).
+
+    Returns ``(cohort, period_offset, n_active)``: of the keys first seen
+    in ``cohort``, ``n_active`` were active ``period_offset`` periods
+    later (offset 0 = the cohort's own size).
+
+    Scale shape: ONE shuffle on the key — per key the aggregate keeps
+    ``min(period)`` plus the distinct-period set (bounded by the calendar,
+    not the row count: a year of weeks is ≤ 53 elements however many
+    billion events the key has), the set explodes into (cohort, offset)
+    pairs, and the final count groups a few hundred cells. No self-join,
+    no distinct-before-join funnel.
+    """
+    if period not in ("week", "month", "day"):
+        raise ValueError(f"period must be week|month|day, got {period}")
+    p = F.date_trunc(period, F.col(on)).cast("date")
+    per_key = (
+        df.select(F.col(by).alias("_k"), p.alias("_p"))
+        .groupBy("_k")
+        .agg(
+            F.min("_p").alias("_cohort"),
+            F.collect_set("_p").alias("_periods"),
+        )
+    )
+    diff = {
+        "day": lambda a, b: F.datediff(a, b),
+        "week": lambda a, b: (F.datediff(a, b) / 7).cast("int"),
+        "month": lambda a, b: (
+            F.months_between(a, b).cast("int")
+        ),
+    }[period]
+    return (
+        per_key.select(
+            F.col("_cohort").alias("cohort"),
+            F.explode("_periods").alias("_p"),
+        )
+        .select(
+            "cohort",
+            diff(F.col("_p"), F.col("cohort")).alias("period_offset"),
+        )
+        .groupBy("cohort", "period_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
     )

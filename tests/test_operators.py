@@ -903,3 +903,132 @@ class TestScd2Enrich:
         for a, b in zip(rows, rows[1:]):
             assert a["valid_to"] == b["valid_from"]
         assert rows[-1]["valid_to"] is None
+
+
+class TestFunnelHorizon:
+    """Conversion-horizon variant of funnel_progress: steps only count
+    within horizon_seconds of the step-0 event."""
+
+    def test_horizon_cuts_late_steps(self, spark):
+        from otel_arrow_spark.operators.funnel import funnel_progress
+
+        rows = [
+            ("a", 0, "view"), ("a", 50, "click"), ("a", 200, "purchase"),
+            ("b", 0, "view"), ("b", 150, "click"),
+        ]
+        df = spark.createDataFrame(
+            rows, "k string, secs long, event_type string"
+        ).withColumn("ts", F.timestamp_seconds(F.col("secs")))
+        got = {r["k"]: r["steps_completed"] for r in funnel_progress(
+            df, ["view", "click", "purchase"], ["k"], horizon_seconds=100
+        ).collect()}
+        # a: click@50 in horizon, purchase@200 out -> 2; b: click@150 out -> 1
+        assert got == {"a": 2, "b": 1}
+
+    def test_horizon_boundary_inclusive_and_late_step_recoverable(self, spark):
+        from otel_arrow_spark.operators.funnel import funnel_progress
+
+        rows = [
+            ("a", 0, "view"), ("a", 100, "click"),        # exactly at bound
+            ("b", 0, "view"), ("b", 150, "click"), ("b", 90, "click"),
+        ]
+        df = spark.createDataFrame(
+            rows, "k string, secs long, event_type string"
+        ).withColumn("ts", F.timestamp_seconds(F.col("secs")))
+        got = {r["k"]: r["steps_completed"] for r in funnel_progress(
+            df, ["view", "click", "purchase"], ["k"], horizon_seconds=100
+        ).collect()}
+        # a: <= bound counts; b: the out-of-horizon click@150 does not
+        # close the funnel — the in-horizon click@90 advances it
+        assert got == {"a": 2, "b": 2}
+
+    def test_unbounded_default_unchanged(self, spark):
+        from otel_arrow_spark.operators.funnel import funnel_progress
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        args = (["view", "click", "purchase"],
+                ["user_id", F.to_date("ts").alias("day")])
+        a = sorted(tuple(r) for r in funnel_progress(
+            ev, *args, tiebreak="event_id").collect())
+        b = sorted(tuple(r) for r in funnel_progress(
+            ev, *args, tiebreak="event_id", horizon_seconds=None).collect())
+        assert a == b
+
+
+class TestCohortRetention:
+    """Exact cohort-retention matrix (operators/funnel.py
+    cohort_retention): hand fixture, DuckDB parity, calendar-bounded
+    state, and the no-self-join plan contract."""
+
+    def test_hand_fixture(self, spark):
+        from otel_arrow_spark.operators.funnel import cohort_retention
+
+        # u first seen day 0, active days 0,1,3; v first seen day 1,
+        # active days 1,2; w only day 3
+        rows = [("u", 0), ("u", 1), ("u", 3), ("u", 3),
+                ("v", 1), ("v", 2), ("w", 3)]
+        df = spark.createDataFrame(rows, "user_id string, d long") \
+            .withColumn("ts", F.timestamp_seconds(F.col("d") * 86400))
+        got = {(str(r["cohort"]), r["period_offset"]): r["n_active"]
+               for r in cohort_retention(df, period="day").collect()}
+        assert got == {
+            ("1970-01-01", 0): 1, ("1970-01-01", 1): 1, ("1970-01-01", 3): 1,
+            ("1970-01-02", 0): 1, ("1970-01-02", 1): 1,
+            ("1970-01-04", 0): 1,
+        }
+
+    def test_matches_duckdb(self, spark):
+        import duckdb
+
+        from otel_arrow_spark.operators.funnel import cohort_retention
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        got = sorted(
+            (str(r["cohort"]), r["period_offset"], r["n_active"])
+            for r in cohort_retention(ev, period="week").collect()
+        )
+        exp = sorted(
+            (str(c), o, n) for c, o, n in duckdb.connect().execute("""
+            WITH a AS (SELECT user_id,
+                              CAST(date_trunc('week', ts) AS DATE) AS p
+                       FROM read_parquet(
+                           '/root/testdata/sf0.001/events.parquet')),
+            k AS (SELECT user_id, min(p) AS cohort FROM a GROUP BY 1),
+            d AS (SELECT DISTINCT a.user_id, k.cohort, a.p
+                  FROM a JOIN k ON a.user_id = k.user_id)
+            SELECT cohort, CAST(datediff('day', cohort, p) / 7 AS INT),
+                   count(*) FROM d GROUP BY 1, 2
+            """).fetchall()
+        )
+        assert len(got) > 3
+        assert got == exp
+
+    def test_offset_zero_is_cohort_size_and_monotone(self, spark):
+        from otel_arrow_spark.operators.funnel import cohort_retention
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        rows = cohort_retention(ev, period="week").collect()
+        by_cohort = {}
+        for r in rows:
+            by_cohort.setdefault(str(r["cohort"]), {})[r["period_offset"]] = \
+                r["n_active"]
+        for offsets in by_cohort.values():
+            assert all(offsets[0] >= n for o, n in offsets.items() if o > 0)
+
+    def test_plan_no_self_join(self, spark):
+        from otel_arrow_spark.operators.funnel import cohort_retention
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        plan = cohort_retention(ev)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Join" not in plan
+        assert "EvalPython" not in plan
+
+    def test_rejects_bad_period(self, spark):
+        import pytest as _pytest
+
+        from otel_arrow_spark.operators.funnel import cohort_retention
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        with _pytest.raises(ValueError):
+            cohort_retention(ev, period="fortnight")
