@@ -126,6 +126,7 @@ HEADLINE_QUERIES = [
     "multiline_stitch",
     "countmin",
     "ewma",
+    "cohort_retention",
 ]
 
 
