@@ -1577,6 +1577,44 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ab_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout as a three-operator composition:
+    hash_split (deterministic md5 variant assignment on user_id) →
+    funnel_progress (per user-day view→click ordering) → ab_conversion
+    (one-vs-rest two-proportion z with pooled SE over the tiny
+    per-variant aggregate — an unpartitioned window over rows = number
+    of variants, nothing collected). A hash split is a null experiment,
+    so |z| is small — the oracle replays assignment, funnel and z
+    formula end-to-end; floats rounded to 6 dp on both sides."""
+    from otel_arrow_spark.operators.funnel import (
+        ab_conversion,
+        funnel_progress,
+    )
+    from otel_arrow_spark.textops.analysis import hash_split
+
+    ev = hash_split(
+        _t(spark, sf_dir, "events"),
+        {"A": 0.5, "B": 0.5},
+        id_col="user_id",
+        salt="ab-v1",
+        out_col="variant",
+    )
+    prog = funnel_progress(
+        ev,
+        ["view", "click", "purchase"],
+        ["user_id", F.to_date("ts").alias("day"), "variant"],
+        tiebreak="event_id",
+    )
+    out = ab_conversion(prog, target_step=2)
+    return out.select(
+        "variant",
+        "n_entered",
+        "n_converted",
+        F.round(F.col("conv_rate"), 6).alias("conv_rate"),
+        F.round(F.col("z_vs_rest"), 6).alias("z_vs_rest"),
+    )
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cohort-retention matrix (operators/funnel.py
     cohort_retention): users cohorted by first active day, counted in
@@ -3378,6 +3416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (fingerprint onward) lead the r6 veteran block."""
     return {
         # --- round-5 additions (never driver-checked) ---
+        "ab_funnel": q_ab_funnel,
         "cohort_retention": q_cohort_retention,
         "ewma": q_ewma,
         "countmin": q_countmin,
@@ -5933,6 +5972,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(prev / 512) AS BIGINT) AS bin_idx,
                    CAST(prev % 512 AS BIGINT) AS bin_offset
             FROM c
+        """,
+        "ab_funnel": """
+            WITH v AS (
+                SELECT *, CASE WHEN CAST('0x' || substring(
+                           md5('ab-v1' || CAST(user_id AS VARCHAR)), 1, 8)
+                           AS BIGINT) % 10000 < 5000
+                          THEN 'A' ELSE 'B' END AS variant
+                FROM events),
+            s1 AS (
+                SELECT variant, user_id, CAST(ts AS DATE) AS day,
+                       min(ts) AS t1
+                FROM v WHERE event_type = 'view' GROUP BY 1, 2, 3),
+            s2 AS (
+                SELECT e.user_id, CAST(e.ts AS DATE) AS day, min(e.ts) AS t2
+                FROM v e JOIN s1 ON e.user_id = s1.user_id
+                 AND CAST(e.ts AS DATE) = s1.day
+                WHERE e.event_type = 'click' AND e.ts > s1.t1
+                GROUP BY 1, 2),
+            agg AS (
+                SELECT s1.variant,
+                       CAST(count(*) AS BIGINT) AS n_entered,
+                       CAST(count(s2.t2) AS BIGINT) AS n_converted
+                FROM s1 LEFT JOIN s2
+                  ON s1.user_id = s2.user_id AND s1.day = s2.day
+                GROUP BY 1),
+            z AS (
+                SELECT variant, n_entered, n_converted,
+                       sum(n_entered) OVER () - n_entered AS n_rest,
+                       sum(n_converted) OVER () - n_converted AS c_rest
+                FROM agg)
+            SELECT variant, n_entered, n_converted,
+                   round(n_converted / CAST(n_entered AS DOUBLE), 6)
+                       AS conv_rate,
+                   round((n_converted / CAST(n_entered AS DOUBLE)
+                          - c_rest / CAST(n_rest AS DOUBLE))
+                         / sqrt(((n_converted + c_rest)
+                                 / CAST(n_entered + n_rest AS DOUBLE))
+                                * (1 - (n_converted + c_rest)
+                                   / CAST(n_entered + n_rest AS DOUBLE))
+                                * (1.0 / n_entered + 1.0 / n_rest)), 6)
+                       AS z_vs_rest
+            FROM z
         """,
         "cohort_retention": """
             WITH a AS (

@@ -127,6 +127,7 @@ HEADLINE_QUERIES = [
     "countmin",
     "ewma",
     "cohort_retention",
+    "ab_funnel",
 ]
 
 

@@ -228,3 +228,49 @@ def cohort_retention(
         .groupBy("cohort", "period_offset")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+def ab_conversion(
+    progress: DataFrame,
+    variant_col: str = "variant",
+    target_step: int = 2,
+    progress_col: str = "steps_completed",
+) -> DataFrame:
+    """A/B experiment readout over :func:`funnel_progress` output:
+    per variant, entrants / conversions (``progress_col >=
+    target_step``) / conversion rate, plus the one-vs-rest
+    two-proportion z-statistic (pooled standard error) — the classic
+    experiment-dashboard significance column. One-vs-rest keeps the
+    statistic well-defined for any number of variants; with exactly two
+    it is the textbook two-sample z (equal magnitude, opposite sign).
+
+    Scale shape: ONE aggregate to per-variant counts (partial+final),
+    then the z arithmetic over the tiny per-variant table via an
+    unpartitioned window — rows = number of variants, so the "global"
+    window is constant-size; nothing is collected.
+    """
+    from pyspark.sql import Window
+
+    if target_step < 1:
+        raise ValueError(f"target_step must be >= 1, got {target_step}")
+    agg = progress.groupBy(variant_col).agg(
+        F.count(F.lit(1)).alias("n_entered"),
+        F.sum(
+            (F.col(progress_col) >= target_step).cast("long")
+        ).alias("n_converted"),
+    )
+    w = Window.partitionBy()
+    n, c = F.col("n_entered"), F.col("n_converted")
+    n_rest = F.sum(n).over(w) - n
+    c_rest = F.sum(c).over(w) - c
+    p = c / n
+    p_rest = c_rest / n_rest
+    p_pool = (c + c_rest) / (n + n_rest)
+    se = F.sqrt(p_pool * (1 - p_pool) * (1 / n + 1 / n_rest))
+    return agg.select(
+        variant_col,
+        "n_entered",
+        "n_converted",
+        p.alias("conv_rate"),
+        F.try_divide(p - p_rest, se).alias("z_vs_rest"),
+    )

@@ -1032,3 +1032,71 @@ class TestCohortRetention:
         ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
         with _pytest.raises(ValueError):
             cohort_retention(ev, period="fortnight")
+
+
+class TestAbConversion:
+    """One-vs-rest two-proportion z over funnel progress (operators/
+    funnel.py ab_conversion): textbook z on a hand fixture, symmetry at
+    two variants, three-variant one-vs-rest, and no-collect plan."""
+
+    def _prog(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "variant string, steps_completed int"
+        )
+
+    def test_two_variant_textbook_z(self, spark):
+        import math
+
+        from otel_arrow_spark.operators.funnel import ab_conversion
+
+        # A: 30/100 convert; B: 20/100
+        rows = ([("A", 2)] * 30 + [("A", 1)] * 70
+                + [("B", 2)] * 20 + [("B", 1)] * 80)
+        out = {r["variant"]: r for r in ab_conversion(
+            self._prog(spark, rows), target_step=2).collect()}
+        p_pool = 50 / 200
+        se = math.sqrt(p_pool * (1 - p_pool) * (1 / 100 + 1 / 100))
+        z = (0.30 - 0.20) / se
+        assert out["A"]["n_entered"] == 100
+        assert out["A"]["n_converted"] == 30
+        assert abs(out["A"]["conv_rate"] - 0.30) < 1e-12
+        assert abs(out["A"]["z_vs_rest"] - z) < 1e-9
+        assert abs(out["B"]["z_vs_rest"] + z) < 1e-9  # opposite sign
+
+    def test_three_variants_one_vs_rest(self, spark):
+        from otel_arrow_spark.operators.funnel import ab_conversion
+
+        rows = ([("A", 2)] * 10 + [("A", 1)] * 10
+                + [("B", 2)] * 5 + [("B", 1)] * 15
+                + [("C", 2)] * 5 + [("C", 1)] * 15)
+        out = {r["variant"]: r for r in ab_conversion(
+            self._prog(spark, rows), target_step=2).collect()}
+        assert len(out) == 3
+        # A (50%) beats rest (25%): positive z; B == C: identical negative z
+        assert out["A"]["z_vs_rest"] > 0
+        assert out["B"]["z_vs_rest"] == out["C"]["z_vs_rest"] < 0
+
+    def test_null_experiment_small_z(self, spark):
+        from otel_arrow_spark.operators.funnel import (
+            ab_conversion, funnel_progress)
+        from otel_arrow_spark.textops.analysis import hash_split
+
+        ev = hash_split(
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet"),
+            {"A": 0.5, "B": 0.5}, id_col="user_id", salt="ab-v1",
+            out_col="variant")
+        prog = funnel_progress(
+            ev, ["view", "click", "purchase"],
+            ["user_id", F.to_date("ts").alias("day"), "variant"],
+            tiebreak="event_id")
+        rows = ab_conversion(prog, target_step=2).collect()
+        assert len(rows) == 2
+        assert all(abs(r["z_vs_rest"]) < 3.0 for r in rows)
+
+    def test_no_collect_no_python(self, spark):
+        from otel_arrow_spark.operators.funnel import ab_conversion
+
+        rows = [("A", 2), ("B", 1)]
+        plan = ab_conversion(self._prog(spark, rows), target_step=2)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
