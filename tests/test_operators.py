@@ -1100,3 +1100,62 @@ class TestAbConversion:
         plan = ab_conversion(self._prog(spark, rows), target_step=2)._jdf \
             .queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan
+
+
+class TestFunnelProperties:
+    """Hypothesis property fuzz: funnel_progress == a Python brute-force
+    state machine on random event streams (the chaos analog for the
+    strictly-after/horizon semantics)."""
+
+    def test_funnel_matches_bruteforce_random(self, spark):
+        from hypothesis import given, settings, strategies as st
+
+        from otel_arrow_spark.operators.funnel import funnel_progress
+
+        STEPS = ["s0", "s1", "s2"]
+        key = st.integers(min_value=0, max_value=2)
+        ts = st.integers(min_value=0, max_value=30)
+        typ = st.sampled_from(STEPS + ["noise"])
+
+        def brute(events, horizon=None):
+            # events: [(key, ts, type, uid)] — replay per key in
+            # (ts, uid) order with the operator's exact advance rule
+            out = {}
+            bykey = {}
+            for k, t, y, uid in events:
+                bykey.setdefault(k, []).append((t, uid, y))
+            for k, evs in bykey.items():
+                n, first, last = 0, None, None
+                for t, _, y in sorted(evs):
+                    if y not in STEPS or STEPS.index(y) != n:
+                        continue
+                    if last is not None and not t > last:
+                        continue
+                    if (horizon is not None and first is not None
+                            and t > first + horizon):
+                        continue
+                    n += 1
+                    first = t if first is None else first
+                    last = t
+                if n >= 1:
+                    out[k] = (n, (last - first) * 1_000_000)
+            return out
+
+        @settings(max_examples=6, deadline=None)
+        @given(
+            events=st.lists(st.tuples(key, ts, typ), min_size=1,
+                            max_size=20),
+            horizon=st.sampled_from([None, 5, 12]),
+        )
+        def run(events, horizon):
+            rows = [(k, t, y, i) for i, (k, t, y) in enumerate(events)]
+            df = spark.createDataFrame(
+                rows, "k long, secs long, event_type string, uid long"
+            ).withColumn("ts", F.timestamp_seconds(F.col("secs")))
+            got = {r["k"]: (r["steps_completed"], r["funnel_us"])
+                   for r in funnel_progress(
+                       df, STEPS, ["k"], tiebreak="uid",
+                       horizon_seconds=horizon).collect()}
+            assert got == brute(rows, horizon), (events, horizon)
+
+        run()
