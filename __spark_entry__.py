@@ -3395,14 +3395,15 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = least-proven-first: the driver correctness-checks
     only the FIRST 50 entries, so queries that are new or changed this
-    round lead (55 round-5 entries, none ever driver-checked, newest
-    first — the 6 final-block additions ewma/countmin/multiline_stitch/
-    scd2_enrich/weighted_sample/funnel at 1-6) with sessionize PINNED at
-    7 (the round-4 red row, fixed this round — the verdict mandates it
-    stays in-window until driver-green). The ~12 round-5 entries this
-    pushes past 50 (kql_make_series onward) were each verified by the
-    full-registry tools/check_oracles.py sweeps at sf0.01 on 2026-08-17,
-    rerun after every batch of additions; logs_star / critical_path /
+    round lead (63 round-5 entries, none ever driver-checked, newest
+    first — the 8 final-block additions ab_funnel/cohort_retention/ewma/
+    countmin/multiline_stitch/scd2_enrich/weighted_sample/funnel at 1-8)
+    with sessionize PINNED at 9 (the round-4 red row, fixed this round —
+    the verdict mandates it stays in-window until driver-green). The
+    round-5 entries this pushes past position 50 (vocab_stats onward)
+    were each verified by the full-registry tools/check_oracles.py
+    sweeps at sf0.01 on 2026-08-17, rerun after every batch of
+    additions; logs_star / critical_path /
     corpus_clean (changed in r5) sit just past the window and are covered
     transitively: logs_star by the in-window syslog_star/otlp round-trips
     sharing its encoder, trace-tree math by trace_rollup's r4-green twin

@@ -123,6 +123,18 @@ def md5(c) -> Column:
     return F.md5(_c(c).cast("string"))
 
 
+def md5_long60(c) -> Column:
+    """The engine-portable 60-bit hash: first 15 hex chars of md5 as a
+    non-negative BIGINT. This is THE cross-engine uniform the repo's
+    deterministic sampling/sketching paths share (weighted_sample,
+    count-min, the dedup gram hashes): any SQL engine replays it as
+    ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`` — 15 hex chars =
+    60 bits, always inside a signed 64-bit range on both sides. Change
+    the width or slice here and every oracle replaying it must change
+    with it; that contract lives in exactly this function."""
+    return F.conv(F.substring(F.md5(_c(c)), 1, 15), 16, 10).cast("long")
+
+
 def sha1(c) -> Column:
     """OPL sha1 (functions.rs make_udf_function list)."""
     return F.sha1(_c(c).cast("string"))

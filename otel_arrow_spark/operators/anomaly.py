@@ -115,6 +115,10 @@ def ewma_smooth(
 
     Cross-engine note: the weighted sum is float; compare rounded
     (CLAUDE.md rule) — the driver query rounds to 6 dp on both sides.
+    Rows with a NULL value or NULL timestamp are EXCLUDED (from both
+    the smoothing state and the output): a NULL value would poison the
+    whole trailing frame, and NULL-timestamp ordering differs between
+    engines. Impute upstream if they should participate.
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0,1], got {alpha}")
@@ -126,14 +130,18 @@ def ewma_smooth(
     frame = wp.rowsBetween(-(lookback - 1), 0)
     v = F.col(value_col).cast("double")
     rn = F.row_number().over(wp)
+    # NULL guard: a NULL value would poison the next `lookback` folds
+    # with NULL (acc + NULL), and a NULL timestamp sorts NULLS FIRST
+    # here but NULLS LAST in engines like DuckDB — excluding such rows
+    # up front keeps the operator total and engine-replayable; callers
+    # wanting them smoothed must impute first.
+    df = df.where(F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
     # two projections, one Exchange: same partitioning + ordering → Spark
     # reuses the sort (the sessionize precedent)
     with_rn = df.withColumn("_rn", rn)
-    arr = F.collect_list(F.struct(F.col("_rn").alias("rn"), v.alias("v"))).over(
-        Window.partitionBy(*[F.col(c) for c in key_cols])
-        .orderBy(F.col(ts_col), *[F.col(c) for c in tiebreak])
-        .rowsBetween(-(lookback - 1), 0)
-    )
+    arr = F.collect_list(
+        F.struct(F.col("_rn").alias("rn"), v.alias("v"))
+    ).over(frame)
     num = F.aggregate(
         F.col("_arr"),
         F.lit(0.0),

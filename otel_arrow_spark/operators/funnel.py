@@ -146,21 +146,30 @@ def funnel_summary(
     horizon_seconds: int | None = None,
 ) -> DataFrame:
     """Per-step reach counts over :func:`funnel_progress`: one row per
-    step with ``n_reached`` (keys completing ≥ that step) and
-    ``conversion`` (fraction of step-0 entrants). The classic funnel
-    chart — a tiny second aggregate over the per-key result."""
+    step — ALWAYS ``len(steps)`` rows, a step nobody reached shows
+    ``n_reached = 0`` / ``conversion = 0.0`` rather than silently
+    vanishing from the chart — with ``n_reached`` (keys completing ≥
+    that step) and ``conversion`` (fraction of step-0 entrants). The
+    classic funnel chart — a tiny second aggregate over the per-key
+    result. With zero entrants the result is empty (no denominator to
+    chart against)."""
     steps = list(steps)
     prog = funnel_progress(
         df, steps, by, event_col, on, tiebreak, horizon_seconds
     )
-    per_step = prog.select(
+    reached = prog.select(
         F.explode(
             F.sequence(F.lit(1), F.col("steps_completed"))
         ).alias("step_idx")
     ).groupBy("step_idx").agg(F.count(F.lit(1)).alias("n_reached"))
-    entered = per_step.where(F.col("step_idx") == 1).select(
-        F.col("n_reached").alias("_n0")
+    all_steps = df.sparkSession.range(1, len(steps) + 1).select(
+        F.col("id").cast("int").alias("step_idx")
     )
+    per_step = all_steps.join(F.broadcast(reached), "step_idx", "left") \
+        .withColumn("n_reached", F.coalesce(F.col("n_reached"), F.lit(0)))
+    entered = per_step.where(
+        (F.col("step_idx") == 1) & (F.col("n_reached") > 0)
+    ).select(F.col("n_reached").alias("_n0"))
     step_names = F.array(*[F.lit(s) for s in steps])
     return (
         per_step.crossJoin(F.broadcast(entered))

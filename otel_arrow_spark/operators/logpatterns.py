@@ -140,11 +140,20 @@ def stitch_multiline(
     (by, event_idx); both carry (order, line) pairs only. Per-event
     memory is bounded by the longest stack trace, not the stream.
     """
-    is_start = (~F.col(line_col).rlike(continuation)).cast("long")
+    # NULL lines normalize to "" BEFORE classification: '' does not
+    # match a ^\s continuation pattern, so a NULL/empty line opens a new
+    # (empty) event — the same verdict a SQL replay's CASE WHEN
+    # regexp_matches(...) ELSE start gives for NULL, and without it the
+    # NULL would silently attach to the previous event (rlike(NULL) is
+    # NULL, which sum() skips) while leaving a NULL element for the
+    # text join to drop.
+    line = F.coalesce(F.col(line_col), F.lit(""))
+    is_start = (~line.rlike(continuation)).cast("long")
     w = Window.partitionBy(*by).orderBy(order_col)
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
-        df.withColumn("_evt", F.sum(is_start).over(run) - 1)
+        df.withColumn(line_col, line)
+        .withColumn("_evt", F.sum(is_start).over(run) - 1)
         .groupBy(*by, "_evt")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),

@@ -133,14 +133,11 @@ def _cm_hash(key: F.Column, j: int, w: int) -> F.Column:
     md5 of the canonical string is computed identically by Spark and
     DuckDB, so a sketch built here is bit-identical to a SQL replay
     (`CAST('0x' || substr(md5(key || '#' || j), 1, 15) AS BIGINT) % w`)."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(key.cast("string"), F.lit(f"#{j}"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
-    return h % F.lit(w)
+    from otel_arrow_spark.functions.scalar import md5_long60
+
+    return md5_long60(
+        F.concat(key.cast("string"), F.lit(f"#{j}"))
+    ) % F.lit(w)
 
 
 def countmin_sketch(
@@ -190,8 +187,12 @@ def countmin_lookup(
     d: int = 4,
 ) -> DataFrame:
     """Point-estimate the frequency of each row of ``keys``: the MIN
-    counter across the ``d`` hash rows (absent counter = 0). The keys
-    side broadcasts — the sketch never reshuffles."""
+    counter across the ``d`` hash rows (absent counter = 0). The SKETCH
+    side broadcasts — it is ≤ d·w rows by construction, so an arbitrarily
+    large key universe probes it without shuffling (broadcasting the keys
+    instead would both ship the big side and be ignored by Spark: a
+    broadcast hint on the preserved side of an outer join cannot be
+    honored)."""
     key = F.col(key_col)
     probes = keys.select(
         key_col,
@@ -208,7 +209,7 @@ def countmin_lookup(
         ).alias("p"),
     ).select(key_col, "p.j", "p.bucket")
     return (
-        sketch.join(F.broadcast(probes), ["j", "bucket"], "right")
+        probes.join(F.broadcast(sketch), ["j", "bucket"], "left")
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_count"))
     )

@@ -252,9 +252,9 @@ def weighted_sample(
         raise ValueError(f"k must be >= 1, got {k}")
     from pyspark.sql import Window
 
-    v = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    from otel_arrow_spark.functions.scalar import md5_long60
+
+    v = md5_long60(F.col(id_col).cast("string"))
     u = (v + F.lit(1)).cast("double") / F.lit(float(1 << 60))
     key = F.log(u) / F.col(weight_col).cast("double")
     w = Window.partitionBy(

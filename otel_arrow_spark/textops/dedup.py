@@ -163,12 +163,10 @@ def token_ngram_hashes(text: Column, n: int = 8) -> Column:
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    from otel_arrow_spark.functions.scalar import md5_long60
+
     toks = F.split(F.trim(text), r"\s+")
-    th = F.transform(
-        toks,
-        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
-        % _GRAM_MOD,
-    )
+    th = F.transform(toks, lambda t: md5_long60(t) % _GRAM_MOD)
 
     def _grams(hs):
         def one(h):
@@ -539,9 +537,9 @@ def simhash_col(
         hashes = F.transform(toks, lambda t: F.xxhash64(t))
     elif token_hash == "md5":
         assert bits <= 60, "md5 token hash provides 60 usable bits"
-        hashes = F.transform(
-            toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
-        )
+        from otel_arrow_spark.functions.scalar import md5_long60
+
+        hashes = F.transform(toks, lambda t: md5_long60(t))
     else:
         raise ValueError(f"unknown token_hash: {token_hash!r}")
 

@@ -822,8 +822,9 @@ class TestFunnel:
         assert plan.count("Exchange hashpartitioning") == 1
         assert "EvalPython" not in plan  # pure JVM state machine
         # the step-type filter reaches the parquet scan
-        assert "PushedFilters: [In(event_type" in plan or \
-            "event_type" in plan.split("PushedFilters")[1].split("]")[0]
+        assert "PushedFilters" in plan
+        pushed = plan.split("PushedFilters", 1)[1].split("]", 1)[0]
+        assert "event_type" in pushed
 
     def test_rejects_bad_steps(self, spark):
         import pytest as _pytest
@@ -1159,3 +1160,48 @@ class TestFunnelProperties:
             assert got == brute(rows, horizon), (events, horizon)
 
         run()
+
+
+class TestReviewRegressionFixes:
+    """Regression pins for the round-5 final-block review findings."""
+
+    def test_funnel_summary_emits_zero_rows_for_unreached_steps(self, spark):
+        from otel_arrow_spark.operators.funnel import funnel_summary
+
+        rows = [("a", 0, "view"), ("b", 5, "view")]  # nobody clicks
+        df = spark.createDataFrame(
+            rows, "k string, secs long, event_type string"
+        ).withColumn("ts", F.timestamp_seconds(F.col("secs")))
+        out = funnel_summary(df, ["view", "click", "purchase"], ["k"]).collect()
+        assert [(r["step"], r["n_reached"]) for r in out] == [
+            ("view", 2), ("click", 0), ("purchase", 0)]
+        assert [r["conversion"] for r in out] == [1.0, 0.0, 0.0]
+
+    def test_stitch_null_line_opens_empty_event(self, spark):
+        from otel_arrow_spark.operators.logpatterns import stitch_multiline
+
+        rows = [("a", 0, "ERROR boom"), ("a", 1, None), ("a", 2, "    at f")]
+        df = spark.createDataFrame(
+            rows, "src string, line_no long, line string")
+        got = {r["event_idx"]: (r["n_lines"], r["text"]) for r in
+               stitch_multiline(df, "line_no", by=["src"]).collect()}
+        # the NULL line starts a new event (as '' — no continuation
+        # match); the following continuation attaches to IT, not to
+        # the ERROR event
+        assert got == {0: (1, "ERROR boom"), 1: (2, "\n    at f")}
+
+    def test_ewma_excludes_null_values_and_timestamps(self, spark):
+        from otel_arrow_spark.operators.anomaly import ewma_smooth
+
+        rows = [("k", 0, 4.0), ("k", 1, None), ("k", 2, 8.0),
+                ("k", None, 100.0)]
+        df = spark.createDataFrame(
+            rows, "k string, secs long, value double"
+        ).withColumn(
+            "ts", F.timestamp_seconds(F.col("secs"))).drop("secs")
+        out = ewma_smooth(df, ("k",), alpha=0.5).collect()
+        # NULL-value and NULL-ts rows are gone; survivors smooth over
+        # the remaining series only (4 then (8+.5*4)/1.5)
+        got = sorted(r["ewma"] for r in out)
+        assert len(got) == 2
+        assert got[0] == 4.0 and abs(got[1] - 10 / 1.5) < 1e-12

@@ -146,3 +146,17 @@ class TestCountMin:
         plan = sk._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan
         assert plan.count("Exchange hashpartitioning") == 1  # partial+final
+
+    def test_lookup_broadcasts_sketch_not_probes(self, spark):
+        from otel_arrow_spark.operators.sketches import (
+            countmin_lookup, countmin_sketch)
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        sk = countmin_sketch(ev, "user_id", w=32, d=3)
+        plan = countmin_lookup(
+            sk, ev.select("user_id").distinct(), "user_id", w=32, d=3
+        )._jdf.queryExecution().executedPlan().toString()
+        # the d*w-bounded sketch is the build side; the unbounded key
+        # universe streams through without a join shuffle
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
