@@ -128,6 +128,8 @@ HEADLINE_QUERIES = [
     "ewma",
     "cohort_retention",
     "ab_funnel",
+    "boilerplate_rm",
+    "service_pagerank",
 ]
 
 
@@ -241,20 +243,23 @@ def main() -> None:
                 if n not in results or r["sec"] < results[n]["sec"]:
                     results[n] = r
         eff = (results[hi]["turns_per_sec"] / results[lo]["turns_per_sec"]) / (hi / lo)
-        print(
-            json.dumps(
-                {
-                    "metric": "scaling efficiency local[{}]->local[{}]".format(lo, hi),
-                    "value": round(eff, 3),
-                    "unit": "efficiency",
-                    "sf": sf,
-                    "throughput": {
-                        f"local[{n}]": round(r["turns_per_sec"], 1) for n, r in results.items()
-                    },
-                    "seconds": {f"local[{n}]": round(r["sec"], 2) for n, r in results.items()},
-                }
-            )
-        )
+        sample = {
+            "metric": "scaling efficiency local[{}]->local[{}]".format(lo, hi),
+            "value": round(eff, 3),
+            "unit": "efficiency",
+            "turns": SCALING_TURNS,
+            "throughput": {
+                f"local[{n}]": round(r["turns_per_sec"], 1) for n, r in results.items()
+            },
+            "seconds": {f"local[{n}]": round(r["sec"], 2) for n, r in results.items()},
+            "method": "fresh taskset-pinned JVM per level, interleaved "
+                      "best-of-2, tmpfs input (BASELINE.md §scaling)",
+        }
+        print(json.dumps({**sample, "sf": sf}))
+        # persist so the default-mode bench line can carry the most recent
+        # measured sample (the north rule's two-cluster-size criterion)
+        with open(os.path.join(REPO, "conf", "scaling_latest.json"), "w") as f:
+            json.dump(sample, f, indent=1)
         return
 
     from otel_arrow_spark.session import get_spark
@@ -296,20 +301,23 @@ def main() -> None:
     per_query = {k: round(v, 3) for k, v in per_query.items()}
     per_query = {"pipeline_e2e": round(pipe["sec"], 3), **per_query}
 
-    print(
-        json.dumps(
-            {
-                "metric": "parse→enrich→route→aggregate end-to-end wall time",
-                "value": round(pipe["sec"], 3),
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-                "turns": pipe["rows"],
-                "turns_per_sec": round(pipe["turns_per_sec"], 1),
-                "pipeline_runs_sec": [round(r["sec"], 3) for r in pipe_runs],
-            }
-        )
-    )
+    out = {
+        "metric": "parse→enrich→route→aggregate end-to-end wall time",
+        "value": round(pipe["sec"], 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "turns": pipe["rows"],
+        "turns_per_sec": round(pipe["turns_per_sec"], 1),
+        "pipeline_runs_sec": [round(r["sec"], 3) for r in pipe_runs],
+    }
+    # ride the LAST MEASURED N→4N scaling sample (written by --scaling;
+    # labeled as such — this run did not re-measure it)
+    latest = os.path.join(REPO, "conf", "scaling_latest.json")
+    if os.path.exists(latest):
+        with open(latest) as f:
+            out["scaling_last_measured"] = json.load(f)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

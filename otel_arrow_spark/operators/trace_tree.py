@@ -413,3 +413,72 @@ def critical_paths(spans: DataFrame, max_iter: int = 32,
             F.col("_m.depth").alias("critical_depth"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "client",
+    dst: str = "server",
+    weight: str = "n_calls",
+    iterations: int = 8,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank over an aggregated edge list — service criticality
+    ranking over :func:`service_graph` output (which service, if degraded,
+    poisons the most call flow), the eigenvector twin of the service map.
+    Fixed-iteration power method so the result is a deterministic function
+    of the input (no convergence threshold to disagree about); Brin & Page
+    1998 with edge weights normalised per source.
+
+    Scale design: the iteration runs on the AGGREGATED edge table (one row
+    per service pair), never on raw spans — service_graph already reduced
+    those. Each round is one equi-join (rank → out-edges) plus one hash
+    aggregate on the destination; ranks are localCheckpoint-ed per round
+    so the plan stays one-round deep (same discipline as the connected-
+    components loop in textops/dedup.py). The dangling-mass term (nodes
+    with no out-edges) is a 1-row aggregate over the checkpointed ranks —
+    a bounded driver action per round, same class as the convergence
+    probes. Total rank mass is conserved at 1 by construction.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    outw = edges.groupBy(src).agg(F.sum(weight).alias("_outw"))
+    ep = (
+        edges.join(outw, src)
+        .select(
+            F.col(src).alias("_src"),
+            F.col(dst).alias("_dst"),
+            (F.col(weight).cast("double") / F.col("_outw")).alias("_p"),
+        )
+        .localCheckpoint()
+    )
+    has_out = outw.select(F.col(src).alias("node")).localCheckpoint()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        ranks = ranks.localCheckpoint()
+        dangling = (
+            ranks.join(has_out, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contrib = (
+            ep.join(ranks.withColumnRenamed("node", "_src"), "_src")
+            .groupBy("_dst")
+            .agg(F.sum(F.col("rank") * F.col("_p")).alias("_in"))
+        )
+        ranks = nodes.join(
+            contrib.withColumnRenamed("_dst", "node"), "node", "left"
+        ).select(
+            "node",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (F.coalesce("_in", F.lit(0.0)) + F.lit(dangling / n))
+            ).alias("rank"),
+        )
+    return ranks

@@ -90,6 +90,55 @@ def paragraph_dedup(
     )
 
 
+def boilerplate_remove(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    sep: str = PARA_SEP, min_df: int = 5,
+) -> DataFrame:
+    """Corpus-wide boilerplate removal (CCNet: Wenzek et al. 2020 §4.1
+    line-frequency filtering; RefinedWeb §3.3): drop EVERY occurrence of a
+    paragraph whose document frequency reaches ``min_df`` — cookie banners,
+    license headers, navigation resin that repeats across the corpus.
+    Distinct policy from :func:`paragraph_dedup` (which KEEPS the first
+    occurrence): boilerplate carries no training signal anywhere, so all
+    copies go. Returns one row per input document:
+    (id, n_paras, n_boiler, text_clean).
+
+    Scale design: document frequency is ``groupBy(phash).countDistinct``
+    — two partial-combining hash aggregates, never a window, so a
+    paragraph in a billion docs reduces map-side. The boilerplate set is
+    the high-DF tail of a Zipfian distribution — tiny relative to the
+    corpus — so AQE turns the left_anti join into a broadcast at runtime;
+    restitching shuffles once on doc id, bounded by document length.
+    Documents whose text is entirely whitespace produce no paragraph rows
+    and are absent from the output (same contract as paragraph_dedup).
+    """
+    paras = split_paragraphs(df, id_col, text_col, sep)
+    boiler = (
+        paras.groupBy("phash")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .where(F.col("_df") >= min_df)
+        .select("phash")
+    )
+    surviving = paras.join(boiler, "phash", "left_anti")
+    kept = surviving.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("text_clean"),
+    )
+    totals = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paras"))
+    return totals.join(kept, id_col, "left").select(
+        id_col,
+        "n_paras",
+        (F.col("n_paras") - F.coalesce("n_kept", F.lit(0))).alias("n_boiler"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic multi-paragraph corpus (the documents testdata table is
 # single-line word salad, so paragraph structure is synthesized — same

@@ -324,6 +324,67 @@ def test_service_graph_matches_duckdb(spark, workdir):
         assert got[(c, s)] == (n, e, t), (c, s)
 
 
+class TestPagerank:
+    """Weighted fixed-iteration PageRank (operators/trace_tree.py:pagerank)
+    over an aggregated edge list."""
+
+    # a→b heavy, a→c light, b→a back-edge, c dangling (no out-edges)
+    EDGES = [("a", "b", 9), ("a", "c", 1), ("b", "a", 4)]
+
+    @staticmethod
+    def _replay(edges, n_iter=8, d=0.85):
+        """Plain-Python power method, dangling mass redistributed."""
+        nodes = sorted({a for a, _, _ in edges} | {b for _, b, _ in edges})
+        outw: dict[str, float] = {}
+        for a, _, w in edges:
+            outw[a] = outw.get(a, 0.0) + w
+        n = len(nodes)
+        rank = {v: 1.0 / n for v in nodes}
+        for _ in range(n_iter):
+            dangling = sum(rank[v] for v in nodes if v not in outw)
+            inr = {v: 0.0 for v in nodes}
+            for a, b, w in edges:
+                inr[b] += rank[a] * (w / outw[a])
+            rank = {v: (1 - d) / n + d * (inr[v] + dangling / n)
+                    for v in nodes}
+        return rank
+
+    def test_matches_python_replay(self, spark):
+        from otel_arrow_spark.operators.trace_tree import pagerank
+
+        df = spark.createDataFrame(
+            self.EDGES, "client string, server string, n_calls long")
+        got = {r.node: r.rank for r in pagerank(df).collect()}
+        exp = self._replay(self.EDGES)
+        assert set(got) == set(exp)
+        for v in exp:
+            assert got[v] == pytest.approx(exp[v], rel=1e-9), v
+
+    def test_mass_conserved_and_ordering(self, spark):
+        from otel_arrow_spark.operators.trace_tree import pagerank
+
+        df = spark.createDataFrame(
+            self.EDGES, "client string, server string, n_calls long")
+        got = {r.node: r.rank for r in pagerank(df).collect()}
+        # dangling redistribution keeps total rank mass at exactly 1
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+        # b takes 90% of a's heavy outflow: must outrank the light leaf c
+        assert got["b"] > got["c"]
+
+    def test_iterations_change_result_deterministically(self, spark):
+        # fixed-iteration contract: same input + same iterations = same
+        # floats; different iteration counts genuinely move the ranks
+        from otel_arrow_spark.operators.trace_tree import pagerank
+
+        df = spark.createDataFrame(
+            self.EDGES, "client string, server string, n_calls long")
+        r4a = {r.node: r.rank for r in pagerank(df, iterations=4).collect()}
+        r4b = {r.node: r.rank for r in pagerank(df, iterations=4).collect()}
+        r8 = {r.node: r.rank for r in pagerank(df, iterations=8).collect()}
+        assert r4a == r4b
+        assert any(abs(r4a[v] - r8[v]) > 1e-9 for v in r4a)
+
+
 def test_critical_paths_match_python(spark, workdir):
     from otel_arrow_spark.operators.trace_tree import critical_paths
     from otel_arrow_spark.sources.spans import write_spans_parquet

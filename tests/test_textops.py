@@ -692,6 +692,91 @@ class TestParagraphDedup:
         assert sum(np - nk for _, np, nk, _ in exp) > 50
 
 
+class TestBoilerplateRemove:
+    """CCNet-style corpus-wide boilerplate removal
+    (textops/paragraphs.py:boilerplate_remove) — drops EVERY occurrence of
+    a paragraph whose document frequency reaches min_df, the complement
+    policy to paragraph_dedup's keep-first."""
+
+    @pytest.fixture(scope="class")
+    def br_out(self, spark):
+        from otel_arrow_spark.textops.paragraphs import boilerplate_remove
+
+        # "boiler" appears in 3 docs (>= min_df=3 → removed everywhere);
+        # "dup two" appears in 2 docs (< 3 → kept, unlike keep-first
+        # dedup which would drop the second copy); d4 is entirely boiler.
+        rows = [
+            ("d1", "alpha one\n\nboiler\n\ndup two"),
+            ("d2", "boiler\n\ndup two\n\nbeta"),
+            ("d3", "gamma\n\nboiler"),
+            ("d4", "boiler"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        out = boilerplate_remove(df, min_df=3)
+        return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+    def test_boiler_removed_everywhere(self, br_out):
+        assert br_out["d1"]["n_boiler"] == 1
+        assert br_out["d1"]["text_clean"] == "alpha one\n\ndup two"
+        assert br_out["d3"]["text_clean"] == "gamma"
+
+    def test_below_threshold_duplicates_kept_in_all_docs(self, br_out):
+        # the policy difference vs paragraph_dedup: BOTH copies survive
+        assert br_out["d1"]["text_clean"].endswith("dup two")
+        assert br_out["d2"]["text_clean"] == "dup two\n\nbeta"
+
+    def test_all_boiler_doc_comes_back_empty(self, br_out):
+        assert br_out["d4"] == {
+            "doc_id": "d4", "n_paras": 1, "n_boiler": 1, "text_clean": ""}
+
+    def test_no_window_in_plan(self, spark):
+        # DF counting must stay an algebraic aggregate (module docstring:
+        # a billion-copy banner reduces map-side, never through a window)
+        from otel_arrow_spark.textops.paragraphs import boilerplate_remove
+
+        df = spark.createDataFrame([("d", "a\n\nb")], "doc_id string, text string")
+        plan = boilerplate_remove(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+
+    def test_generated_corpus_matches_duckdb(self, spark, tmp_path):
+        from otel_arrow_spark.textops.paragraphs import (
+            boilerplate_remove, write_paragraph_corpus)
+
+        path = write_paragraph_corpus(str(tmp_path / "paras"), 300)
+        got = boilerplate_remove(spark.read.parquet(path), min_df=5)
+        res = {r["doc_id"]: (r["n_paras"], r["n_boiler"], r["text_clean"])
+               for r in got.collect()}
+        con = duckdb.connect()
+        exp = con.execute(f"""
+            WITH raw AS (
+                SELECT doc_id, string_split(text, chr(10) || chr(10)) AS parts
+                FROM read_parquet('{path}/*.parquet')),
+            x AS (SELECT doc_id, unnest(parts) AS para,
+                         generate_subscripts(parts, 1) - 1 AS pos FROM raw),
+            p AS (SELECT doc_id, pos, para, md5(para) AS phash
+                  FROM x WHERE trim(para) <> ''),
+            b AS (SELECT phash FROM (
+                      SELECT phash, count(DISTINCT doc_id) AS df
+                      FROM p GROUP BY 1) WHERE df >= 5),
+            s AS (SELECT doc_id, pos, para FROM p
+                  WHERE phash NOT IN (SELECT phash FROM b)),
+            kept AS (SELECT doc_id, count(*) AS n_kept,
+                            string_agg(para, chr(10) || chr(10) ORDER BY pos) AS t
+                     FROM s GROUP BY 1),
+            tot AS (SELECT doc_id, count(*) AS n_paras FROM p GROUP BY 1)
+            SELECT tot.doc_id, n_paras, n_paras - coalesce(n_kept, 0),
+                   coalesce(t, '')
+            FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id
+        """).fetchall()
+        assert len(exp) == 300
+        for doc_id, n_paras, n_boiler, text in exp:
+            assert res[doc_id] == (n_paras, n_boiler, text), doc_id
+        # the 40-paragraph boiler pool at 300 docs is all above df=5:
+        # removal actually fired, and some unique text survived
+        assert sum(nb for _, _, nb, _ in exp) > 100
+        assert any(t for _, _, _, t in exp)
+
+
 class TestPacking:
     """Sequence packing (textops/packing.py)."""
 
