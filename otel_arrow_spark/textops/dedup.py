@@ -644,11 +644,20 @@ def embedding_near_dup_pairs(
     df = ensure_parallelism(df)
 
     def dot_plane(vec: Column, p) -> Column:
-        terms = [vec[i] * float(p[i]) for i in range(dim)]
-        s = terms[0]
-        for t in terms[1:]:
-            s = s + t
-        return s
+        # One aggregate() fold per plane, NOT an unrolled vec[0]*p0 + … chain:
+        # the unrolled form generated O(n_planes · dim) expression nodes and
+        # blew janino's 64 KB method limit at dim=64 (ERROR CodeGenerator →
+        # silent interpreted fallback — correct but off the codegen fast
+        # path). The fold is left-associated exactly like the chain it
+        # replaces, and the leading 0.0 + t0 is exact in IEEE doubles, so
+        # every partial sum — and therefore every sign bit and the DuckDB
+        # oracle's replayed signature — is bit-identical.
+        p_lit = F.array(*[F.lit(float(x)) for x in p])
+        return F.aggregate(
+            F.zip_with(vec, p_lit, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
 
     sig_bits = [
         F.when(dot_plane(F.col(vec_col), planes[i]) >= 0, F.lit(1)).otherwise(F.lit(0))
