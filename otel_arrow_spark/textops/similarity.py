@@ -52,13 +52,24 @@ def brute_force_topk(
 
 
 def _hyperplane_signature(vec: Column, planes) -> Column:
-    """Sign signature of ``vec`` against literal hyperplanes → string key."""
-    dim = planes.shape[1]
+    """Sign signature of ``vec`` against literal hyperplanes → string key.
+
+    One aggregate() fold per plane, NOT an unrolled vec[0]*p0 + … chain:
+    the unrolled form generated O(n_tables · n_planes · dim) expression
+    nodes inside the banding Generate and blew janino's 64 KB method
+    limit (ERROR CodeGenerator → silent interpreted fallback). The fold
+    is left-associated exactly like the chain it replaces and the leading
+    0.0 + t0 is exact in IEEE doubles, so every sign bit — and therefore
+    the bucket assignment an oracle replays — is bit-identical.
+    """
     bits = []
     for p in planes:
-        s = vec[0] * float(p[0])
-        for i in range(1, dim):
-            s = s + vec[i] * float(p[i])
+        p_lit = F.array(*[F.lit(float(x)) for x in p])
+        s = F.aggregate(
+            F.zip_with(vec, p_lit, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         bits.append(F.when(s >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
