@@ -1112,3 +1112,32 @@ class TestWeightedSample:
         out = weighted_sample(df, 7, "w").collect()
         ids = [r["doc_id"] for r in out]
         assert len(ids) == 7 == len(set(ids))
+
+
+class TestCodegenFastPath:
+    """Regression pin for the 64 KB janino blowout: the unrolled
+    per-element hyperplane dot chains used to exceed the JVM method-size
+    limit at dim=64 and silently fall back to interpreted evaluation
+    (ERROR CodeGenerator in the logs, correct-but-slow plans). With
+    codegen fallback disabled the blowout becomes a hard error, so this
+    test fails loudly if the O(planes·dim) expression shape ever returns."""
+
+    def test_hyperplane_ops_stay_compilable(self, spark):
+        dim = 64
+        rs = np.random.RandomState(11)
+        rows = [(i, [float(x) for x in rs.standard_normal(dim)]) for i in range(20)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        old_fb = spark.conf.get("spark.sql.codegen.fallback", "true")
+        old_fm = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+        spark.conf.set("spark.sql.codegen.fallback", "false")
+        spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+        try:
+            # the exact configs that blew the limit before the fix
+            embedding_near_dup_pairs(df, threshold=0.9, n_planes=16).collect()
+            q = df.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+            got = lsh_bucketed_topk(df, q, k=3, n_planes=8, n_tables=4).collect()
+        finally:
+            spark.conf.set("spark.sql.codegen.fallback", old_fb)
+            spark.conf.set("spark.sql.codegen.factoryMode", old_fm)
+        # every query bucket-collides with itself (cosine 1), so it must rank
+        assert {(r.query_id, r.vec_id) for r in got} >= {(0, 0), (1, 1)}
