@@ -1941,9 +1941,15 @@ def q_syslog_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = 2000 if "sf0.001" in sf_dir else 20_000
     lines = spark.read.parquet(_syslog_corpus_path(n))
+    # materialize only the columns the star spec reads (guide §2.3): the
+    # checkpoint is a pruning barrier, so project before it
     parsed = (
         parse_syslog(lines)
         .where(F.col("format") != "unknown")
+        .select(
+            "line_no", "message", "severity_text", "severity_number",
+            "hostname", "app_name", "proc_id", "facility", "format",
+        )
         .localCheckpoint()
     )
     spec = LogsStarSpec(
@@ -2298,10 +2304,20 @@ def q_logs_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the encoder references the flat frame 4× (logs + attrs + both
     # dims): materialize the parse ONCE — at scale this is "encode from
-    # a staged table", not re-parse-per-reference
-    flat = enrich(
-        parse_transcripts(_transcripts(spark, sf_dir)), spark
-    ).localCheckpoint()
+    # a staged table", not re-parse-per-reference. Materialize ONLY the
+    # columns the encoder reads (guide §2.3 "project before the
+    # exchange"): the checkpoint is the barrier Catalyst cannot prune
+    # through, so an unprojected checkpoint would persist + rescan the
+    # full enriched width.
+    flat = (
+        enrich(parse_transcripts(_transcripts(spark, sf_dir)), spark)
+        .select(
+            "conv_id", "turn_idx", "ts", "text", "severity_text",
+            "severity_number", "trace_id", "span_id", "tool", "component",
+            "tool_called", "call_status", "owner", "role_class",
+        )
+        .localCheckpoint()
+    )
     back = decode_logs_star(encode_logs_star(flat))
     return back.groupBy("severity_text", "tool", "owner").agg(
         F.count(F.lit(1)).alias("n"),
@@ -2535,10 +2551,18 @@ def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).parquet(path)
     g = merge_quantile_sketches(spark.read.parquet(path)).collect()[0]
-    n = e.count()
-    for q, est in ((0.5, g.q_0_5), (0.95, g.q_0_95), (0.99, g.q_0_99)):
-        rank = e.where(F.col("v_cents") <= est).count() / n
-        assert abs(rank - q) < 0.03, (q, est, rank)
+    # identical rank guard, ONE scan instead of count + 3 filtered counts
+    # (guide §1.2: don't compute things 4 passes can do in 1)
+    r = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum((F.col("v_cents") <= est).cast("long")).alias(f"r_{i}")
+            for i, est in enumerate((g.q_0_5, g.q_0_95, g.q_0_99))
+        ],
+    ).head()
+    for q, rank_n in ((0.5, r.r_0), (0.95, r.r_1), (0.99, r.r_2)):
+        rank = rank_n / r.n
+        assert abs(rank - q) < 0.03, (q, rank)
     return e.groupBy("day").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.expr("percentile(v_cents, 0.5)"), 4).alias("p50_r"),
@@ -2571,7 +2595,11 @@ def q_theta_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.day: (r.est_users, r.est_retained, r.est_new)
         for r in retention_estimates(spark.read.parquet(path), "day").collect()
     }
-    d = e.distinct()
+    # materialize the distinct (day, user) set ONCE: both join sides and
+    # the guard reuse it instead of re-shuffling events 3× (guide §1.2);
+    # the exact result is checkpointed so the guard collect and the
+    # returned frame share one computation
+    d = e.distinct().localCheckpoint()
     prev = d.select((F.col("day") + 1).alias("day"),
                     F.col("user_id").alias("prev_user"))
     exact = (
@@ -2584,8 +2612,8 @@ def q_theta_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("n_new", F.col("n_users") - F.col("n_retained"))
     )
-    first_day = e.agg(F.min("day")).collect()[0][0]
-    exact = exact.where(F.col("day") > first_day)
+    first_day = d.agg(F.min("day")).collect()[0][0]
+    exact = exact.where(F.col("day") > first_day).localCheckpoint()
     for r in exact.collect():
         eu, er, en = est[r.day]
         assert abs(eu - r.n_users) <= max(2, 0.05 * r.n_users), (r, est[r.day])
@@ -3217,9 +3245,14 @@ def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = os.path.join(_REPO, ".cache", "snapshot_merge_table")
     shutil.rmtree(t, ignore_errors=True)
-    stage = os.path.join(_REPO, ".cache", "snapshot_merge_stage")
-    e.repartitionByRange(4, "event_id").write.mode("overwrite").parquet(stage)
-    snapshot_append(spark, spark.read.parquet(stage), t)
+    # commit the 4-file range-clustered snapshot DIRECTLY (the staged
+    # parquet copy wrote + re-read the whole table once for nothing,
+    # guide §1.2), and record event_id bounds in the manifest so the
+    # file-scoped MERGE plans from manifest stats instead of paying a
+    # statless bounds scan of every data file
+    snapshot_append(
+        spark, e.repartitionByRange(4, "event_id"), t, stats_cols=["event_id"]
+    )
     n0 = e.count()
     upd = (
         e.where(F.col("user_id") % 10 == 3)

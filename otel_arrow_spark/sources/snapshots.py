@@ -384,17 +384,34 @@ def snapshot_merge(
             stat_bounds += [
                 (r.file.removeprefix("file:"), r.lo, r.hi) for r in scanned
             ]
-        bounds = spark.createDataFrame(
-            stat_bounds, ["file", "lo", "hi"]
-        )
-        touched = {
-            r.file
-            for r in bounds.join(
-                all_keys.select(k0).distinct(),
-                (F.col(k0) >= F.col("lo")) & (F.col(k0) <= F.col("hi")),
-                "left_semi",
-            ).collect()
-        }
+        if len(stat_bounds) <= 256:
+            # few files: ONE shuffle-free pass over the update keys — a
+            # per-file "any key in [lo, hi]" boolean max — instead of a
+            # distinct (full shuffle of every key) feeding a nested-loop
+            # semi join (guide §2.4: remove shuffles outright)
+            probes = all_keys.agg(
+                *[
+                    F.max(
+                        (F.col(k0) >= F.lit(lo)) & (F.col(k0) <= F.lit(hi))
+                    ).alias(f"_t{i}")
+                    for i, (_, lo, hi) in enumerate(stat_bounds)
+                ]
+            ).head()
+            touched = {
+                f for i, (f, _, _) in enumerate(stat_bounds) if probes[f"_t{i}"]
+            }
+        else:
+            bounds = spark.createDataFrame(
+                stat_bounds, ["file", "lo", "hi"]
+            )
+            touched = {
+                r.file
+                for r in bounds.join(
+                    all_keys.select(k0).distinct(),
+                    (F.col(k0) >= F.col("lo")) & (F.col(k0) <= F.col("hi")),
+                    "left_semi",
+                ).collect()
+            }
         carried = [f for f in m["files"] if f not in touched]
         if touched:
             cur = _read_files_evolved(spark, sorted(touched))
