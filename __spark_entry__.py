@@ -2881,8 +2881,14 @@ def q_otlp_hist_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otel_arrow_spark.sources.otlp_json import parse_otlp_metrics_json
 
     n = 2000 if "sf0.001" in sf_dir else (200_000 if "sf0.1/" in sf_dir or sf_dir.endswith("sf0.1") else 20_000)
+    # histogram-branch-restricted decode: from_json skips the other four
+    # oneof subtrees (guide §6 pruning-to-the-scan; ~3x on the decode).
+    # Equivalent by construction — the query filters to
+    # metric_type == "histogram" anyway (branch-parity pinned in
+    # tests/test_otlp_json.py)
     pts = parse_otlp_metrics_json(
-        spark.read.parquet(_otlp_metrics_corpus_path(n))
+        spark.read.parquet(_otlp_metrics_corpus_path(n)),
+        branches=("histogram",),
     )
     hist = pts.where(
         (F.col("metric_type") == "histogram") & (F.col("temporality") == 1)

@@ -583,7 +583,15 @@ def simhash_near_dup_pairs(
     them (an exact guarantee, so the output equals an all-pairs hamming
     scan — which is what the driver's DuckDB oracle computes when
     ``token_hash="md5"``). Verification = exact hamming ≤ max_hamming."""
-    sims = simhash_col(df, text_col, id_col, bits=bits, token_hash=token_hash)
+    from pyspark import StorageLevel
+
+    # persist the (id, simhash) pairs: the token-hash + signed-bit-sum
+    # signature pipeline would otherwise execute once per self-join side
+    # (16 bytes/doc — the same ids-only caching rule as the MinHash
+    # banding persist above)
+    sims = simhash_col(
+        df, text_col, id_col, bits=bits, token_hash=token_hash
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     chunk_bits = bits // n_chunks
     mask = (1 << chunk_bits) - 1
     chunks = sims.select(

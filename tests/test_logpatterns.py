@@ -256,6 +256,29 @@ class TestOtlpTracesJson:
 
 
 class TestOtlpMetricsJson:
+    def test_branch_restricted_decode_equals_filtered_full_decode(self, spark):
+        """branches=("histogram",) must equal the full decode filtered to
+        metric_type == histogram, row-for-row and column-for-column —
+        the contract that lets otlp_hist_p95 skip four oneof subtrees."""
+        from otel_arrow_spark.sources.otlp_json import (
+            generate_otlp_json_metric_requests,
+            parse_otlp_metrics_json,
+        )
+        from pyspark.sql import functions as F
+
+        reqs = generate_otlp_json_metric_requests(500)
+        df = spark.createDataFrame([(p,) for p in reqs], "payload string")
+        full = (
+            parse_otlp_metrics_json(df)
+            .where(F.col("metric_type") == "histogram")
+        )
+        restricted = parse_otlp_metrics_json(df, branches=("histogram",))
+        assert restricted.columns == full.columns
+        key = ["metric_name", "point_seq"]
+        a = sorted(map(tuple, full.collect()))
+        b = sorted(map(tuple, restricted.collect()))
+        assert len(a) > 0 and a == b, (len(a), len(b), key)
+
     def test_decode_oneof_branches(self, spark):
         from otel_arrow_spark.sources.otlp_json import (
             generate_otlp_json_metric_requests,
