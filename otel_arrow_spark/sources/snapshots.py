@@ -417,9 +417,11 @@ def snapshot_merge(
             cur = _read_files_evolved(spark, sorted(touched))
         else:
             cur = cur.limit(0)
-    keep = cur.join(upserts.select(*key_cols), key_cols, "left_anti")
-    if deletes is not None:
-        keep = keep.join(deletes, key_cols, "left_anti")
+    # ONE anti join against the union of upsert + delete keys — removing
+    # a row because its key is upserted or because it is deleted is the
+    # same predicate, so two anti passes over the survivors collapse
+    # into one (guide §1.2)
+    keep = cur.join(all_keys, key_cols, "left_anti")
     # evolved tables may carry columns the updates lack (and vice versa
     # when updates introduce a column): union by name with NULL fill,
     # the same absent-column semantics the evolution reader defines

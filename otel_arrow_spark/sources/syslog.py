@@ -26,19 +26,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Header regexes are RE2-compatible by construction (no backreferences or
+# lookaround) so the batch parser can run them through Arrow's vectorized
+# RE2 kernels; `\n?$` restores Python/Java's before-trailing-newline `$`
+# (see operators/parse.py for the dialect notes). The CEF *extension*
+# grammar below needs a lookahead, so that one stays a per-row Python re.
 RFC5424_RE = (
     r"^<(?P<pri>\d{1,3})>1 (?P<ts>\S+) (?P<host>\S+) (?P<app>\S+) "
-    r"(?P<procid>\S+) (?P<msgid>\S+) (?P<sd>-|\[.*?\])(?: (?P<msg>.*))?$"
+    r"(?P<procid>\S+) (?P<msgid>\S+) (?P<sd>-|\[.*?\])(?: (?P<msg>.*))?\n?$"
 )
 RFC3164_RE = (
     r"^<(?P<pri>\d{1,3})>(?P<ts>[A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2}) "
-    r"(?P<host>\S+) (?P<tag>[\w./-]+)(?:\[(?P<procid>\d+)\])?: ?(?P<msg>.*)$"
+    r"(?P<host>\S+) (?P<tag>[\w./-]+)(?:\[(?P<procid>\d+)\])?: ?(?P<msg>.*)\n?$"
 )
 CEF_RE = (
     r"^(?:<(?P<pri>\d{1,3})>)?(?:(?P<ts>[A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2}) )?"
     r"(?:(?P<host>\S+) )?CEF:(?P<ver>\d+)\|(?P<vendor>[^|]*)\|(?P<product>[^|]*)\|"
     r"(?P<dev_ver>[^|]*)\|(?P<sig_id>[^|]*)\|(?P<name>[^|]*)\|(?P<cef_sev>[^|]*)\|"
-    r"(?P<ext>.*)$"
+    r"(?P<ext>.*)\n?$"
 )
 
 # syslog severity (0-7) → OTel severity number (parsed_message.rs:426-436)
@@ -92,13 +97,39 @@ def parse_syslog(df: DataFrame, text_col: str = "line") -> DataFrame:
     unknown (all-null fields, format='unknown', row kept).
     """
     import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
     from pyspark.sql.functions import pandas_udf
 
+    def _extract(arr, pattern, empty_is_null=()):
+        # vectorized RE2 extraction (guide §4.2) — one struct column per
+        # named group; non-matching rows surface as all-None, exactly
+        # like Series.str.extract's all-NaN rows for the logic below.
+        # Arrow reports a NON-PARTICIPATING optional group as '' rather
+        # than null; for groups whose grammar cannot match empty
+        # (\\d+, \\S+, ...) that '' unambiguously means "absent" and is
+        # mapped back to null to preserve the Python-re semantics the
+        # oracles replay with NULLIF(..., '').
+        s = pc.extract_regex(arr, pattern)
+        cols = {}
+        for f in s.type:
+            c = pc.struct_field(s, f.name)
+            if f.name in empty_is_null:
+                c = pc.if_else(pc.equal(c, ""), pa.scalar(None, pa.string()), c)
+            cols[f.name] = c
+        return pa.table(cols).to_pandas()
+
     def _batch(lines):
+        arr = pc.fill_null(
+            pa.Array.from_pandas(lines, type=pa.string()), ""
+        )
+        r54 = _extract(
+            arr, RFC5424_RE,
+            ("pri", "ts", "host", "app", "procid", "msgid", "sd"),
+        )
+        cef = _extract(arr, CEF_RE, ("pri", "ts", "host", "ver"))
+        r31 = _extract(arr, RFC3164_RE, ("pri", "ts", "host", "tag", "procid"))
         lines = lines.fillna("")
-        r54 = lines.str.extract(RFC5424_RE)
-        cef = lines.str.extract(CEF_RE)
-        r31 = lines.str.extract(RFC3164_RE)
 
         is54 = r54["pri"].notna()
         iscef = cef["ver"].notna() & ~is54
