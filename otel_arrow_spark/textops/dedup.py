@@ -843,6 +843,35 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # Near-dup graphs are usually tiny relative to the corpus (template
+    # families): when the materialized edge list is small, the per-round
+    # joins/aggregates are pure scheduler overhead under the session's
+    # data-scale shuffle config — run the loop single-partition with
+    # AQE's per-stage re-planning off (same reasoning as the pagerank
+    # loop; min-label propagation is integer min/least, so the result is
+    # partitioning-invariant by construction). Large graphs keep the
+    # session config. Conf is restored afterwards; the loop's outputs
+    # are checkpointed inside it, so nothing lazy escapes the override.
+    spark = edges.sparkSession
+    if edges.count() <= 1_000_000:
+        saved = {
+            k: spark.conf.get(k)
+            for k in (
+                "spark.sql.adaptive.enabled",
+                "spark.sql.shuffle.partitions",
+            )
+        }
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        try:
+            return _cc_loop(edges, max_iter)
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+    return _cc_loop(edges, max_iter)
+
+
+def _cc_loop(edges: DataFrame, max_iter: int) -> DataFrame:
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("comp")
     )
