@@ -3311,10 +3311,16 @@ def q_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # crash simulation: a data batch that never got a manifest
     b2.limit(5).write.parquet(os.path.join(t, "data", "batch-999"))
     snapshot_append(spark, b2, t)
+    # one aggregate yields both guard denominators (|b1| and |e|) —
+    # same assertions, one events scan instead of two (guide §1.2)
+    g = e.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum((F.col("event_id") % 2 == 0).cast("long")).alias("n_even"),
+    ).head()
     n1 = read_snapshot(spark, t, version=1).count()
-    assert n1 == b1.count(), (n1,)
+    assert n1 == g.n_even, (n1,)
     latest = read_snapshot(spark, t)
-    assert latest.count() == e.count()
+    assert latest.count() == g.n_all
     return latest.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("user_id").alias("n_users"),
@@ -3340,13 +3346,17 @@ def q_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "value"
     )
     path = os.path.join(_REPO, ".cache", "zorder_out")
-    write_zordered(spark, e, path, ["user_id", "event_id"], files=16, bits=10)
-    b = e.agg(
-        F.min("event_id").alias("lo_e"), F.max("event_id").alias("hi_e"),
-        F.min("user_id").alias("lo_u"), F.max("user_id").alias("hi_u"),
-    ).head()
-    lo_e, hi_e = b.lo_e, b.lo_e + (b.hi_e - b.lo_e) // 8
-    lo_u, hi_u = b.lo_u, b.lo_u + (b.hi_u - b.lo_u) // 8
+    # write_zordered already computed the per-column bounds for its
+    # quantization — reuse them instead of re-aggregating the table
+    # (guide §1.2); identical values by construction
+    meta = write_zordered(
+        spark, e, path, ["user_id", "event_id"], files=16, bits=10
+    )
+    (blo_e, bhi_e), (blo_u, bhi_u) = (
+        meta["bounds"]["event_id"], meta["bounds"]["user_id"]
+    )
+    lo_e, hi_e = blo_e, blo_e + (bhi_e - blo_e) // 8
+    lo_u, hi_u = blo_u, blo_u + (bhi_u - blo_u) // 8
     _, s_u = pruned_scan(spark, path, "user_id", lo=lo_u, hi=hi_u)
     assert s_u["files_read"] < s_u["files_total"], s_u
     out, s_e = pruned_scan(spark, path, "event_id", lo=lo_e, hi=hi_e)

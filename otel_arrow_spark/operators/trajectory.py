@@ -38,11 +38,16 @@ def tool_transitions(
     *destination* call failed (status extracted from the CALL line,
     sources/transcripts.py template family 2).
     """
+    # the error test collapses to a boolean BEFORE the window shuffle
+    # (guide §2.3: shuffle narrower types) — identical algebra, the
+    # status string itself never crosses the exchange
     calls = df.filter(F.col(tool_col).isNotNull()).select(
         F.col(conv_col).alias("_conv"),
         F.col(order_col).alias("_ord"),
         F.col(tool_col).alias("tool"),
-        F.regexp_extract(F.col(text_col), status_re, 1).alias("_status"),
+        (F.regexp_extract(F.col(text_col), status_re, 1) == "error").alias(
+            "_is_err"
+        ),
     )
     w = Window.partitionBy("_conv").orderBy("_ord")
     edges = calls.withColumn("prev_tool", F.lag("tool").over(w)).filter(
@@ -50,5 +55,5 @@ def tool_transitions(
     )
     return edges.groupBy("prev_tool", "tool").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum((F.col("_status") == "error").cast("long")).alias("n_error"),
+        F.sum(F.col("_is_err").cast("long")).alias("n_error"),
     )
