@@ -330,6 +330,14 @@ def snapshot_merge(
     Rewriting is one left_anti on the key columns + a union — no wide
     shuffle beyond the key join.
     """
+    from pyspark import StorageLevel
+
+    # the update batch is consumed by the dup check, the touched-file
+    # probe, the survivor anti join and the rewrite union — persist it
+    # once (merge-batch-sized by contract, far smaller than the table)
+    # so its source plan executes once, not once per consumer
+    # (guide §1.2); released after the commit
+    updates = updates.persist(StorageLevel.MEMORY_AND_DISK)
     if delete_col is not None:
         if delete_col not in updates.columns:
             raise ValueError(
@@ -426,14 +434,17 @@ def snapshot_merge(
     # when updates introduce a column): union by name with NULL fill,
     # the same absent-column semantics the evolution reader defines
     merged = keep.unionByName(upserts, allowMissingColumns=True)
-    return _commit(
-        table_dir,
-        merged,
-        "overwrite",
-        {"merge_on": key_cols, "carried_files": carried} if carried
-        else {"merge_on": key_cols},
-        carry_files=carried,
-    )
+    try:
+        return _commit(
+            table_dir,
+            merged,
+            "overwrite",
+            {"merge_on": key_cols, "carried_files": carried} if carried
+            else {"merge_on": key_cols},
+            carry_files=carried,
+        )
+    finally:
+        updates.unpersist(False)
 
 
 def snapshot_compact(

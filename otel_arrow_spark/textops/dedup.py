@@ -765,9 +765,18 @@ def semantic_dedup(
 
 
 def _assign_for_dedup(corpus, centroids, vec_col, id_col):
+    from pyspark import StorageLevel
+
     from otel_arrow_spark.textops.ivf import assign_clusters
 
-    return assign_clusters(corpus, centroids, vec_col, id_col)
+    # the dedup plan references the assignment three times (both pair
+    # sides + the survivor base): persist so the mapInPandas BLAS scan
+    # runs once per job instead of once per reference (the docstring's
+    # write_ivf_index advice is the durable-index form of the same rule;
+    # this is the transient-index form, guide §1.2)
+    return assign_clusters(corpus, centroids, vec_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
 
 def semantic_dedup_on_index(
