@@ -159,8 +159,23 @@ def bloom_pruned_scan(
             if os.path.isdir(mpath)
             else build_bloom_manifest(spark, path, col)
         )
-    head = zm.select("m_bits", "k").head()
-    if head is None:  # empty dataset → empty manifest → nothing to read
+    # the manifest frame is consulted twice (parameter head + the probe
+    # join): materialize it once — it is bounded planning metadata
+    # (≤ files × m_bits/64 rows), and when the caller passed the LAZY
+    # build_bloom_manifest frame the build scan would otherwise execute
+    # once per reference (guide §1.2)
+    zm = zm.localCheckpoint()
+    # ONE aggregate job yields the sketch parameters, the row-count gate
+    # and files_total — replacing three separate driver actions (head +
+    # count + distinct-count); at planning sizes the per-job round-trip
+    # IS the cost (guide §1.2)
+    head = zm.agg(
+        F.first("m_bits").alias("m_bits"),
+        F.first("k").alias("k"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("file").alias("n_files"),
+    ).head()
+    if head.n_rows == 0:  # empty dataset → empty manifest → nothing to read
         schema = spark.read.parquet(path).schema
         return spark.createDataFrame([], schema).filter(
             F.col(col).isin(list(values))
@@ -181,8 +196,30 @@ def bloom_pruned_scan(
         .select("file")
         .distinct()
     )
-    files = [r.file for r in keep.collect()]
-    total = zm.select("file").distinct().count()
+    # the admit computation runs over PLANNING METADATA (files × words
+    # rows + k·|values| probe rows) — under the session's data-scale
+    # shuffle config its three tiny stages are pure scheduler overhead
+    # (measured ~1 s of a 2 s query); run it single-partition with AQE
+    # off when the manifest is metadata-sized, like the pagerank/CC
+    # loops (integer counts — partitioning-invariant by construction)
+    saved = None
+    if head.n_rows <= 1_000_000:
+        saved = {
+            kk: spark.conf.get(kk)
+            for kk in (
+                "spark.sql.adaptive.enabled",
+                "spark.sql.shuffle.partitions",
+            )
+        }
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        files = [r.file for r in keep.collect()]
+        total = head.n_files
+    finally:
+        if saved is not None:
+            for kk, v in saved.items():
+                spark.conf.set(kk, v)
     stats = {"files_total": total, "files_read": len(files)}
     if not files:
         schema = spark.read.parquet(path).schema

@@ -82,6 +82,10 @@ def pruned_scan_multi(
             if os.path.isdir(mpath)
             else build_zonemap(spark, path, list(preds))
         )
+    # consulted twice (file-list collect + files_total count): materialize
+    # the bounded planning metadata once so a lazily-built manifest's scan
+    # does not execute per reference (guide §1.2)
+    zm = zm.localCheckpoint()
     keep = zm
     for col, (lo, hi) in preds.items():
         if lo is not None:
@@ -129,6 +133,8 @@ def pruned_scan(
             if os.path.isdir(mpath)
             else build_zonemap(spark, path, [col])
         )
+    # same two-reference materialization as pruned_scan_multi
+    zm = zm.localCheckpoint()
     keep = zm
     if lo is not None:
         keep = keep.filter(F.col(f"max_{col}") >= F.lit(lo))
